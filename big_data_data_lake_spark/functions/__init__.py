@@ -1,0 +1,7 @@
+"""Scalar function library — the reference's row-wise ``apply`` logic
+re-expressed as native column expressions (SURVEY §2.9 port policy:
+no UDFs for expressible math)."""
+
+from .geo import dead_reckon, infer_continent
+
+__all__ = ["dead_reckon", "infer_continent"]

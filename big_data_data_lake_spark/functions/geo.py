@@ -1,0 +1,52 @@
+"""Geospatial scalar functions.
+
+The reference applies these row-at-a-time with ``df.apply(axis=1)``
+(dashboard.py:114, app.py:392-402) — the single slowest pattern it
+has. Both are pure math, so they compile to whole-stage-codegen
+column expressions here: zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6371000.0
+
+
+def infer_continent(lat: Column, lon: Column) -> Column:
+    """P9 — 7-branch lat/lon → continent rule chain
+    (dashboard.py:94-114), as one ``when`` tree."""
+    return (
+        F.when(lat.isNull() | lon.isNull(), F.lit("Unknown"))
+        .when((lat > 35) & (lat < 72) & (lon > -25) & (lon < 65), "Europe")
+        .when((lat > 5) & (lat < 55) & (lon > 65) & (lon < 180), "Asia")
+        .when((lat > -35) & (lat < 37) & (lon > -20) & (lon < 52), "Africa")
+        .when((lat > 15) & (lat < 72) & (lon > -170) & (lon < -50), "North America")
+        .when((lat > -57) & (lat < 13) & (lon > -82) & (lon < -34), "South America")
+        .when((lat > -50) & (lat < -10) & (lon > 110) & (lon < 180), "Oceania")
+        .otherwise("Other")
+    )
+
+
+def dead_reckon(
+    lat: Column,
+    lon: Column,
+    speed_ms: Column,
+    track_deg: Column,
+    horizon_s: float = 300.0,
+) -> tuple[Column, Column]:
+    """P14/M6 — great-circle dead-reckoning (app.py:367-402): predict
+    (lat, lon) after ``horizon_s`` seconds at constant speed/heading.
+
+    Returns (pred_lat, pred_lon) column expressions. Flat-earth local
+    approximation like the reference: dlat = d·cos(θ)/R,
+    dlon = d·sin(θ)/(R·cos(lat)).
+    """
+    dist = speed_ms * F.lit(horizon_s)
+    theta = F.radians(track_deg)
+    dlat = dist * F.cos(theta) / F.lit(EARTH_RADIUS_M)
+    dlon = dist * F.sin(theta) / (F.lit(EARTH_RADIUS_M) * F.cos(F.radians(lat)))
+    pred_lat = lat + F.degrees(dlat)
+    pred_lon = lon + F.degrees(dlon)
+    return pred_lat, pred_lon

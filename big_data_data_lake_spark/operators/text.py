@@ -1,0 +1,104 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY §7
+Phase 4): tokenization, token statistics, quality scoring, language
+identification, document fingerprinting.
+
+All pure column expressions over the ``documents`` table — array
+higher-order functions (``transform``/``aggregate``/``filter``), no
+Python UDFs, so the whole pipeline codegens and scales linearly with
+executors. Documents never need to be colocated: every function here
+is embarrassingly parallel per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword anchors for the n-gram/stopword heuristic
+# language ID. Order matters: ties break toward the earlier language.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "de", "et", "un"],
+}
+
+FINGERPRINT_MOD = 2_147_483_647  # 2^31 - 1, keeps acc*31+c within int64
+
+
+def tokenize(text: Column | str) -> Column:
+    """Whitespace tokenization into an array column."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    """Token count — the cheap length signal quality filters start with."""
+    return F.size(tokenize(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokenize(text)))
+
+
+def avg_token_len(text: Column | str) -> Column:
+    """Mean token length: integer char-sum / token count, exact in
+    double, so it reproduces bit-identically in any engine."""
+    toks = tokenize(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return total.cast("double") / F.size(toks).cast("double")
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str]) -> Column:
+    """Fraction of tokens that are stopwords — high ratio suggests
+    natural prose, very low suggests tables/code/noise."""
+    toks = tokenize(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(stopwords)))
+    return hits.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Composite document quality in [0,1]: half length saturation
+    (100-token knee), half stopword density (natural-language signal).
+    The shape follows public pretraining-data heuristics (length +
+    stopword + punctuation ratios); weights are engine defaults."""
+    sw = stopwords if stopwords is not None else LANG_STOPWORDS["en"]
+    length_part = F.least(F.lit(1.0), token_count(text).cast("double") / F.lit(100.0))
+    return length_part * F.lit(0.5) + stopword_ratio(text, sw) * F.lit(0.5)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts (distinct hits)."""
+    toks = F.array_distinct(tokenize(text))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of stopword-hit counts with
+    deterministic priority-order tie-breaking (en > es > fr)."""
+    s = lang_scores(text)
+    return (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]), F.lit("en"))
+        .when(s["es"] >= s["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def fingerprint(text: Column | str, mod: int = FINGERPRINT_MOD) -> Column:
+    """Rolling polynomial hash over the characters (base 31, modular):
+    a content fingerprint for exact-dup detection and incremental
+    re-crawl diffing. Pure integer arithmetic so any engine reproduces
+    it exactly."""
+    c = F.col(text) if isinstance(text, str) else text
+    chars = F.split(c, "")
+    return F.aggregate(
+        F.transform(chars, lambda ch: F.ascii(ch)),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x.cast("long")) % F.lit(mod),
+    )

@@ -1,0 +1,227 @@
+"""Analytics-layer queries (SURVEY §2.6-§2.8): quantile outliers,
+trig dead-reckoning, running/tumbling windows, sessionization, KMeans
+phases. These are the reference's analytics service (app.py) and
+dashboard (dashboard.py) capabilities as Catalyst plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geo import dead_reckon
+from ..operators import filters as flt
+from ..operators import ml
+from ..operators import windows as win
+from ..sources.catalog import load_table
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+QUANTILE_OUTLIERS_ORACLE = """
+SELECT event_id, value
+FROM events
+WHERE value >= (SELECT quantile_cont(value, 0.99) FROM events)
+"""
+
+
+@register("quantile_outliers", QUANTILE_OUTLIERS_ORACLE)
+def quantile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/M4/A7 — top-1% outliers (app.py:283-310): exact percentile
+    scalar broadcast back over the fact. At 100 TB the same plan with
+    percentile_approx is one extra config, not a rewrite."""
+    ev = _t(spark, sf_dir, "events")
+    return flt.quantile_threshold(ev, "value", 0.99).select("event_id", "value")
+
+
+P99_VALUE_ORACLE = """
+SELECT round(quantile_cont(value, 0.99), 6) AS p99_value,
+       round(quantile_cont(value, 0.50), 6) AS p50_value
+FROM events
+"""
+
+
+@register("p99_value", P99_VALUE_ORACLE)
+def p99_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — exact interpolated quantiles (app.py:286-287). Spark
+    ``percentile`` == DuckDB ``quantile_cont`` (both linear)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99_value"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50_value"),
+    )
+
+
+DEAD_RECKONING_ORACLE = """
+WITH st AS (
+    SELECT event_id,
+           (event_id % 12000) / 100.0 - 60.0 AS lat,
+           (event_id * 7 % 36000) / 100.0 - 180.0 AS lon,
+           value AS speed_ms,
+           CAST(event_id % 360 AS DOUBLE) AS track
+    FROM events
+)
+SELECT event_id,
+       round(lat + degrees(speed_ms * 300.0 * cos(radians(track)) / 6371000.0), 6) AS pred_lat,
+       round(lon + degrees(speed_ms * 300.0 * sin(radians(track))
+             / (6371000.0 * cos(radians(lat)))), 6) AS pred_lon
+FROM st
+"""
+
+
+@register("dead_reckoning", DEAD_RECKONING_ORACLE)
+def dead_reckoning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14/M6 — trajectory dead-reckoning (app.py:367-402). The
+    reference's per-row ``apply`` becomes pure codegen'd trig columns —
+    zero Python in the hot path."""
+    ev = _t(spark, sf_dir, "events")
+    lat = (F.col("event_id") % 12000) / 100.0 - 60.0
+    lon = (F.col("event_id") * 7 % 36000) / 100.0 - 180.0
+    track = (F.col("event_id") % 360).cast("double")
+    pred_lat, pred_lon = dead_reckon(lat, lon, F.col("value"), track, horizon_s=300.0)
+    return ev.select(
+        "event_id",
+        F.round(pred_lat, 6).alias("pred_lat"),
+        F.round(pred_lon, 6).alias("pred_lon"),
+    )
+
+
+RUNNING_VALUE_ORACLE = """
+SELECT event_id,
+       round(sum(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 2) AS running
+FROM events
+"""
+
+
+@register("running_value", RUNNING_VALUE_ORACLE)
+def running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate per key in event order (window extension,
+    SURVEY §2.10) — one shuffle on the key."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select("event_id", F.round(F.sum("value").over(w), 2).alias("running"))
+
+
+SESSIONIZE_ORACLE = """
+WITH gaps AS (
+    SELECT user_id,
+           CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                     - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+FROM gaps
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("sessionize_events", SESSIONIZE_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min ⇒ new session) — lag + cumulative
+    flag over one key shuffle; the batch twin of streaming
+    session_window."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("ns", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+DAILY_ACTIVITY_ORACLE = """
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
+@register("daily_activity", DAILY_ACTIVITY_ORACLE)
+def daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/A2 — per-day rollup on a formatted event-time key
+    (dashboard.py:73-90)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day")
+    )
+
+
+TUMBLING_HOURLY_ORACLE = """
+SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("tumbling_hourly_counts", TUMBLING_HOURLY_ORACLE)
+def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 — tumbling 1-hour event-time window counts
+    (dashboard.py:229-252) via F.window; identical code runs on a
+    stream with a watermark (streaming/ingest.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@register("kmeans_phases", None)  # not SQL-expressible: rows-only check
+def kmeans_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M3 — flight-phase clustering (app.py:57-95): standardize →
+    KMeans(k=3, seed=42) → label clusters by mean signed rate. Features
+    derive deterministically from the events measures; output is the
+    per-phase profile (A4), small and stable in shape."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").alias("altitude_like"),
+        (F.col("value") * 0.5 + (F.col("user_id") % 7)).alias("velocity_like"),
+        ((F.col("event_id") % 41) - 20.0).alias("vrate_like"),
+    )
+    clustered = ml.kmeans_cluster(
+        ev, ["altitude_like", "velocity_like", "vrate_like"], k=3, seed=42
+    )
+    labeled = ml.label_clusters_by_mean(clustered, "cluster", "vrate_like")
+    return (
+        labeled.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("altitude_like"), 2).alias("avg_altitude_like"),
+        )
+        .orderBy("phase")
+    )

@@ -1,0 +1,694 @@
+"""Relational core queries (SURVEY §2.2-§2.6) — scan / filter / join /
+aggregate / sort / limit, each with a DuckDB oracle.
+
+Every query is the idiomatic Catalyst plan: filters and projections
+push into the parquet scan, dimensions broadcast, aggregates are
+partial+final hash aggregates, every LIMIT sits on a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geo import infer_continent
+from ..operators import aggregations as agg
+from ..operators import filters as flt
+from ..operators import joins as jn
+from ..operators import transforms as tr
+from ..operators import windows as win
+from ..sources.catalog import load_table
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship: "country intelligence" (SURVEY §7 Phase 1, app.py:341-352)
+# --------------------------------------------------------------------------
+
+COUNTRY_INTELLIGENCE_ORACLE = """
+SELECT n_name,
+       count(o_orderkey) AS num_orders,
+       round(avg(o_totalprice), 2) AS avg_totalprice,
+       round(avg(c_acctbal), 2) AS avg_acctbal
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY num_orders DESC, n_name
+LIMIT 10
+"""
+
+
+@register("country_intelligence", COUNTRY_INTELLIGENCE_ORACLE)
+def country_intelligence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+J1+O1 — per-country traffic intelligence (app.py:341-352):
+    fact x two broadcast dims -> named multi-agg -> top-10.
+
+    Scale: nation (25 rows) and customer (1.5% of lineitem volume)
+    broadcast; the orders fact never shuffles before the partial agg.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("o_orderkey").alias("num_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_totalprice"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+        .orderBy(F.desc("num_orders"), F.asc("n_name"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation surface (A1-A10)
+# --------------------------------------------------------------------------
+
+PRICING_SUMMARY_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", PRICING_SUMMARY_ORACLE)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A5-shaped pricing summary (TPC-H Q1 pattern; the reference's
+    KPI block app.py:234-239 generalized). One partial+final hash agg
+    over a pushed-down date filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+TOP_EVENT_TYPES_ORACLE = """
+SELECT event_type, count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY n DESC, event_type
+LIMIT 3
+"""
+
+
+@register("top_event_types", TOP_EVENT_TYPES_ORACLE)
+def top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — value_counts top-k (dashboard.py:173-183), deterministic
+    under ties via key tiebreak."""
+    return agg.top_k_counts(_t(spark, sf_dir, "events"), "event_type", k=3)
+
+
+HOURLY_EVENT_COUNTS_ORACLE = """
+SELECT event_type, hour(ts) AS hr, count(*) AS n
+FROM events
+GROUP BY event_type, hour(ts)
+"""
+
+
+@register("hourly_event_counts", HOURLY_EVENT_COUNTS_ORACLE)
+def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+P6/P7 — multi-key count over a derived hour column
+    (dashboard.py:90,229-233)."""
+    ev = _t(spark, sf_dir, "events").withColumn("hr", tr.extract_hour("ts"))
+    return agg.multi_key_counts(ev, ["event_type", "hr"])
+
+
+GLOBAL_KPIS_ORACLE = """
+SELECT count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT event_type) AS n_types,
+       round(max(value), 2) AS max_value,
+       round(min(value), 2) AS min_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+FROM events
+"""
+
+
+@register("global_kpis", GLOBAL_KPIS_ORACLE)
+def global_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6/A9 — the KPI banner row (app.py:234-239,121-137): global
+    count / distinct / extrema / time extent in one partial+final agg."""
+    ev = _t(spark, sf_dir, "events")
+    return agg.kpis(
+        ev,
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+    )
+
+
+MODE_EVENT_TYPE_ORACLE = """
+SELECT event_type
+FROM events
+GROUP BY event_type
+ORDER BY count(*) DESC, event_type
+LIMIT 1
+"""
+
+
+@register("mode_event_type", MODE_EVENT_TYPE_ORACLE)
+def mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — most frequent value with pinned tie-break (app.py:499-511)."""
+    return agg.mode_of(_t(spark, sf_dir, "events"), "event_type")
+
+
+EVENT_TYPE_DOMAIN_ORACLE = "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+
+
+@register("event_type_domain", EVENT_TYPE_DOMAIN_ORACLE)
+def event_type_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — sorted distinct domain (app.py:151)."""
+    return agg.distinct_values(_t(spark, sf_dir, "events"), "event_type")
+
+
+# --------------------------------------------------------------------------
+# Joins (J1-J3 + semi/anti extensions)
+# --------------------------------------------------------------------------
+
+BRAND_REVENUE_ORACLE = """
+SELECT p_brand,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY revenue DESC, p_brand
+LIMIT 10
+"""
+
+
+@register("brand_revenue", BRAND_REVENUE_ORACLE)
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — fact x broadcast dimension enrichment join
+    (process_silver.py:111) feeding a grouped revenue rollup. The
+    100 TB fact side never shuffles for the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+    enriched = jn.enrich(li, part.select("l_partkey", "p_brand"), "l_partkey")
+    return (
+        enriched.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_brand"))
+        .limit(10)
+    )
+
+
+FIRST_MATCH_ENRICHMENT_ORACLE = """
+WITH dim AS (
+    SELECT s_nationkey, s_name,
+           row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS rn
+    FROM supplier
+)
+SELECT s_name, count(*) AS n_customers
+FROM customer
+JOIN dim ON c_nationkey = s_nationkey AND rn = 1
+GROUP BY s_name
+ORDER BY n_customers DESC, s_name
+"""
+
+
+@register("first_match_enrichment", FIRST_MATCH_ENRICHMENT_ORACLE)
+def first_match_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — duplicate-key dimension, first match wins
+    (consumer.py:88-98 ``iloc[0]``). The dimension is reduced to one
+    deterministic row per key (min surrogate) before the broadcast
+    join, so fact rows never fan out."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    dim = (
+        win.first_per_key(
+            supp.select("s_nationkey", "s_suppkey", "s_name"),
+            "s_nationkey",
+            "s_suppkey",
+        )
+        .drop("s_suppkey")
+        .withColumnRenamed("s_nationkey", "c_nationkey")
+    )
+    return (
+        jn.enrich(cust, dim, "c_nationkey", how="inner")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.asc("s_name"))
+    )
+
+
+UNION_SEGMENTS_ORACLE = """
+WITH unioned AS (
+    SELECT event_type, value FROM events WHERE user_id % 2 = 0
+    UNION ALL
+    SELECT event_type, value FROM events WHERE user_id % 2 = 1
+)
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM unioned
+GROUP BY event_type
+"""
+
+
+@register("union_segments", UNION_SEGMENTS_ORACLE)
+def union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — pd.concat over file batches (dashboard.py:65) as a by-name
+    union; the two branches share one scan via Catalyst."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "user_id")
+    halves = [
+        ev.where(F.col("user_id") % 2 == 0),
+        ev.where(F.col("user_id") % 2 == 1),
+    ]
+    return (
+        jn.union_all([h.drop("user_id") for h in halves])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("customers_without_orders", CUSTOMERS_WITHOUT_ORDERS_ORACLE)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (SURVEY §2.4 free extension) — NOT EXISTS as a
+    broadcast anti join, grouped."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        jn.anti(cust, orders, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+SUPPLIERS_WITH_SHIPMENTS_ORACLE = """
+SELECT n_name, count(*) AS n_suppliers
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("suppliers_with_shipments", SUPPLIERS_WITH_SHIPMENTS_ORACLE)
+def suppliers_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS) + broadcast dim join, grouped."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("s_suppkey"))
+    return (
+        jn.enrich(jn.semi(supp, li, "s_suppkey"), nation, "s_nationkey", how="inner")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Filters / predicates (F1-F8)
+# --------------------------------------------------------------------------
+
+MEMBERSHIP_RANGE_FILTER_ORACLE = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+WHERE event_type IN ('click', 'view', 'purchase')
+  AND value BETWEEN 10 AND 250
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("membership_range_filter", MEMBERSHIP_RANGE_FILTER_ORACLE)
+def membership_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F3 — isin + between, composed and pushed into the scan
+    (app.py:215-222)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(
+            flt.membership("event_type", ["click", "view", "purchase"])
+            & flt.in_range("value", 10, 250)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SUSPICIOUS_EVENTS_ORACLE = """
+SELECT event_type, count(*) AS n_suspicious
+FROM events
+WHERE event_type <> 'signup'
+  AND (value < 5 OR value > 300 OR regexp_extract(props, '"k": ([0-9]+)', 1) = '0')
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("suspicious_events", SUSPICIOUS_EVENTS_ORACLE)
+def suspicious_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4+F6 — compound OR anomaly predicate (app.py:317-325), with a
+    string-extraction guard standing in for the null-coordinate check."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", '"k": ([0-9]+)', 1)
+    pred = (F.col("event_type") != "signup") & (
+        (F.col("value") < 5) | (F.col("value") > 300) | (k == "0")
+    )
+    return (
+        ev.where(pred)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_suspicious"))
+        .orderBy("event_type")
+    )
+
+
+NULL_FILL_DROP_ORACLE = """
+WITH masked AS (
+    SELECT event_type,
+           CASE WHEN value > 300 THEN NULL ELSE value END AS v
+    FROM events
+)
+SELECT event_type,
+       count(v) AS n_present,
+       count(*) - count(v) AS n_missing,
+       round(sum(coalesce(v, 0.0)), 2) AS filled_sum
+FROM masked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("null_fill_drop", NULL_FILL_DROP_ORACLE)
+def null_fill_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5/F6 — fillna/dropna semantics (process_silver.py:247-248,
+    dashboard.py:68) over a synthesized null column (the lake tables
+    are null-free, so nulls are masked in)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("value") > 300, F.lit(None)).otherwise(F.col("value"))
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("v").alias("n_present"),
+            (F.count(F.lit(1)) - F.count("v")).alias("n_missing"),
+            F.round(F.sum(F.coalesce(F.col("v"), F.lit(0.0))), 2).alias("filled_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_PROPS_EXTRACT_ORACLE = """
+SELECT event_type,
+       round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)), 2) AS avg_k,
+       max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("json_props_extract", JSON_PROPS_EXTRACT_ORACLE)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the raw JSON payload column —
+    the bronze-zone parse (consumer.py:57) as a column expression."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", '"k": ([0-9]+)', 1).cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 2).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar transforms (P9-P13)
+# --------------------------------------------------------------------------
+
+VALUE_BANDS_ORACLE = """
+SELECT CASE
+         WHEN value > 0 AND value <= 50 THEN 'low'
+         WHEN value > 50 AND value <= 150 THEN 'mid'
+         WHEN value > 150 AND value <= 250 THEN 'high'
+         WHEN value > 250 AND value <= 1000 THEN 'extreme'
+       END AS band,
+       count(*) AS n
+FROM events
+GROUP BY 1
+ORDER BY band NULLS FIRST
+"""
+
+
+@register("value_bands", VALUE_BANDS_ORACLE)
+def value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 — pd.cut numeric binning (app.py:246-250) as a when-chain."""
+    ev = _t(spark, sf_dir, "events")
+    band = tr.bucketize("value", [0, 50, 150, 250, 1000], ["low", "mid", "high", "extreme"])
+    return (
+        ev.withColumn("band", band)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.asc_nulls_first("band"))
+    )
+
+
+MARKER_SIZES_ORACLE = """
+SELECT event_type,
+       round(avg(least(greatest(value / 1000.0 + 5.0, 5.0), 20.0)), 4) AS avg_marker
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("marker_sizes", MARKER_SIZES_ORACLE)
+def marker_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11/P12/P13 — clip + arithmetic derive (app.py:244-245,451-455)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("m", tr.marker_size("value"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("m"), 4).alias("avg_marker"))
+        .orderBy("event_type")
+    )
+
+
+CONTINENT_CLASSIFICATION_ORACLE = """
+WITH coords AS (
+    SELECT (event_id % 12000) / 100.0 - 60.0 AS lat,
+           (event_id * 7 % 36000) / 100.0 - 180.0 AS lon
+    FROM events
+)
+SELECT CASE
+         WHEN lat IS NULL OR lon IS NULL THEN 'Unknown'
+         WHEN lat > 35 AND lat < 72 AND lon > -25 AND lon < 65 THEN 'Europe'
+         WHEN lat > 5 AND lat < 55 AND lon > 65 AND lon < 180 THEN 'Asia'
+         WHEN lat > -35 AND lat < 37 AND lon > -20 AND lon < 52 THEN 'Africa'
+         WHEN lat > 15 AND lat < 72 AND lon > -170 AND lon < -50 THEN 'North America'
+         WHEN lat > -57 AND lat < 13 AND lon > -82 AND lon < -34 THEN 'South America'
+         WHEN lat > -50 AND lat < -10 AND lon > 110 AND lon < 180 THEN 'Oceania'
+         ELSE 'Other'
+       END AS continent,
+       count(*) AS n
+FROM coords
+GROUP BY 1
+ORDER BY continent
+"""
+
+
+@register("continent_classification", CONTINENT_CLASSIFICATION_ORACLE)
+def continent_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — the 7-branch lat/lon→continent rule chain
+    (dashboard.py:94-114) as one codegen'd when-tree; coordinates are
+    derived deterministically from the surrogate key since the lake
+    tables carry no geo columns."""
+    ev = _t(spark, sf_dir, "events")
+    lat = (F.col("event_id") % 12000) / 100.0 - 60.0
+    lon = (F.col("event_id") * 7 % 36000) / 100.0 - 180.0
+    return (
+        ev.withColumn("continent", infer_continent(lat, lon))
+        .groupBy("continent")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("continent")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions / sorts / pivot / rollup
+# --------------------------------------------------------------------------
+
+LATEST_EVENT_PER_USER_ORACLE = """
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("latest_event_per_user", LATEST_EVENT_PER_USER_ORACLE)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 (batch) — latest-wins dedup per key (producer.py:89-96):
+    one shuffle on the key, row_number prune."""
+    ev = _t(spark, sf_dir, "events")
+    return win.latest_per_key(ev, "user_id", "ts", tiebreak="event_id").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+TOPK_ORDERS_PER_SEGMENT_ORACLE = """
+SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM (
+    SELECT c_mktsegment, o_orderkey, o_totalprice,
+           row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey
+           ) AS rn
+    FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rn <= 3
+"""
+
+
+@register("topk_orders_per_segment", TOPK_ORDERS_PER_SEGMENT_ORACLE)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (O1 generalized) — broadcast dim join then a
+    single window shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return win.topk_per_group(
+        joined, ["c_mktsegment"], "o_totalprice", k=3, tiebreak="o_orderkey"
+    ).select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+ORDER_PRIORITY_PIVOT_ORACLE = """
+SELECT o_orderstatus,
+       count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p_urgent,
+       count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p_high,
+       count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p_medium,
+       count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p_notspec,
+       count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p_low
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("order_priority_pivot", ORDER_PRIORITY_PIVOT_ORACLE)
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (SURVEY §2.5 free extension) — explicit value list so no
+    discovery pass; missing cells coalesce to 0 to match COUNT."""
+    orders = _t(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    renames = {
+        "1-URGENT": "p_urgent",
+        "2-HIGH": "p_high",
+        "3-MEDIUM": "p_medium",
+        "4-NOT SPECIFIED": "p_notspec",
+        "5-LOW": "p_low",
+    }
+    cols = [F.col("o_orderstatus")] + [
+        F.coalesce(F.col(f"`{src}`"), F.lit(0)).alias(dst) for src, dst in renames.items()
+    ]
+    return pivoted.select(*cols).orderBy("o_orderstatus")
+
+
+LINEITEM_ROLLUP_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+@register("lineitem_rollup", LINEITEM_ROLLUP_ORACLE)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (SURVEY §2.5 free extension) — one
+    expand+aggregate, no extra scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )

@@ -1,0 +1,66 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference runs five single-threaded pandas processes; here one
+SparkSession hosts the whole engine. Local-mode settings below mirror
+what the cluster profile would pin per-executor:
+
+- AQE on (runtime partition coalescing + skew-join splitting) so the
+  same plans survive 100x data growth without re-tuning.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE coalesces from a higher initial number.
+- Session timezone pinned to UTC: the reference compares epoch-seconds
+  timestamps (services/analytics/app.py:118-137) and the DuckDB oracle
+  is UTC-naive — everything here is wall-clock UTC.
+- Arrow enabled for the few Pandas-UDF paths (multimodal decode).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "big_data_data_lake_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all local cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The lake's event stream lands with nanosecond timestamps
+        # (parquet TIMESTAMP(NANOS)), which vanilla Spark rejects. Read
+        # them as raw nanos; the catalog re-types to microsecond
+        # timestamps (sources/catalog.py) — same truncation DuckDB does.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The reference's enrichment dimension is ~100 MB
+        # (docker-compose.yml:182) — above Spark's 10 MB default, so raise
+        # the auto-broadcast threshold; explicit broadcast() hints are still
+        # used on every known-small dimension.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
