@@ -1,0 +1,189 @@
+"""Near-duplicate detection for LLM training data (SURVEY §7 Phase 4):
+exact, n-gram Jaccard, MinHash+LSH banding, SimHash.
+
+All hash functions are *portable integer arithmetic* (polynomial char
+hash, affine universal hashes mod a Mersenne prime) rather than
+engine-builtin murmur/xxhash: the identical computation is expressible
+in any ANSI engine, which is what lets every operator here carry an
+exact DuckDB oracle. At production scale swap `_token_hash` for
+``xxhash64`` (one line) — the plan shapes don't change.
+
+Scale shapes:
+- exact/fingerprint dedup: one hash shuffle on an 8-byte key.
+- MinHash LSH: signatures are row-local (no shuffle); candidate
+  generation is a self-equi-join on (band, key) — the classic
+  band-bucket shuffle whose fan-out is controlled by band width, not
+  corpus size. No O(n²) anywhere.
+- SimHash: row-local 64→32-bit sketch; pair generation joins on
+  sketch prefix buckets at scale (here, small-corpus cross candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+# Deterministic affine-hash constants, shared verbatim by the Spark
+# expressions and the generated oracle SQL. LCG-derived, pinned.
+N_MINHASH = 32
+
+
+def _lcg(seed: int) -> int:
+    return (1_103_515_245 * seed + 12_345) % MERSENNE_P
+
+
+MINHASH_A = [(_lcg(k + 1) | 1) % MERSENNE_P for k in range(N_MINHASH)]
+MINHASH_B = [_lcg(k + 101) for k in range(N_MINHASH)]
+
+# LSH banding: 16 bands x 2 rows — candidate probability at Jaccard
+# j is 1-(1-j^2)^16 (≈0.99 at j=0.5, ≈0.07 at j=0.07), matched to the
+# planted near-dup band in the corpus.
+N_BANDS = 16
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+N_SIMHASH_BITS = 32
+
+
+def shingles(text: Column | str, n: int = 2) -> Column:
+    """Distinct word n-gram shingles of a document."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    if n == 1:
+        return F.array_distinct(toks)
+    # element_at is 1-based; sequence(1, size-n+1) indexes each shingle start
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def shingles_sql(n: int = 2, text: str = "text") -> str:
+    """DuckDB expression computing the same distinct shingles."""
+    if n == 1:
+        return f"list_distinct(string_split({text}, ' '))"
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, len(t) - {n - 1}), i -> {parts}))"
+    )
+
+
+def _poly_hash(token: Column) -> Column:
+    """Polynomial char hash mod 2^31-1 (portable token hash)."""
+    return F.aggregate(
+        F.transform(F.split(token, ""), lambda ch: F.ascii(ch)),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x.cast("long")) % F.lit(MERSENNE_P),
+    )
+
+
+POLY_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({tok}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(acc, x) -> (acc * 31 + x) % {MERSENNE_P})"
+)
+
+
+def token_hashes(shingle_arr: Column) -> Column:
+    """Hash every shingle to an int in [0, 2^31-1)."""
+    return F.transform(shingle_arr, _poly_hash)
+
+
+def _affine(a: int, b: int):
+    def apply(h: Column) -> Column:
+        return (F.lit(a).cast("long") * h + F.lit(b)) % F.lit(MERSENNE_P)
+
+    return apply
+
+
+def minhash_signature(hash_arr: Column) -> list[Column]:
+    """N_MINHASH permutation-min values: min over tokens of
+    (a_k * h + b_k) mod p. Row-local — no shuffle."""
+    return [
+        F.array_min(F.transform(hash_arr, _affine(a, b))).alias(f"s{k}")
+        for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
+def minhash_bands(sig_prefix: str = "s") -> Column:
+    """Array of (band_index, band_key) structs for LSH banding."""
+    bands = []
+    for b in range(N_BANDS):
+        cols = [
+            F.col(f"{sig_prefix}{b * ROWS_PER_BAND + r}").cast("string")
+            for r in range(ROWS_PER_BAND)
+        ]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("bkey"))
+        )
+    return F.array(*bands)
+
+
+def _bit_vote(j: int):
+    def apply(acc: Column, h: Column) -> Column:
+        return acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    return apply
+
+
+def simhash(hash_arr: Column, bits: int = N_SIMHASH_BITS) -> Column:
+    """SimHash sketch: bit j set iff the sum over tokens of
+    (2*bit_j(h)-1) is non-negative. Row-local."""
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        bit_sum = F.aggregate(hash_arr, F.lit(0).cast("long"), _bit_vote(j))
+        out = out + F.when(bit_sum >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# Generated oracle SQL fragments (same constants, same arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def minhash_sig_sql_columns() -> str:
+    """SELECT-list fragment computing s0..s{K-1} from a hash list `hs`."""
+    cols = []
+    for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)):
+        cols.append(
+            f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE_P})) AS s{k}"
+        )
+    return ",\n           ".join(cols)
+
+
+def minhash_bands_sql(doc_col: str = "doc_id") -> str:
+    """UNION ALL band projection from a `sig` CTE."""
+    selects = []
+    for b in range(N_BANDS):
+        keys = " || '_' || ".join(
+            f"CAST(s{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        selects.append(f"SELECT {doc_col}, {b} AS band, {keys} AS bkey FROM sig")
+    return "\n    UNION ALL ".join(selects)
+
+
+def minhash_est_sim_sql(left: str = "x", right: str = "y") -> str:
+    terms = " + ".join(
+        f"CASE WHEN {left}.s{k} = {right}.s{k} THEN 1 ELSE 0 END" for k in range(N_MINHASH)
+    )
+    return f"({terms}) / {float(N_MINHASH)}"
+
+
+def simhash_sql(bits: int = N_SIMHASH_BITS) -> str:
+    """Expression computing the simhash from a hash list `hs`."""
+    terms = []
+    for j in range(bits):
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1)) >= 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"

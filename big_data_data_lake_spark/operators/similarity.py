@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns (SURVEY §7 Phase 4).
+
+Cosine math is built from ``zip_with`` + a left-fold ``aggregate`` so
+the double-precision operation sequence is deterministic and
+reproducible in any engine (the DuckDB oracles fold in the identical
+order). No UDFs: the dot products are codegen'd JVM expressions.
+
+Scale shapes:
+- Brute-force top-k: queries (small) are broadcast against the corpus;
+  the corpus never shuffles, k-selection happens per-partition before
+  the final top-k merge (window over candidate subsets).
+- LSH-bucketed ANN: random-hyperplane sign buckets computed row-local;
+  candidate generation is an equi-join on bucket id — the scale path
+  that replaces the O(n·q) scan with O(n·q / 2^bits) expected work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ANN_N_PLANES = 8
+
+
+def to_double(vec: Column | str) -> Column:
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product — deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column, norm_a: Column | None = None, norm_b: Column | None = None) -> Column:
+    na = norm(a) if norm_a is None else norm_a
+    nb = norm(b) if norm_b is None else norm_b
+    return dot(a, b) / (na * nb)
+
+
+DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), (acc, v) -> acc + v)"
+)
+NORM_SQL = "sqrt(" + DOT_SQL.format(a="{a}", b="{a}") + ")"
+
+
+def hyperplane_signature(vec: Column, n_planes: int = ANN_N_PLANES) -> Column:
+    """Random-hyperplane LSH bucket id: bit j = sign of <w_j, x> with
+    deterministic pseudo-random plane weights
+    w[j][i] = ((j*1103515245 + i*12345) mod 2001 - 1000) / 1000.
+
+    Row-local (no shuffle); vectors with the same sign pattern land in
+    the same bucket. Cosine-similar vectors collide with probability
+    (1 - θ/π)^bits.
+    """
+    def weigh(j: int):
+        def apply(x: Column, i: Column) -> Column:
+            w = ((F.lit(j * 1_103_515_245) + i.cast("long") * 12_345) % 2001 - 1000).cast(
+                "double"
+            ) / 1000.0
+            return x * w
+
+        return apply
+
+    sig = F.lit(0)
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), weigh(j)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "qid",
+    corpus_id: str = "nid",
+    query_vec: str = "qvec",
+    corpus_vec: str = "nvec",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query: broadcast the (small)
+    query set over the corpus, one window shuffle on qid for the
+    k-selection. Deterministic tie-break on neighbor id."""
+    from pyspark.sql import Window
+
+    q = queries.withColumn("__qn", norm(F.col(query_vec)))
+    c = corpus.withColumn("__cn", norm(F.col(corpus_vec)))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id,
+        corpus_id,
+        cosine(
+            F.col(query_vec), F.col(corpus_vec), F.col("__qn"), F.col("__cn")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.round(F.col("cos_sim"), 6).desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -10,6 +10,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
 from ..operators import text as tx
 from ..operators import windows as win
 from ..sources.catalog import load_table
@@ -189,3 +192,315 @@ def top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.topk_per_group(counts, ["lang"], "n", k=5, tiebreak="token").select(
         "lang", "token", "n"
     )
+
+
+# --------------------------------------------------------------------------
+# Near-duplicate detection (n-gram Jaccard / MinHash LSH / SimHash)
+# --------------------------------------------------------------------------
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, {dd.shingles_sql(2)} AS s FROM tok),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+common AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT d1, d2,
+       round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
+FROM common
+JOIN sizes sa ON d1 = sa.doc_id
+JOIN sizes sb ON d2 = sb.doc_id
+WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.3
+"""
+
+
+@register("ngram_jaccard_pairs", NGRAM_JACCARD_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-shingle Jaccard near-dup pairs via an inverted
+    index: explode shingles -> self-equi-join on shingle -> common
+    counts -> |A∩B|/|A∪B| >= 0.3. No O(n²): only docs sharing a
+    shingle ever meet (at 100 TB, cap document frequency per shingle
+    to bound hot-key fan-out)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", dd.shingles("text", 2).alias("s"))
+    sizes = sh.select("doc_id", F.size("s").alias("sz"))
+    ex = sh.select("doc_id", F.explode("s").alias("g"))
+    common = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    jac = F.col("c").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("c"))
+    return (
+        common.join(F.broadcast(sa), "d1")
+        .join(F.broadcast(sb), "d2")
+        .where(jac >= 0.3)
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+MINHASH_LSH_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, {dd.shingles_sql(2)} AS s FROM tok),
+hsh AS (SELECT doc_id, list_transform(s, g -> {dd.POLY_HASH_SQL.format(tok="g")}) AS hs FROM sh),
+sig AS (SELECT doc_id,
+           {dd.minhash_sig_sql_columns()}
+        FROM hsh),
+bands AS (
+    {dd.minhash_bands_sql()}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, round({dd.minhash_est_sim_sql("x", "y")}, 4) AS est_sim
+FROM cand
+JOIN sig x ON cand.d1 = x.doc_id
+JOIN sig y ON cand.d2 = y.doc_id
+WHERE {dd.minhash_est_sim_sql("x", "y")} >= 0.5
+"""
+
+
+@register("minhash_lsh_pairs", MINHASH_LSH_ORACLE)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 32 portable affine min-hashes
+    over bigram shingles (row-local), 16x2 LSH banding, band-bucket
+    self-join for candidates, signature-agreement filter >= 0.5.
+
+    The scale shape: signatures never shuffle; the only shuffle is the
+    equi-join on (band, bkey) whose fan-out is governed by band width.
+    Constants are shared verbatim with the oracle SQL (dedup.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    hs = docs.select(
+        "doc_id", dd.token_hashes(dd.shingles("text", 2)).alias("hs")
+    )
+    sig = hs.select("doc_id", *dd.minhash_signature(F.col("hs")))
+    bands = sig.select("doc_id", F.explode(dd.minhash_bands()).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sx = sig.select(
+        F.col("doc_id").alias("d1"), *[F.col(f"s{k}").alias(f"x{k}") for k in range(dd.N_MINHASH)]
+    )
+    sy = sig.select(
+        F.col("doc_id").alias("d2"), *[F.col(f"s{k}").alias(f"y{k}") for k in range(dd.N_MINHASH)]
+    )
+    est = sum(
+        (F.col(f"x{k}") == F.col(f"y{k}")).cast("int") for k in range(dd.N_MINHASH)
+    ) / float(dd.N_MINHASH)
+    return (
+        cand.join(sx, "d1")
+        .join(sy, "d2")
+        .where(est >= 0.5)
+        .select("d1", "d2", F.round(est, 4).alias("est_sim"))
+    )
+
+
+SIMHASH_SIGNATURES_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, {dd.shingles_sql(2)} AS s FROM tok),
+hsh AS (SELECT doc_id, list_transform(s, g -> {dd.POLY_HASH_SQL.format(tok="g")}) AS hs FROM sh)
+SELECT doc_id, {dd.simhash_sql()} AS sh32
+FROM hsh
+"""
+
+
+@register("simhash_signatures", SIMHASH_SIGNATURES_ORACLE)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash content sketches (32-bit) over bigram shingles —
+    row-local bit-majority of portable token hashes; the dedup key a
+    crawler stores per document."""
+    docs = _t(spark, sf_dir, "documents")
+    hs = docs.select("doc_id", dd.token_hashes(dd.shingles("text", 2)).alias("hs"))
+    return hs.select("doc_id", dd.simhash(F.col("hs")).alias("sh32"))
+
+
+SIMHASH_NEAR_DUPS_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, {dd.shingles_sql(2)} AS s FROM tok),
+hsh AS (SELECT doc_id, list_transform(s, g -> {dd.POLY_HASH_SQL.format(tok="g")}) AS hs FROM sh),
+sig AS (SELECT doc_id, {dd.simhash_sql()} AS h FROM hsh)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 6
+"""
+
+
+@register("simhash_near_dups", SIMHASH_NEAR_DUPS_ORACLE)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance <= 6 on the 32-bit
+    sketches. Small-corpus all-pairs here; at scale, band the sketch
+    into 4 chunks and equi-join on any-chunk-equal first (pigeonhole:
+    hamming<=6 pairs share a chunk within distance budget)."""
+    docs = _t(spark, sf_dir, "documents")
+    hs = docs.select("doc_id", dd.token_hashes(dd.shingles("text", 2)).alias("hs"))
+    sig = hs.select("doc_id", dd.simhash(F.col("hs")).alias("h"))
+    a = sig.select(F.col("doc_id").alias("d1"), F.col("h").alias("h1"))
+    b = sig.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2"))
+    ham = dd.hamming64(F.col("h1"), F.col("h2"))
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .where(ham <= 6)
+        .select("d1", "d2", ham.cast("int").alias("hamming"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity search
+# --------------------------------------------------------------------------
+
+_E_NORM = sim.NORM_SQL.format(a="v")
+
+EMBEDDING_TOPK_PAIRS_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+en AS (SELECT vec_id, v, {_E_NORM} AS n FROM e),
+pairs AS (
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           {sim.DOT_SQL.format(a="a.v", b="b.v")} / (a.n * b.n) AS c
+    FROM en a JOIN en b ON a.vec_id < b.vec_id
+)
+SELECT id1, id2, round(c, 6) AS cos_sim
+FROM pairs
+ORDER BY round(c, 6) DESC, id1, id2
+LIMIT 20
+"""
+
+
+@register("embedding_topk_pairs", EMBEDDING_TOPK_PAIRS_ORACLE)
+def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup scan: exact top-20 most-similar pairs
+    (left-fold dot products, deterministic double math). The corpus
+    here is small; the scale path is ann_lsh_topk's bucketed variant."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", sim.to_double("embedding").alias("v"))
+    en = e.withColumn("n", sim.norm(F.col("v")))
+    a = en.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"), F.col("n").alias("n1"))
+    b = en.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"), F.col("n").alias("n2"))
+    c = sim.cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", c.alias("c"))
+        .orderBy(F.round(F.col("c"), 6).desc(), "id1", "id2")
+        .limit(20)
+        .select("id1", "id2", F.round("c", 6).alias("cos_sim"))
+    )
+
+
+ANN_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+en AS (SELECT vec_id, v, {_E_NORM} AS n FROM e),
+scored AS (
+    SELECT q.vec_id AS qid, c.vec_id AS nid,
+           {sim.DOT_SQL.format(a="q.v", b="c.v")} / (q.n * c.n) AS cs
+    FROM en q JOIN en c ON q.vec_id < 5 AND c.vec_id >= 5
+)
+SELECT qid, nid, cos_sim
+FROM (
+    SELECT qid, nid, round(cs, 6) AS cos_sim,
+           row_number() OVER (PARTITION BY qid ORDER BY round(cs, 6) DESC, nid) AS rn
+    FROM scored
+)
+WHERE rn <= 10
+"""
+
+
+@register("ann_cosine_topk", ANN_TOPK_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for each query vector (vec_id<5)
+    against the corpus (vec_id>=5): the brute-force baseline every ANN
+    variant is measured against. Queries broadcast; corpus never
+    shuffles; one window shuffle on qid for k-selection."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", sim.to_double("embedding").alias("v"))
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qvec")
+    )
+    c = e.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("nid"), F.col("v").alias("nvec")
+    )
+    return sim.brute_force_topk(q, c, k=10)
+
+
+@register("ann_lsh_topk", None)  # approximate: rows-only; recall tested in pytest
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (the 100 TB scale
+    path): random-hyperplane sign buckets (row-local), candidates only
+    within the query's bucket, exact re-rank inside. Recall vs the
+    brute-force baseline is asserted in tests/test_llm_ops.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n_planes = 4
+    e = emb.select("vec_id", sim.to_double("embedding").alias("v")).withColumn(
+        "bucket", sim.hyperplane_signature(F.col("v"), n_planes=n_planes)
+    )
+    # Multi-probe: each query also probes the buckets one sign-flip
+    # away (hamming<=1), trading 1+n_planes lookups for recall — the
+    # standard knob; still an equi-join, never a cross join.
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    )
+    q = (
+        e.where(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qvec"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    c = e.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("nid"), F.col("v").alias("nvec"), F.col("bucket")
+    )
+    from pyspark.sql import Window
+
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "qid",
+        "nid",
+        sim.cosine(F.col("qvec"), F.col("nvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.round("cos_sim", 6).desc(), F.col("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("qid", "nid", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns
+# --------------------------------------------------------------------------
+
+MULTIMODAL_FEATURES_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS blob_len,
+       CAST(ascii(text[1]) AS INT) AS first_byte,
+       CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 256 AS INT) AS checksum
+FROM documents
+"""
+
+
+@register("multimodal_features", MULTIMODAL_FEATURES_ORACLE)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary feature extraction via Arrow-batched mapInPandas
+    (operators/multimodal.py): the real plumbing (binary column,
+    batch iterator, typed output schema) with a deterministic
+    byte-level stand-in for the codec. The oracle recomputes the same
+    bytes from the source text (ASCII corpus => UTF-8 bytes == chars)."""
+    docs = _t(spark, sf_dir, "documents")
+    return mm.extract_features(mm.attach_blob(docs), "doc_id", "blob")
