@@ -1,0 +1,189 @@
+"""Structured Streaming ingest — the reference's producer/consumer/
+silver services (SURVEY §2.7, §3 E1/E2) as a handful of composable
+streaming stages:
+
+    kafka_source → parse_state_vectors → latest_wins_dedup
+        → bronze_to_silver (stream-static broadcast join)
+        → micro_batch_writer (60 s trigger, checkpointed)
+
+The reference's hand-rolled loops become engine guarantees: its
+at-least-once buffer/flush (consumer.py:102-139) and text-file
+high-water-mark (process_silver.py:14-26) are replaced by checkpointed
+exactly-once; its wall-clock dedup TTL (producer.py:26,84-86) becomes
+an event-time TTL, deterministic under replay.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import STATE_VECTOR_SCHEMA
+
+DEDUP_TTL_S = 600  # producer.py:26
+FLUSH_TRIGGER_S = 60  # consumer.py:22
+
+
+def kafka_source(
+    spark: SparkSession,
+    servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S3 — Kafka source (consumer.py:52-58): earliest reset and group
+    semantics come from the checkpoint, upgraded to exactly-once (T6).
+
+    Requires the spark-sql-kafka package on the classpath; this
+    container doesn't ship it, so construction is lazy and the rest of
+    the pipeline is tested against file/memory sources instead.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def parse_state_vectors(raw: DataFrame, payload_col: str = "value") -> DataFrame:
+    """P1+F8 — raw JSON array payload → typed named columns
+    (consumer.py:66-100,161-173).
+
+    The wire format is the positional 17-18 element array; rows
+    shorter than 17 are dropped (F8), optional tail fields null out,
+    and every field is cast to the canonical schema (schemas.py) —
+    ending the reference's per-zone schema drift.
+    """
+    arr = F.from_json(F.col(payload_col).cast("string"), "array<string>")
+    parsed = raw.withColumn("__sv", arr).where(F.size("__sv") >= 17)
+    cols = []
+    for i, field in enumerate(STATE_VECTOR_SCHEMA.fields):
+        if isinstance(field.dataType, T.ArrayType):
+            # sensors: unused positional slot (SURVEY §1.2 drift) — null
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        else:
+            # F.get (not getItem): null past the array end, which is the
+            # reference's `s[i] if len(s) > i else None` — and the only
+            # OOB-tolerant accessor under ANSI mode.
+            cols.append(F.get("__sv", i).cast(field.dataType).alias(field.name))
+    out = parsed.select(*cols)
+    return out.withColumn("icao24", F.lower(F.trim("icao24"))).withColumn(
+        "callsign", F.trim("callsign")
+    )
+
+
+def latest_wins_dedup(
+    stream: DataFrame,
+    key: str = "icao24",
+    ts_col: str = "last_contact",
+    ttl_s: int = DEDUP_TTL_S,
+) -> DataFrame:
+    """T3/T4/F9 — stateful latest-wins dedup with TTL, the producer's
+    exact semantics (producer.py:84-96): emit a record iff its ts is
+    newer than the keyed state; evict state idle for ``ttl_s``.
+
+    ``dropDuplicatesWithinWatermark`` keeps the *first* row seen —
+    the reference keeps the *newest* (SURVEY §7 risk 1) — so this is
+    an ``applyInPandasWithState`` operator with a long-typed state.
+    State is partitioned by key across executors; no global state.
+    """
+    out_schema = stream.schema
+    state_schema = T.StructType([T.StructField("last_ts", T.LongType())])
+
+    field_names = [f.name for f in out_schema.fields]
+
+    def dedup_fn(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (last_ts,) = state.get if state.exists else (None,)
+        # Arrival order, NOT ts order: the producer emits iff the
+        # incoming record is newer than the keyed state at the moment
+        # it arrives (producer.py:89-96) — a stale record arriving
+        # after a newer one is dropped even within one batch.
+        batch = pd.concat(list(pdfs))
+        emitted = []
+        for _, row in batch.iterrows():
+            ts = int(row[ts_col])
+            if last_ts is None or ts > last_ts:
+                emitted.append(row)
+                last_ts = ts
+        if last_ts is not None:
+            state.update((last_ts,))
+            # TTL eviction (producer.py:26,84-86): idle keys expire so
+            # a long-quiet aircraft re-emits on return.
+            state.setTimeoutDuration(ttl_s * 1000)
+        if emitted:
+            yield pd.DataFrame(emitted)[field_names]
+
+    return stream.groupBy(key).applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )
+
+
+def bronze_to_silver(bronze: DataFrame, metadata: DataFrame) -> DataFrame:
+    """E2/J1 — continuous silver enrichment: stream-static broadcast
+    left join against the (deduped) dimension with 'Unknown' fill
+    (process_silver.py:107-120,247-248). The stream side never
+    shuffles; each micro-batch joins against the broadcast dim."""
+    meta_cols = [c for c in metadata.columns if c != "icao24"]
+    dim = (
+        metadata.withColumn("icao24", F.lower(F.trim("icao24")))
+        .dropDuplicates(["icao24"])  # J2 first-match semantics
+    )
+    joined = bronze.join(F.broadcast(dim), on="icao24", how="left")
+    return joined.na.fill({c: "Unknown" for c in meta_cols})
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """T8+T4 — event-time tumbling counts with late-data bound: the
+    same groupBy(window(...)) plan the batch twin
+    (queries/analytics.py::tumbling_hourly_counts) runs."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n")
+    )
+
+
+def micro_batch_writer(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    trigger_seconds: int = FLUSH_TRIGGER_S,
+    available_now: bool = False,
+):
+    """T1/T5/S4/S8 — checkpointed sink with the reference's 60 s flush
+    cadence (consumer.py:22); exactly-once replaces its write-then-
+    advance text checkpoint (process_silver.py:114-122)."""
+    writer = (
+        stream.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

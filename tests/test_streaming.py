@@ -1,0 +1,176 @@
+"""Streaming-semantics tests (FIXTURES.md F-E): latest-wins dedup with
+TTL and out-of-order drops, malformed-row filtering, stream-static
+enrichment, watermarked windowed counts, and checkpointed
+exactly-once resume — all driven by file/memory sources so no Kafka is
+needed.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_data_lake_spark.schemas import STATE_VECTOR_SCHEMA
+from big_data_data_lake_spark.streaming import (
+    bronze_to_silver,
+    latest_wins_dedup,
+    micro_batch_writer,
+    parse_state_vectors,
+    windowed_counts,
+)
+
+
+def _sv(icao, last_contact, lon=1.0, lat=2.0, country="X"):
+    """A full 17-element positional state vector (wire format)."""
+    return [
+        icao, "CS1 ", country, last_contact - 1, last_contact,
+        lon, lat, 1000.0, False, 100.0, 90.0, 1.0, None, 1010.0,
+        "7700", False, 0,
+    ]
+
+
+@pytest.fixture
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="bddl_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream_to_memory(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_parse_state_vectors_filters_and_types(spark, tmpdir):
+    """F8 short-row drop, optional-tail nulls, key normalization."""
+    rows = [
+        json.dumps(_sv("ABC123", 100)),           # valid, mixed case key
+        json.dumps(_sv("def456", 200)[:17]),      # exactly 17 fields
+        json.dumps(["short", "row", 1]),          # dropped by F8
+        json.dumps(_sv("ghi789", 300) + [5]),     # 18 fields (category)
+    ]
+    with open(f"{tmpdir}/batch.jsonl", "w") as fh:
+        fh.write("\n".join(json.dumps({"value": r}) for r in rows))
+
+    raw = (
+        spark.readStream.schema("value string")
+        .json(tmpdir)
+    )
+    parsed = parse_state_vectors(raw)
+    out = _run_stream_to_memory(spark, parsed, "parsed_sv").collect()
+    assert {r.icao24 for r in out} == {"abc123", "def456", "ghi789"}
+    # nullability is advisory in Spark; compare names and types
+    assert [(f.name, f.dataType) for f in parsed.schema.fields] == [
+        (f.name, f.dataType) for f in STATE_VECTOR_SCHEMA.fields
+    ]
+    by_key = {r.icao24: r for r in out}
+    assert by_key["ghi789"].category == 5
+    assert by_key["def456"].category is None
+    assert by_key["abc123"].callsign == "CS1"  # trimmed
+    assert by_key["abc123"].last_contact == 100
+
+
+def test_latest_wins_dedup_semantics(spark, tmpdir):
+    """FIXTURES F-E #1: newer wins, stale out-of-order drops. (TTL
+    eviction is processing-time state timeout — the hasTimedOut path —
+    which a single availableNow run can't deterministically trigger.)"""
+    batches = [
+        _sv("aaa", 100),
+        _sv("aaa", 150),   # newer -> emit
+        _sv("aaa", 120),   # stale  -> drop
+        _sv("aaa", 900),   # newer -> emit
+        _sv("bbb", 50),    # other key -> emit
+    ]
+    with open(f"{tmpdir}/b0.jsonl", "w") as fh:
+        fh.write("\n".join(json.dumps({"value": json.dumps(b)}) for b in batches))
+
+    raw = spark.readStream.schema("value string").json(tmpdir)
+    deduped = latest_wins_dedup(parse_state_vectors(raw), ttl_s=600)
+    out = _run_stream_to_memory(spark, deduped, "dedup_sv").collect()
+    got = sorted((r.icao24, r.last_contact) for r in out)
+    assert got == [("aaa", 100), ("aaa", 150), ("aaa", 900), ("bbb", 50)]
+
+
+def test_bronze_to_silver_enrichment(spark, tmpdir):
+    """E2: stream-static broadcast join + Unknown fill + first-match
+    on a duplicate-key dimension (J2)."""
+    meta = spark.createDataFrame(
+        [(" AAA ", "A320"), ("aaa", "B737"), ("ccc", "E190")],
+        ["icao24", "model"],
+    )
+    rows = [_sv("aaa", 100), _sv("zzz", 200)]
+    with open(f"{tmpdir}/b0.jsonl", "w") as fh:
+        fh.write("\n".join(json.dumps({"value": json.dumps(r)}) for r in rows))
+    raw = spark.readStream.schema("value string").json(tmpdir)
+    silver = bronze_to_silver(parse_state_vectors(raw), meta)
+    out = {r.icao24: r.model for r in _run_stream_to_memory(spark, silver, "silver_sv").collect()}
+    assert out["zzz"] == "Unknown"
+    assert out["aaa"] in {"A320", "B737"}  # one deterministic survivor
+
+
+def test_windowed_counts_match_batch(spark, tmpdir):
+    """T8: streaming tumbling-hour counts == batch groupBy(window)."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    # Append mode only emits a window once the watermark passes it, so
+    # the stream gets one sentinel event 2 h past the end to flush the
+    # real windows; the sentinel's own window stays in state.
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    sentinel = (
+        events.limit(1)
+        .withColumn("ts", F.lit(max_ts).cast("timestamp") + F.expr("INTERVAL 2 HOURS"))
+        .withColumn("event_type", F.lit("__sentinel__"))
+    )
+    events.unionByName(sentinel).write.mode("overwrite").parquet(f"{tmpdir}/ev")
+    stream = spark.readStream.schema(events.schema).parquet(f"{tmpdir}/ev")
+    streamed = _run_stream_to_memory(
+        spark, windowed_counts(stream, "ts", "1 hour", "10 minutes", ("event_type",)), "win_counts"
+    )
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    got = sorted(t for t in map(tuple, streamed.collect()) if t[1] != "__sentinel__")
+    assert got == sorted(map(tuple, batch.collect()))
+
+
+def test_checkpoint_resume_exactly_once(spark, tmpdir):
+    """T5/T6: stop between micro-batches, add data, restart from the
+    checkpoint — no loss, no duplicates (the reference's text-file
+    high-water-mark could replay a partially written file)."""
+    src, sink, ckpt = f"{tmpdir}/src", f"{tmpdir}/sink", f"{tmpdir}/ckpt"
+    import os
+
+    os.makedirs(src)
+    with open(f"{src}/b0.jsonl", "w") as fh:
+        fh.write(json.dumps({"value": json.dumps(_sv("aaa", 100))}))
+
+    def run_once():
+        raw = spark.readStream.schema("value string").json(src)
+        q = micro_batch_writer(
+            parse_state_vectors(raw), sink, ckpt, available_now=True
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    with open(f"{src}/b1.jsonl", "w") as fh:
+        fh.write(json.dumps({"value": json.dumps(_sv("bbb", 200))}))
+    run_once()
+
+    out = spark.read.schema(STATE_VECTOR_SCHEMA).parquet(sink)
+    got = sorted((r.icao24, r.last_contact) for r in out.collect())
+    assert got == [("aaa", 100), ("bbb", 200)]
