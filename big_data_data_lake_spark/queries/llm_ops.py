@@ -23,6 +23,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism.
+
+    The documents/embeddings parquet at test SFs is one small file →
+    one input partition, which would serialize every downstream
+    pair-generation join onto a single core. At 100 TB the scan
+    arrives pre-split and this becomes a cheap no-op-sized shuffle
+    relative to the quadratic candidate stage it feeds.
+    """
+    return df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
@@ -224,10 +236,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts -> |A∩B|/|A∪B| >= 0.3. No O(n²): only docs sharing a
     shingle ever meet (at 100 TB, cap document frequency per shingle
     to bound hot-key fan-out)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     sh = docs.select("doc_id", dd.shingles("text", 2).alias("s"))
-    sizes = sh.select("doc_id", F.size("s").alias("sz"))
-    ex = sh.select("doc_id", F.explode("s").alias("g"))
+    # The shingle set is the expensive lineage (per-char portable hash
+    # is interpreted, not codegen'd); persist the exploded inverted
+    # index so the self-join's two branches and the size lookup all
+    # read it once instead of recomputing it 3x.
+    ex = sh.select("doc_id", F.explode("s").alias("g")).persist()
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         ex.alias("a")
         .join(ex.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -277,11 +293,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale shape: signatures never shuffle; the only shuffle is the
     equi-join on (band, bkey) whose fan-out is governed by band width.
     Constants are shared verbatim with the oracle SQL (dedup.py)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     hs = docs.select(
         "doc_id", dd.token_hashes(dd.shingles("text", 2)).alias("hs")
     )
-    sig = hs.select("doc_id", *dd.minhash_signature(F.col("hs")))
+    # Signatures are the expensive row-local lineage; persist so the
+    # band self-join (2 branches) and the sx/sy agreement lookups (2
+    # more) compute them exactly once.
+    sig = hs.select("doc_id", *dd.minhash_signature(F.col("hs"))).persist()
     bands = sig.select("doc_id", F.explode(dd.minhash_bands()).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
@@ -350,9 +369,11 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches. Small-corpus all-pairs here; at scale, band the sketch
     into 4 chunks and equi-join on any-chunk-equal first (pigeonhole:
     hamming<=6 pairs share a chunk within distance budget)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     hs = docs.select("doc_id", dd.token_hashes(dd.shingles("text", 2)).alias("hs"))
-    sig = hs.select("doc_id", dd.simhash(F.col("hs")).alias("h"))
+    # Persist the sketches so the all-pairs self-join's two branches
+    # don't each recompute the interpreted hash lineage.
+    sig = hs.select("doc_id", dd.simhash(F.col("hs")).alias("h")).persist()
     a = sig.select(F.col("doc_id").alias("d1"), F.col("h").alias("h1"))
     b = sig.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2"))
     ham = dd.hamming64(F.col("h1"), F.col("h2"))
@@ -389,9 +410,11 @@ def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup scan: exact top-20 most-similar pairs
     (left-fold dot products, deterministic double math). The corpus
     here is small; the scale path is ann_lsh_topk's bucketed variant."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     e = emb.select("vec_id", sim.to_double("embedding").alias("v"))
-    en = e.withColumn("n", sim.norm(F.col("v")))
+    # Persist vectors+norms so both pair-join branches skip the
+    # interpreted norm fold.
+    en = e.withColumn("n", sim.norm(F.col("v"))).persist()
     a = en.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"), F.col("n").alias("n1"))
     b = en.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"), F.col("n").alias("n2"))
     c = sim.cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2"))
