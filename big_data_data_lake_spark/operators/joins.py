@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,6 +44,69 @@ def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
     for df in dfs[1:]:
         out = out.unionByName(df)
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of (backward) join: for each left row, attach the right row
+    with the greatest ``right_ts`` <= ``left_ts`` per key — an operator
+    Spark lacks natively (extension beyond SURVEY §2.4; the reference
+    has no as-of either).
+
+    Shape: the *merge* formulation, not a range join — tag both sides,
+    union, and carry the latest right values forward with
+    ``last(ignorenulls)`` over (key, ts). One shuffle on the key, one
+    sort within partitions, zero pair fan-out: at 100 TB this is the
+    only as-of shape that doesn't explode (a range join would emit
+    |left| x |matching right| intermediates before aggregating back).
+
+    Equal timestamps match (<=): right rows sort before left rows at
+    the same ts. Among right ties, ``tiebreak`` (ascending) makes the
+    carried value deterministic — the last one wins.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    val_src = [F.col(c) for c in value_cols]
+
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__side"),
+        F.col(left_ts).alias("__ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    rhs_pad = [c for c in left.columns if c not in keys]
+    rhs = right.select(
+        *[F.col(k) for k in keys],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in rhs_pad],
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__ts"),
+        *[v.alias(f"__r_{c}") for c, v in zip(value_cols, val_src)],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    if tiebreak is not None:
+        # among right rows at the same ts: ascending tiebreak, last wins
+        order.append(F.col(f"__r_{tiebreak}").asc_nulls_first())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = rhs.unionByName(lhs)
+    for c in value_cols:
+        carried = carried.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    carried = carried.withColumn("__r_ts", F.last("__r_ts", ignorenulls=True).over(w))
+    out = carried.where(F.col("__side") == 1).drop("__side", "__ts")
+    for c in value_cols:
+        out = out.withColumnRenamed(f"__r_{c}", f"asof_{c}")
+    return out.withColumnRenamed("__r_ts", f"asof_{right_ts}")
 
 
 def semi(fact: DataFrame, other: DataFrame, key: str | Sequence[str]) -> DataFrame:

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions.geo import dead_reckon
 from ..operators import filters as flt
+from ..operators import joins as jn
 from ..operators import ml
 from ..operators import windows as win
 from ..sources.catalog import load_table
@@ -225,3 +226,128 @@ def kmeans_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+ASOF_LAST_ERROR_ORACLE = """
+WITH c AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+e AS (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+),
+j AS (
+    SELECT c.event_id, c.user_id,
+           e.ts AS ets, e.value AS ev,
+           row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY e.ts DESC NULLS LAST, e.value DESC NULLS LAST
+           ) AS rn
+    FROM c LEFT JOIN e
+      ON c.user_id = e.user_id AND e.ts <= c.ts
+)
+SELECT event_id, user_id,
+       round(ev, 2) AS err_value,
+       CAST(epoch_us(ets) AS BIGINT) AS err_ts_us
+FROM j
+WHERE rn = 1
+"""
+
+
+@register("asof_last_error", ASOF_LAST_ERROR_ORACLE)
+def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each click event picks up the most
+    recent prior 'error' event of the same user. Implemented as the
+    merge formulation (union + last(ignorenulls) window) — one shuffle
+    on user_id, no pair fan-out; the oracle is the equivalent (but
+    quadratic) greatest-ts-per-row SQL."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.where(F.col("event_type") == "error").select("user_id", "ts", "value")
+    j = jn.asof_join(
+        clicks, errors, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], tiebreak="value",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.round("asof_value", 2).alias("err_value"),
+        F.unix_micros("asof_ts").alias("err_ts_us"),
+    )
+
+
+RANGE_BAND_JOIN_ORACLE = """
+WITH bands(tier, lo, hi) AS (
+    VALUES ('low', 0.0, 5.0), ('mid', 5.0, 20.0), ('high', 20.0, 1e18)
+)
+SELECT b.tier,
+       count(*) AS n,
+       round(avg(e.value), 2) AS avg_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.tier
+ORDER BY b.tier
+"""
+
+
+@register("range_band_join", RANGE_BAND_JOIN_ORACLE)
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a broadcast band dimension: each
+    event matched to the [lo, hi) tier containing its value. The big
+    side never shuffles — a BroadcastNestedLoopJoin over a 3-row dim
+    is the right physical shape; the aggregation shuffles 3 keys."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 5.0), ("mid", 5.0, 20.0), ("high", 20.0, 1e18)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+        )
+        .orderBy("tier")
+    )
+
+
+SLIDING_HOURLY_ORACLE = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n
+FROM (
+    SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                   time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+    FROM events
+)
+GROUP BY ws
+ORDER BY ws
+"""
+
+
+@register("sliding_hourly_counts", SLIDING_HOURLY_ORACLE)
+def sliding_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (1 h window, 30 min slide): every
+    event lands in exactly two windows. F.window handles the
+    assignment row-locally (an explode of two window structs), then
+    one count shuffle — same code runs on a stream with a watermark."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+        )
+        .orderBy("window_start")
+    )
+
+
+@register("events_sample", None)  # O3 — nondeterministic across engines: rows-only
+def events_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 — seeded Bernoulli sample (dashboard.py:122,152). Sampling is
+    pushed into the scan (SampleExec before any shuffle); exact-n
+    variants at scale use sample(frac*1.1).limit(n), never a full
+    orderBy(rand())."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.sample(fraction=0.1, seed=42).select("event_id", "user_id", "event_type")

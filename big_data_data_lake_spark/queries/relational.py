@@ -692,3 +692,46 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag", "linestatus")
     )
+
+
+USERS_INTERSECT_ORACLE = """
+SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr
+FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr
+FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, hr
+"""
+
+
+@register("users_intersect", USERS_INTERSECT_ORACLE)
+def users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op INTERSECT (extension per SURVEY §2.10) at (user, hour)
+    grain: hours in which a user both clicked and purchased. Plans as
+    distinct aggregates + a semi join — one shuffle per side."""
+    ev = _t(spark, sf_dir, "events")
+    hr = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hr")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", hr)
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id", hr)
+    return clicks.intersect(buys).orderBy("user_id", "hr")
+
+
+USERS_EXCEPT_ORACLE = """
+SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr
+FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr
+FROM events WHERE event_type = 'error'
+ORDER BY user_id, hr
+"""
+
+
+@register("users_except", USERS_EXCEPT_ORACLE)
+def users_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op EXCEPT at (user, hour) grain: hours where a user clicked
+    without erroring — the distinct anti-join shape."""
+    ev = _t(spark, sf_dir, "events")
+    hr = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hr")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", hr)
+    errs = ev.where(F.col("event_type") == "error").select("user_id", hr)
+    return clicks.subtract(errs).orderBy("user_id", "hr")
