@@ -1,0 +1,78 @@
+"""Parse ``df.explain("formatted")`` output into checkable facts.
+
+Works on the final (AQE-resolved where available) physical plan text;
+string-level parsing is deliberate — it checks exactly what an
+operator sees when they run ``.explain`` against a production cluster,
+with no dependence on private JVM APIs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The formatted physical plan as a string."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's parquet scans."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[(.*?)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def scan_columns(df: DataFrame, table_hint: str | None = None) -> list[list[str]]:
+    """Column lists actually read by each parquet scan (ReadSchema) —
+    the check that a 2-column projection doesn't scan 16 columns."""
+    plan = formatted_plan(df)
+    schemas: list[list[str]] = []
+    for m in re.finditer(r"Location:.*?(\S+)\n.*?ReadSchema: struct<(.*?)>", plan, re.S):
+        loc, body = m.group(1), m.group(2)
+        if table_hint and table_hint not in loc:
+            continue
+        cols = [f.split(":")[0].strip() for f in body.split(",") if ":" in f]
+        schemas.append(cols)
+    return schemas
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    """Number of broadcast joins (hash or nested-loop) in the plan."""
+    plan = _simple_plan(df)
+    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan))
+
+
+def sort_merge_join_count(df: DataFrame) -> int:
+    plan = _simple_plan(df)
+    return len(re.findall(r"SortMergeJoin", plan))
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges — the scale-limiting resource."""
+    plan = _simple_plan(df)
+    return len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning|Exchange RoundRobinPartitioning", plan))
+
+
+def has_whole_stage_codegen(df: DataFrame, execute: bool = True) -> bool:
+    """True if any pipeline compiled into whole-stage codegen
+    (``[codegen id : N]`` annotations in the formatted plan).
+
+    Under AQE the codegen annotations only materialize in the *final*
+    plan, so by default the query is executed first (collect on the
+    same QueryExecution)."""
+    if execute and "codegen id" not in formatted_plan(df):
+        df.collect()
+    return "codegen id" in formatted_plan(df)

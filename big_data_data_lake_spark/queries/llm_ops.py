@@ -262,9 +262,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MINHASH_LSH_ORACLE = f"""
-WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (SELECT doc_id, {dd.shingles_sql(2)} AS s FROM tok),
-hsh AS (SELECT doc_id, list_transform(s, g -> {dd.POLY_HASH_SQL.format(tok="g")}) AS hs FROM sh),
+WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM documents),
+hsh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS hs FROM tok),
 sig AS (SELECT doc_id,
            {dd.minhash_sig_sql_columns()}
         FROM hsh),
@@ -294,9 +293,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (band, bkey) whose fan-out is governed by band width.
     Constants are shared verbatim with the oracle SQL (dedup.py)."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    hs = docs.select(
-        "doc_id", dd.token_hashes(dd.shingles("text", 2)).alias("hs")
-    )
+    hs = docs.select("doc_id", dd.shingle_hashes("text", 2).alias("hs"))
     # Signatures are the expensive row-local lineage; persist so the
     # band self-join (2 branches) and the sx/sy agreement lookups (2
     # more) compute them exactly once.
@@ -333,9 +330,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_SIGNATURES_ORACLE = f"""
-WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (SELECT doc_id, {dd.shingles_sql(2)} AS s FROM tok),
-hsh AS (SELECT doc_id, list_transform(s, g -> {dd.POLY_HASH_SQL.format(tok="g")}) AS hs FROM sh)
+WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM documents),
+hsh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS hs FROM tok)
 SELECT doc_id, {dd.simhash_sql()} AS sh32
 FROM hsh
 """
@@ -347,14 +343,13 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local bit-majority of portable token hashes; the dedup key a
     crawler stores per document."""
     docs = _t(spark, sf_dir, "documents")
-    hs = docs.select("doc_id", dd.token_hashes(dd.shingles("text", 2)).alias("hs"))
+    hs = docs.select("doc_id", dd.shingle_hashes("text", 2).alias("hs"))
     return hs.select("doc_id", dd.simhash(F.col("hs")).alias("sh32"))
 
 
 SIMHASH_NEAR_DUPS_ORACLE = f"""
-WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (SELECT doc_id, {dd.shingles_sql(2)} AS s FROM tok),
-hsh AS (SELECT doc_id, list_transform(s, g -> {dd.POLY_HASH_SQL.format(tok="g")}) AS hs FROM sh),
+WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM documents),
+hsh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS hs FROM tok),
 sig AS (SELECT doc_id, {dd.simhash_sql()} AS h FROM hsh)
 SELECT a.doc_id AS d1, b.doc_id AS d2,
        CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
@@ -370,7 +365,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     into 4 chunks and equi-join on any-chunk-equal first (pigeonhole:
     hamming<=6 pairs share a chunk within distance budget)."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    hs = docs.select("doc_id", dd.token_hashes(dd.shingles("text", 2)).alias("hs"))
+    hs = docs.select("doc_id", dd.shingle_hashes("text", 2).alias("hs"))
     # Persist the sketches so the all-pairs self-join's two branches
     # don't each recompute the interpreted hash lineage.
     sig = hs.select("doc_id", dd.simhash(F.col("hs")).alias("h")).persist()

@@ -1,0 +1,88 @@
+"""Plan-regression tests: the 100 TB posture as assertions.
+
+Correctness tests prove the values are right at small SF; these prove
+the *physical plans* are the ones that survive 1000× the data — the
+dimension broadcasts instead of shuffling the fact table, predicates
+and projections reach the parquet scan, window dedups shuffle exactly
+once, and hot pipelines compile into whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_data_lake_spark import plans
+from big_data_data_lake_spark.queries import load_all
+
+SF = "/root/testdata/sf0.001"
+REG = load_all()
+
+
+def _q(spark, name):
+    return REG[name].fn(spark, SF)
+
+
+def test_enrichment_join_broadcasts_dimension(spark):
+    """J1: fact × dim must be a broadcast join — a shuffle join here
+    would move the 100 TB side."""
+    df = _q(spark, "brand_revenue")
+    assert plans.broadcast_join_count(df) >= 1
+    assert plans.sort_merge_join_count(df) == 0
+
+
+def test_projection_prunes_scan_columns(spark):
+    """Column pruning must reach the scan: brand_revenue touches 3 of
+    11 lineitem columns and 2 of 5 part columns."""
+    df = _q(spark, "brand_revenue")
+    for cols in plans.scan_columns(df):
+        assert len(cols) <= 3, f"scan reads too many columns: {cols}"
+
+
+def test_filter_pushed_to_scan(spark):
+    """A selective predicate must appear in PushedFilters, not as a
+    post-scan Filter only."""
+    df = _q(spark, "membership_range_filter")
+    pushed = plans.pushed_filters(df)
+    assert pushed, "no filters pushed into the scan"
+
+
+def test_latest_per_key_shuffles_once(spark):
+    """F9 batch dedup: one hash shuffle on the key (plus nothing else)
+    — the window sort must reuse that partitioning."""
+    df = _q(spark, "latest_event_per_user")
+    assert plans.shuffle_count(df) <= 1, plans.formatted_plan(df)
+
+
+def test_country_intelligence_is_codegen(spark):
+    """The flagship scan→filter→agg→topk pipeline must run inside
+    whole-stage codegen, not interpreted."""
+    df = _q(spark, "country_intelligence")
+    assert plans.has_whole_stage_codegen(df)
+
+
+def test_asof_join_has_no_pair_fanout(spark):
+    """The as-of merge formulation must not contain any join operator
+    at all — it is union + window; a range/theta join here would blow
+    up at scale."""
+    df = _q(spark, "asof_last_error")
+    plan = plans.formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert plans.shuffle_count(df) <= 2  # key shuffle + final ordering
+
+
+def test_range_band_join_broadcasts_band_dim(spark):
+    """The theta join's build side is the 3-row band dim — must be the
+    broadcast side so events never shuffle."""
+    df = _q(spark, "range_band_join")
+    assert plans.broadcast_join_count(df) >= 1
+    assert plans.sort_merge_join_count(df) == 0
+
+
+def test_ngram_join_streams_big_side(spark):
+    """The inverted-index self-join must not shuffle both exploded
+    sides when one fits a broadcast (small-SF shape); at worst it may
+    SMJ — but never cartesian."""
+    df = _q(spark, "ngram_jaccard_pairs")
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
