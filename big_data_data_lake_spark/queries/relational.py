@@ -735,3 +735,75 @@ def users_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.where(F.col("event_type") == "click").select("user_id", hr)
     errs = ev.where(F.col("event_type") == "error").select("user_id", hr)
     return clicks.subtract(errs).orderBy("user_id", "hr")
+
+
+ORDERS_CUBE_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY orderstatus, orderpriority
+"""
+
+
+@register("orders_cube", ORDERS_CUBE_ORACLE)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (SURVEY §2.5 free extension): all 2^2 grouping
+    sets in one pass — Spark expands grouping sets map-side, so it
+    still shuffles once."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n",
+            "total_price",
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+EVENT_GAPS_ORACLE = """
+WITH g AS (
+    SELECT user_id,
+           CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap_us
+    FROM events
+)
+SELECT user_id,
+       count(gap_us) AS n_gaps,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us
+FROM g
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("event_gaps", EVENT_GAPS_ORACLE)
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag window functions: per-user inter-event gap profile.
+    One shuffle on user_id; the window sort is reused by the
+    aggregation (same partitioning)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.withColumn(
+        "gap_us", F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.min("gap_us").alias("min_gap_us"),
+        )
+        .orderBy("user_id")
+    )
