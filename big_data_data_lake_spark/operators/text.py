@@ -102,3 +102,18 @@ def fingerprint(text: Column | str, mod: int = FINGERPRINT_MOD) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x.cast("long")) % F.lit(mod),
     )
+
+
+# BPE-ish pre-tokenizer: word pieces = letter runs, digit runs, or a
+# single non-space symbol — the standard pre-split every BPE/GPT-style
+# tokenizer applies before merges. Same RE2/Java-compatible pattern on
+# both engines.
+BPE_SPLIT_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Regex word-piece extraction (letters / digits / symbol runs) —
+    a deterministic stand-in for a real BPE vocab that gives the same
+    count scaling; row-local, codegen'd regexp."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_SPLIT_REGEX), 0)

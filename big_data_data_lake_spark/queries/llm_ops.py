@@ -522,3 +522,26 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes from the source text (ASCII corpus => UTF-8 bytes == chars)."""
     docs = _t(spark, sf_dir, "documents")
     return mm.extract_features(mm.attach_blob(docs), "doc_id", "blob")
+
+
+BPE_TOKEN_STATS_ORACLE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{tx.BPE_SPLIT_REGEX}')) AS n_pieces,
+       len(list_distinct(regexp_extract_all(text, '{tx.BPE_SPLIT_REGEX}'))) AS n_distinct_pieces
+FROM documents
+"""
+
+
+@register("bpe_token_stats", BPE_TOKEN_STATS_ORACLE)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letter runs / digit runs / single
+    symbols — the pre-split every BPE tokenizer applies): the cost
+    estimator for LLM training-data budgeting. Row-local codegen'd
+    regexp on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    pieces = tx.bpe_ish_tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).alias("n_distinct_pieces"),
+    )
