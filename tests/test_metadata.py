@@ -1,0 +1,76 @@
+"""Lake-table metadata layer: snapshot isolation, time travel,
+partition pruning from the manifest, and atomic commits.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_data_lake_spark.sources.metadata import LakeTable
+
+
+@pytest.fixture()
+def events(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0, "2024-01-01"), (2, "b", 20.0, "2024-01-01"),
+         (3, "a", 30.0, "2024-01-02")],
+        "id long, k string, v double, day string",
+    )
+
+
+def test_create_read_roundtrip(spark, events, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    assert t.create(events, partition_by=["day"]) == 0
+    got = t.read()
+    assert got.schema == events.schema
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3]
+
+
+def test_append_creates_new_version_old_still_readable(spark, events, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(events, partition_by=["day"])
+    more = spark.createDataFrame(
+        [(4, "c", 40.0, "2024-01-03")], "id long, k string, v double, day string"
+    )
+    assert t.append(more) == 1
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3, 4]
+    # time travel: version 0 unchanged
+    assert sorted(r.id for r in t.read(version=0).collect()) == [1, 2, 3]
+
+
+def test_overwrite_is_snapshot_isolated(spark, events, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(events, partition_by=["day"])
+    t.overwrite(
+        spark.createDataFrame([(9, "z", 0.0, "2024-02-01")], events.schema)
+    )
+    assert [r.id for r in t.read().collect()] == [9]
+    assert sorted(r.id for r in t.read(version=0).collect()) == [1, 2, 3]
+
+
+def test_partition_filter_prunes_files_manifest_side(spark, events, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(events, partition_by=["day"])
+    pruned = t.read(partition_filter={"day": "2024-01-01"})
+    rows = pruned.collect()
+    assert sorted(r.id for r in rows) == [1, 2]
+    # the pruned read must touch only matching files
+    man = t.manifest()
+    matching = [f for f in man["files"] if f["partition"].get("day") == "2024-01-01"]
+    assert {os.path.dirname(f["path"]) for f in matching}
+
+
+def test_row_count_answers_from_manifest_only(spark, events, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(events)
+    assert t.row_count() == 3
+
+
+def test_double_create_refuses(spark, events, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(events)
+    with pytest.raises(FileExistsError):
+        t.create(events)
