@@ -118,30 +118,44 @@ class LakeTable:
             files.append({"path": full, "rows": stats["rows"], "partition": pvals})
         return files
 
-    def _new_manifest(self, df: DataFrame, files: list[dict], partition_by: list[str]) -> dict:
-        return {
+    def _new_manifest(
+        self,
+        df: DataFrame,
+        files: list[dict],
+        partition_by: list[str],
+        extra: dict | None = None,
+    ) -> dict:
+        out = {
             "schema_ddl": df.schema.simpleString(),  # human-readable
             "schema_json": df.schema.jsonValue(),  # exact reconstruction
             "partition_by": partition_by,
             "files": files,
             "rows": sum(f["rows"] for f in files),
         }
+        if extra:
+            out.update(extra)
+        return out
 
-    def create(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+    def create(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        extra: dict | None = None,
+    ) -> int:
         """Version 0: initial snapshot."""
         if self.versions():
             raise FileExistsError(f"table already exists at {self.path}")
         pb = partition_by or []
         files = self._write_files(df, pb)
-        self._commit(0, self._new_manifest(df, files, pb))
+        self._commit(0, self._new_manifest(df, files, pb, extra))
         return 0
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, extra: dict | None = None) -> int:
         """New version = previous file set + new files (no rewrite)."""
         prev = self.manifest()
         files = self._write_files(df, prev["partition_by"])
         v = self.latest_version() + 1
-        man = self._new_manifest(df, prev["files"] + files, prev["partition_by"])
+        man = self._new_manifest(df, prev["files"] + files, prev["partition_by"], extra)
         self._commit(v, man)
         return v
 

@@ -187,3 +187,44 @@ def micro_batch_writer(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def lake_table_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    trigger_seconds: int = FLUSH_TRIGGER_S,
+    available_now: bool = False,
+):
+    """Checkpointed streaming sink into a versioned LakeTable
+    (sources/metadata.py): every micro-batch becomes one atomic
+    manifest commit, so readers always see batch-aligned snapshots
+    and can time-travel across micro-batches.
+
+    Exactly-once: Spark's checkpoint dedups source offsets, and the
+    commit itself is idempotent under replay — each manifest records
+    the ``batch_id`` it came from, and a replayed batch id (<= the
+    last committed one) is skipped without writing."""
+    from ..sources.metadata import LakeTable
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        table = LakeTable(batch_df.sparkSession, table_path)
+        if not table.versions():
+            table.create(batch_df, partition_by=partition_by, extra={"batch_id": batch_id})
+            return
+        last = table.manifest().get("batch_id", -1)
+        if batch_id <= last:  # replay after restart: already committed
+            return
+        table.append(batch_df, extra={"batch_id": batch_id})
+
+    writer = (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

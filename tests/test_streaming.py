@@ -174,3 +174,55 @@ def test_checkpoint_resume_exactly_once(spark, tmpdir):
     out = spark.read.schema(STATE_VECTOR_SCHEMA).parquet(sink)
     got = sorted((r.icao24, r.last_contact) for r in out.collect())
     assert got == [("aaa", 100), ("bbb", 200)]
+
+
+def test_lake_table_sink_commits_batch_aligned_versions(spark, tmpdir):
+    """Each micro-batch = one atomic manifest commit; restart with the
+    same checkpoint must not duplicate data (idempotent replay)."""
+    import os
+
+    from big_data_data_lake_spark.sources.metadata import LakeTable
+    from big_data_data_lake_spark.streaming.ingest import lake_table_sink
+
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    with open(f"{src}/a.jsonl", "w") as fh:
+        for i in range(5):
+            fh.write(json.dumps({"id": i, "day": "2024-01-01"}) + "\n")
+
+    schema = "id long, day string"
+    stream = spark.readStream.schema(schema).json(src)
+    q = lake_table_sink(
+        stream, f"{tmpdir}/table", f"{tmpdir}/ckpt",
+        partition_by=["day"], available_now=True,
+    )
+    q.awaitTermination(120)
+
+    table = LakeTable(spark, f"{tmpdir}/table")
+    assert table.row_count() == 5
+    assert "batch_id" in table.manifest()
+    v_before = table.latest_version()
+
+    # restart with the same checkpoint and no new data: no new commits
+    stream2 = spark.readStream.schema(schema).json(src)
+    q2 = lake_table_sink(
+        stream2, f"{tmpdir}/table", f"{tmpdir}/ckpt",
+        partition_by=["day"], available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert table.latest_version() == v_before
+    assert table.row_count() == 5
+
+    # new file → exactly one more version with exactly the new rows
+    with open(f"{src}/b.jsonl", "w") as fh:
+        fh.write(json.dumps({"id": 99, "day": "2024-01-02"}) + "\n")
+    stream3 = spark.readStream.schema(schema).json(src)
+    q3 = lake_table_sink(
+        stream3, f"{tmpdir}/table", f"{tmpdir}/ckpt",
+        partition_by=["day"], available_now=True,
+    )
+    q3.awaitTermination(120)
+    assert table.row_count() == 6
+    assert sorted(r.id for r in table.read().collect()) == [0, 1, 2, 3, 4, 99]
+    # manifest-side pruning on the new partition
+    assert [r.id for r in table.read(partition_filter={"day": "2024-01-02"}).collect()] == [99]
