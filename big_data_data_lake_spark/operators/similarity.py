@@ -113,3 +113,53 @@ def brute_force_topk(
         .where(F.col("__rn") <= k)
         .select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def ivf_assignments(
+    vectors: DataFrame,
+    vec_col: str = "v",
+    n_lists: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, "object"]:
+    """IVF coarse quantizer: KMeans over the vectors; returns
+    (vectors + ``list_id`` column, fitted model). At 100 TB you train
+    on a sample and broadcast the centroids — assignment itself is
+    row-local (distributed transform, no shuffle)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fv = vectors.withColumn("__fv", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="__fv", predictionCol="list_id").fit(fv)
+    return model.transform(fv).drop("__fv"), model
+
+
+def ivf_probe_lists(
+    queries: DataFrame,
+    model: "object",
+    vec_col: str = "v",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Explode each query to its ``nprobe`` nearest centroid lists.
+    Centroids are tiny (n_lists × dim) → literal columns; the distance
+    argsort is a row-local expression, no crossJoin."""
+    import numpy as np
+
+    centers = np.asarray([np.asarray(c) for c in model.clusterCenters()])
+
+    def dist2(j: int) -> Column:
+        c = centers[j]
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    pairs = F.array(
+        *[F.struct(dist2(j).alias("d"), F.lit(j).alias("list_id")) for j in range(len(centers))]
+    )
+    probed = F.slice(F.array_sort(pairs), 1, nprobe)
+    return queries.withColumn("list_id", F.explode(F.transform(probed, lambda s: s.list_id)))

@@ -545,3 +545,31 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(pieces).alias("n_pieces"),
         F.size(F.array_distinct(pieces)).alias("n_distinct_pieces"),
     )
+
+
+@register("ann_ivf_topk", None)  # approximate: rows-only; recall tested in pytest
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (the other scale path next to
+    ann_lsh_topk): KMeans coarse quantizer partitions the corpus into
+    inverted lists; each query probes its nprobe nearest lists and
+    re-ranks exactly inside them. The corpus join is an equi-join on
+    list_id — candidate work scales with nprobe/n_lists of the corpus,
+    never O(n·q)."""
+    from pyspark.sql import Window
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    e = emb.select("vec_id", sim.to_double("embedding").alias("v"))
+    corpus, model = sim.ivf_assignments(e.where(F.col("vec_id") >= 5), n_lists=8)
+    queries = sim.ivf_probe_lists(e.where(F.col("vec_id") < 5), model, nprobe=3).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qvec"), "list_id"
+    )
+    c = corpus.select(F.col("vec_id").alias("nid"), F.col("v").alias("nvec"), "list_id")
+    scored = c.join(F.broadcast(queries), "list_id").select(
+        "qid", "nid", sim.cosine(F.col("qvec"), F.col("nvec")).alias("cos_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.round("cos_sim", 6).desc(), F.col("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("qid", "nid", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -78,3 +78,14 @@ def test_minhash_constants_are_pinned():
     silently invalidates recorded correctness results."""
     assert dd.MINHASH_A[:3] == [1103527591, 59559189, 1163074433]
     assert dd.N_MINHASH == 32 and dd.N_BANDS * dd.ROWS_PER_BAND == dd.N_MINHASH
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """IVF with nprobe=3 of 8 lists must recover a solid fraction of
+    the exact top-10 neighborhood."""
+    exact = {
+        (r.qid, r.nid) for r in REG["ann_cosine_topk"].fn(spark, SF).collect()
+    }
+    approx = {(r.qid, r.nid) for r in REG["ann_ivf_topk"].fn(spark, SF).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.25, f"IVF ANN recall collapsed: {recall:.2f}"
