@@ -237,11 +237,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle ever meet (at 100 TB, cap document frequency per shingle
     to bound hot-key fan-out)."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    sh = docs.select("doc_id", dd.shingles("text", 2).alias("s"))
-    # The shingle set is the expensive lineage (per-char portable hash
-    # is interpreted, not codegen'd); persist the exploded inverted
-    # index so the self-join's two branches and the size lookup all
-    # read it once instead of recomputing it 3x.
+    # Persist the shingle arrays BEFORE the explode: Generate
+    # re-evaluates an unmaterialized input expression once per output
+    # row (~|shingles|x the work); from cache it is a plain attribute.
+    sh = docs.select("doc_id", dd.shingles("text", 2).alias("s")).persist()
     ex = sh.select("doc_id", F.explode("s").alias("g")).persist()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
@@ -342,8 +341,8 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash content sketches (32-bit) over bigram shingles —
     row-local bit-majority of portable token hashes; the dedup key a
     crawler stores per document."""
-    docs = _t(spark, sf_dir, "documents")
-    hs = docs.select("doc_id", dd.shingle_hashes("text", 2).alias("hs"))
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    hs = docs.select("doc_id", dd.shingle_hashes("text", 2).alias("hs")).persist()
     return hs.select("doc_id", dd.simhash(F.col("hs")).alias("sh32"))
 
 
@@ -367,7 +366,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     hs = docs.select("doc_id", dd.shingle_hashes("text", 2).alias("hs"))
     # Persist the sketches so the all-pairs self-join's two branches
-    # don't each recompute the interpreted hash lineage.
+    # don't each recompute the hash lineage.
     sig = hs.select("doc_id", dd.simhash(F.col("hs")).alias("h")).persist()
     a = sig.select(F.col("doc_id").alias("d1"), F.col("h").alias("h1"))
     b = sig.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2"))
@@ -520,7 +519,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch iterator, typed output schema) with a deterministic
     byte-level stand-in for the codec. The oracle recomputes the same
     bytes from the source text (ASCII corpus => UTF-8 bytes == chars)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return mm.extract_features(mm.attach_blob(docs), "doc_id", "blob")
 
 
