@@ -232,75 +232,3 @@ def simhash_sql(bits: int = N_SIMHASH_BITS) -> str:
         )
     return "(" + " + ".join(terms) + ")"
 
-
-def hamming64(a: Column, b: Column) -> Column:
-    return F.bit_count(a.bitwiseXOR(b))
-
-
-# ---------------------------------------------------------------------------
-# Generated oracle SQL fragments (same constants, same arithmetic)
-# ---------------------------------------------------------------------------
-
-
-def minhash_sig_sql_columns() -> str:
-    """SELECT-list fragment computing s0..s{K-1} from a hash list `hs`."""
-    cols = []
-    for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)):
-        cols.append(
-            f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE_P})) AS s{k}"
-        )
-    return ",\n           ".join(cols)
-
-
-def minhash_bands_sql(doc_col: str = "doc_id") -> str:
-    """UNION ALL band projection from a `sig` CTE."""
-    selects = []
-    for b in range(N_BANDS):
-        keys = " || '_' || ".join(
-            f"CAST(s{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
-        )
-        selects.append(f"SELECT {doc_col}, {b} AS band, {keys} AS bkey FROM sig")
-    return "\n    UNION ALL ".join(selects)
-
-
-def minhash_est_sim_sql(left: str = "x", right: str = "y") -> str:
-    terms = " + ".join(
-        f"CASE WHEN {left}.s{k} = {right}.s{k} THEN 1 ELSE 0 END" for k in range(N_MINHASH)
-    )
-    return f"({terms}) / {float(N_MINHASH)}"
-
-
-def simhash_sql(bits: int = N_SIMHASH_BITS) -> str:
-    """Expression computing the simhash from a hash list `hs`."""
-    terms = []
-    for j in range(bits):
-        terms.append(
-            f"CASE WHEN list_sum(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1)) >= 0 "
-            f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
-        )
-    return "(" + " + ".join(terms) + ")"
-
-
-def simhash_agg(
-    df: "DataFrame",
-    id_col: str = "doc_id",
-    hash_arr: str = "hs",
-    out: str = "sh32",
-    bits: int = N_SIMHASH_BITS,
-) -> "DataFrame":
-    """SimHash via explode + hash aggregate: one codegen'd shuffle on
-    the id instead of ``bits`` interpreted array folds per row
-    (``simhash``). Integer bit-vote sums are order-independent, so the
-    result is bit-identical to the fold formulation — use this one on
-    anything larger than a smoke test."""
-    ex = df.select(id_col, F.explode(F.col(hash_arr)).alias("__h"))
-    votes = [
-        F.sum(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__b{j}")
-        for j in range(bits)
-    ]
-    agg = ex.groupBy(id_col).agg(*votes)
-    sh = None
-    for j in range(bits):
-        term = F.when(F.col(f"__b{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
-        sh = term if sh is None else sh + term
-    return agg.select(id_col, sh.alias(out))
