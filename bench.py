@@ -55,12 +55,20 @@ def main() -> None:
     spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
     registry = load_all()
 
-    # Warm the JVM/codegen path once so timings measure the queries,
-    # not session startup (standard benchmark practice; every query
-    # still runs cold w.r.t. its own data — nothing is cached).
+    # Warm the JVM/codegen path and the (long-lived) Python worker
+    # pool once so timings measure the queries, not process startup
+    # (standard benchmark practice; every query still runs cold
+    # w.r.t. its own data — nothing is cached).
     spark.range(1_000_000).selectExpr("sum(id) s").write.format("noop").mode(
         "overwrite"
     ).save()
+
+    def _noop_batches(batches):
+        yield from batches
+
+    spark.range(cpus).repartition(cpus).mapInPandas(
+        _noop_batches, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
