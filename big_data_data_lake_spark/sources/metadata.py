@@ -37,6 +37,35 @@ from pyspark.sql import functions as F
 MANIFEST_DIR = "_manifest"
 
 
+def _footer_stats(path: str) -> tuple[int, dict]:
+    """Row count and per-column min/max from the parquet footer — no
+    data read, no Spark job. Stats are kept for JSON-safe scalar types
+    (int/float/str) and power manifest-side file skipping."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str)) or isinstance(lo, bool):
+                continue
+            name = col.path_in_schema
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return md.num_rows, {c: {"min": mins[c], "max": maxs[c]} for c in mins}
+
+
 class LakeTable:
     """Handle to one versioned table rooted at ``path``."""
 
@@ -110,12 +139,10 @@ class LakeTable:
                 if "=" in seg:
                     k, v = seg.split("=", 1)
                     pvals[k] = v
-            stats = (
-                self.spark.read.parquet(full)
-                .agg(F.count(F.lit(1)).alias("rows"))
-                .collect()[0]
+            rows, col_stats = _footer_stats(full)
+            files.append(
+                {"path": full, "rows": rows, "partition": pvals, "stats": col_stats}
             )
-            files.append({"path": full, "rows": stats["rows"], "partition": pvals})
         return files
 
     def _new_manifest(
@@ -175,10 +202,14 @@ class LakeTable:
         self,
         version: int | None = None,
         partition_filter: dict[str, str] | None = None,
+        stat_filter: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Snapshot read pinned to one manifest. ``partition_filter``
         prunes files manifest-side, so Spark never lists or opens
-        non-matching files — the data-skipping path."""
+        non-matching files; ``stat_filter`` maps column -> (lo, hi)
+        and skips files whose footer min/max range cannot intersect —
+        zone-map data skipping. Both are pruning-only: callers still
+        apply the exact predicate to the returned DataFrame."""
         from pyspark.sql.types import StructType
 
         man = self.manifest(version)
@@ -190,6 +221,19 @@ class LakeTable:
                 for f in files
                 if all(f["partition"].get(k) == str(v) for k, v in partition_filter.items())
             ]
+        if stat_filter:
+            def may_match(f: dict) -> bool:
+                for col, (lo, hi) in stat_filter.items():
+                    st = f.get("stats", {}).get(col)
+                    if st is None:
+                        continue  # no stats -> cannot skip
+                    if (hi is not None and st["min"] > hi) or (
+                        lo is not None and st["max"] < lo
+                    ):
+                        return False
+                return True
+
+            files = [f for f in files if may_match(f)]
         if not files:
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.option("basePath", self.path).parquet(
@@ -203,3 +247,36 @@ class LakeTable:
         """Manifest-only row count — answers count(*) without touching
         a single data file."""
         return self.manifest(version)["rows"]
+
+    # -------------------------------------------------------- maintenance
+
+    def compact(self, files_per_partition: int = 1) -> int:
+        """Bin-pack the current snapshot into ``files_per_partition``
+        files per partition (streaming sinks leave one small file per
+        micro-batch — the classic small-file problem). Produces a new
+        version; old versions stay readable until ``vacuum``."""
+        man = self.manifest()
+        df = self.read()
+        pb = man["partition_by"]
+        if pb:
+            df = df.repartition(files_per_partition, *pb)
+        else:
+            df = df.repartition(files_per_partition)
+        return self.overwrite(df)
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Explicitly destructive: drop all but the last ``retain_last``
+        versions and delete data files no surviving version references.
+        Returns the deleted file paths."""
+        vs = self.versions()
+        keep_vs = vs[-retain_last:]
+        live = set()
+        for v in keep_vs:
+            live.update(f["path"] for f in self.manifest(v)["files"])
+        deleted = []
+        for path in sorted(self._list_parquet() - live):
+            os.remove(path)
+            deleted.append(path)
+        for v in vs[:-retain_last]:
+            os.remove(os.path.join(self._mdir, f"v{v}.json"))
+        return deleted

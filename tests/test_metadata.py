@@ -74,3 +74,49 @@ def test_double_create_refuses(spark, events, tmp_path):
     t.create(events)
     with pytest.raises(FileExistsError):
         t.create(events)
+
+
+def test_stat_filter_skips_files_by_zone_map(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    lo = spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double")
+    hi = spark.createDataFrame([(i, float(i)) for i in range(100, 110)], "id long, v double")
+    t.create(lo.coalesce(1))
+    t.append(hi.coalesce(1))
+    man = t.manifest()
+    assert all("stats" in f and "v" in f["stats"] for f in man["files"])
+    # predicate v >= 100: only the hi file can match
+    pruned = t.read(stat_filter={"v": (100.0, None)})
+    assert sorted(r.id for r in pruned.collect()) == list(range(100, 110))
+    # files actually handed to Spark: 1 of 2
+    matching = [
+        f for f in man["files"]
+        if not (f["stats"]["v"]["max"] < 100.0)
+    ]
+    assert len(matching) == 1 and len(man["files"]) == 2
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(i, "2024-01-0" + str(1 + i % 2)) for i in range(20)], "id long, day string"
+    )
+    t.create(base.repartition(4), partition_by=["day"])
+    for _ in range(3):
+        t.append(base.limit(5).repartition(2))
+    n_before = len(t.manifest()["files"])
+    v = t.compact(files_per_partition=1)
+    n_after = len(t.manifest(v)["files"])
+    assert n_after < n_before
+    assert n_after == 2  # one file per day partition
+    assert t.read().count() == 35
+
+
+def test_vacuum_drops_old_versions_and_dead_files(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, "x")], "id long, k string")
+    t.create(df)
+    t.overwrite(spark.createDataFrame([(2, "y")], "id long, k string"))
+    deleted = t.vacuum(retain_last=1)
+    assert deleted, "vacuum should delete the dead v0 file"
+    assert t.versions() == [t.latest_version()]
+    assert [r.id for r in t.read().collect()] == [2]
