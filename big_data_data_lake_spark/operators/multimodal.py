@@ -56,3 +56,66 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blo
             )
 
     return df.select(id_col, blob_col).mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, resized binary"
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Image resize plumbing over Arrow batches. The pixel resample
+    needs PIL (absent here), so the batch op produces a deterministic
+    fake: the blob truncated/padded to target_w*target_h bytes — the
+    schema, batch iterator, and output column shapes are exactly what
+    the PIL-backed body would produce."""
+
+    n = target_w * target_h
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[blob_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": target_w,
+                    "height": target_h,
+                    "resized": blobs.map(lambda b: bytes(b[:n]).ljust(n, b"\0")),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    frame_bytes: int = 16,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Video frame sampling plumbing (1 row in → n_frames rows out —
+    the flatMap shape a real ffmpeg-backed sampler has). Frames are
+    deterministic equally-spaced byte slices of the blob standing in
+    for decoded keyframes."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                step = max(1, len(blob) // n_frames)
+                for i in range(n_frames):
+                    start = i * step
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    frames.append(bytes(blob[start : start + frame_bytes]))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, blob_col).mapInPandas(op, schema=FRAME_SAMPLE_SCHEMA)

@@ -89,3 +89,22 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     approx = {(r.qid, r.nid) for r in REG["ann_ivf_topk"].fn(spark, SF).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.25, f"IVF ANN recall collapsed: {recall:.2f}"
+
+
+def test_resize_plumbing_shapes(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = mm.resize_images(mm.attach_blob(docs), target_w=8, target_h=8)
+    rows = out.limit(5).collect()
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,width:int,height:int,resized:binary>"
+    )
+    assert all(len(r.resized) == 64 for r in rows)
+
+
+def test_frame_sample_is_one_to_n(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    out = mm.sample_frames(mm.attach_blob(docs), n_frames=4, frame_bytes=8)
+    assert out.count() == n_docs * 4
+    one = out.where(F.col("doc_id") == out.first().doc_id).collect()
+    assert sorted(r.frame_idx for r in one) == [0, 1, 2, 3]
