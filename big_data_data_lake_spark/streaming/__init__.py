@@ -1,8 +1,10 @@
 from .ingest import (
     bronze_to_silver,
     kafka_source,
+    lake_table_sink,
     latest_wins_dedup,
     micro_batch_writer,
+    normalize_payloads,
     parse_state_vectors,
     windowed_counts,
 )
@@ -10,8 +12,10 @@ from .ingest import (
 __all__ = [
     "bronze_to_silver",
     "kafka_source",
+    "lake_table_sink",
     "latest_wins_dedup",
     "micro_batch_writer",
+    "normalize_payloads",
     "parse_state_vectors",
     "windowed_counts",
 ]

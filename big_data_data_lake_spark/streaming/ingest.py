@@ -51,6 +51,34 @@ def kafka_source(
     )
 
 
+def normalize_payloads(raw: DataFrame, payload_col: str = "value") -> DataFrame:
+    """Format detection (consumer.py:161-173): a payload may be a dict
+    ``{"states": [[...], ...]}``, a batch list-of-vectors, or one flat
+    vector. Emit one row per state vector, re-serialized as a flat
+    JSON array so ``parse_state_vectors`` composes unchanged.
+
+    The reference's ``isinstance`` chain becomes prefix dispatch on the
+    serialized form — all three branches are one codegen'd expression,
+    and non-matching payloads yield zero rows (its ``continue``).
+    """
+    s = F.trim(F.col(payload_col).cast("string"))
+    empty = F.array().cast("array<array<string>>")
+    is_dict = s.startswith("{")
+    is_nested = s.rlike(r"^\[\s*\[")
+    is_flat = s.startswith("[") & ~is_nested
+    as_dict = F.from_json(s, "struct<states: array<array<string>>>")
+    as_nested = F.from_json(s, "array<array<string>>")
+    as_flat = F.from_json(s, "array<string>")
+    vectors = (
+        F.when(is_dict, F.coalesce(as_dict["states"], empty))
+        .when(is_nested, F.coalesce(as_nested, empty))
+        .when(is_flat & as_flat.isNotNull(), F.array(as_flat))
+        .otherwise(empty)
+    )
+    out = raw.withColumn("__vec", F.explode(vectors)).where(F.col("__vec").isNotNull())
+    return out.withColumn(payload_col, F.to_json("__vec")).drop("__vec")
+
+
 def parse_state_vectors(raw: DataFrame, payload_col: str = "value") -> DataFrame:
     """P1+F8 — raw JSON array payload → typed named columns
     (consumer.py:66-100,161-173).

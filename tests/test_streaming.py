@@ -226,3 +226,29 @@ def test_lake_table_sink_commits_batch_aligned_versions(spark, tmpdir):
     assert sorted(r.id for r in table.read().collect()) == [0, 1, 2, 3, 4, 99]
     # manifest-side pruning on the new partition
     assert [r.id for r in table.read(partition_filter={"day": "2024-01-02"}).collect()] == [99]
+
+
+def test_payload_format_detection(spark):
+    """consumer.py:161-173 — dict {'states': [...]}, batch
+    list-of-vectors, and flat single-vector payloads all normalize to
+    one row per state; junk payloads contribute zero rows."""
+    from big_data_data_lake_spark.streaming.ingest import (
+        normalize_payloads,
+        parse_state_vectors,
+    )
+
+    payloads = [
+        (json.dumps({"states": [_sv("AAA111", 100), _sv("BBB222", 200)]}),),
+        (json.dumps([_sv("CCC333", 300), _sv("DDD444", 400)]),),
+        (json.dumps(_sv("EEE555", 500)),),
+        ('{"states": null}',),
+        ('"garbage"',),
+        ('{"other": 1}',),
+    ]
+    raw = spark.createDataFrame(payloads, "value string")
+    parsed = parse_state_vectors(normalize_payloads(raw))
+    got = sorted((r.icao24, r.last_contact) for r in parsed.collect())
+    assert got == [
+        ("aaa111", 100), ("bbb222", 200), ("ccc333", 300),
+        ("ddd444", 400), ("eee555", 500),
+    ]
