@@ -56,7 +56,9 @@ def get_spark(
         # used on every known-small dimension.
         .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs every task thread inside the driver JVM — size
+        # the heap for all of them, not for a lone driver process
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():
