@@ -280,3 +280,45 @@ class LakeTable:
         for v in vs[:-retain_last]:
             os.remove(os.path.join(self._mdir, f"v{v}.json"))
         return deleted
+
+    def upsert(self, df: DataFrame, keys: list[str]) -> int:
+        """Copy-on-write MERGE: rows in ``df`` replace same-key rows;
+        new keys append. Only files whose zone-map range on
+        ``keys[0]`` can intersect the incoming key range are
+        rewritten — untouched files carry over into the new manifest
+        by reference, which is what keeps a point-update cheap on a
+        100 TB table. Exactness comes from the anti-join; the stats
+        pruning is a strict superset of the files that contain
+        matches."""
+        prev = self.manifest()
+        k0 = keys[0]
+        bounds = df.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+
+        def may_contain(f: dict) -> bool:
+            st = f.get("stats", {}).get(k0)
+            if st is None or lo is None:
+                return True  # no stats -> must assume a match
+            return not (st["min"] > hi or st["max"] < lo)
+
+        touched = [f for f in prev["files"] if may_contain(f)]
+        untouched = [f for f in prev["files"] if not may_contain(f)]
+
+        if touched:
+            old = self.spark.read.option("basePath", self.path).parquet(
+                *[f["path"] for f in touched]
+            )
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(prev["schema_json"])
+            old = old.select([F.col(f.name).cast(f.dataType) for f in schema.fields])
+            survivors = old.join(df.select(*keys), on=keys, how="left_anti")
+            rewritten = survivors.unionByName(df)
+        else:
+            rewritten = df
+        new_files = self._write_files(rewritten, prev["partition_by"])
+        v = self.latest_version() + 1
+        self._commit(
+            v, self._new_manifest(df, untouched + new_files, prev["partition_by"])
+        )
+        return v

@@ -120,3 +120,26 @@ def test_vacuum_drops_old_versions_and_dead_files(spark, tmp_path):
     assert deleted, "vacuum should delete the dead v0 file"
     assert t.versions() == [t.latest_version()]
     assert [r.id for r in t.read().collect()] == [2]
+
+
+def test_upsert_rewrites_only_matching_files(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    lo = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, val string")
+    hi = spark.createDataFrame([(i, f"v{i}") for i in range(100, 110)], "id long, val string")
+    t.create(lo.coalesce(1))
+    t.append(hi.coalesce(1))
+    before = t.manifest()
+    lo_file = next(f["path"] for f in before["files"] if f["stats"]["id"]["max"] < 100)
+
+    up = spark.createDataFrame([(105, "NEW"), (200, "APPENDED")], "id long, val string")
+    v = t.upsert(up, keys=["id"])
+    after = t.manifest(v)
+
+    # the low-range file was untouched: same path carried by reference
+    assert lo_file in {f["path"] for f in after["files"]}
+    got = {r.id: r.val for r in t.read().collect()}
+    assert got[105] == "NEW" and got[200] == "APPENDED" and got[5] == "v5"
+    assert len(got) == 21  # 10 + 10 + 1 appended, 105 replaced not duplicated
+    # time travel still sees the pre-merge value
+    old = {r.id: r.val for r in t.read(version=v - 1).collect()}
+    assert old[105] == "v105" and 200 not in old
