@@ -807,3 +807,40 @@ def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+FILE_TS_PARSE_ORACLE = """
+SELECT fname,
+       strftime(strptime(substr(fname, 11, 15), '%Y%m%d_%H%M%S'),
+                '%Y-%m-%d %H:%M:%S') AS file_ts
+FROM (
+    SELECT 'processed_' || strftime(ts, '%Y%m%d_%H%M%S') || '.csv' AS fname
+    FROM events
+    WHERE event_id < 20
+)
+ORDER BY fname
+"""
+
+
+@register("file_ts_parse", FILE_TS_PARSE_ORACLE)
+def file_ts_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — the reference embeds state in filenames
+    (``processed_<yyyyMMdd_HHmmss>.csv``, consumer.py:121) and parses
+    it back downstream (dashboard.py:73-85). Round-trip both
+    directions as codegen'd expressions: format a name from the event
+    time, then parse the embedded timestamp back out."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 20)
+    named = ev.select(
+        F.concat(
+            F.lit("processed_"),
+            F.date_format("ts", "yyyyMMdd_HHmmss"),
+            F.lit(".csv"),
+        ).alias("fname")
+    )
+    return named.select(
+        "fname",
+        F.date_format(
+            F.to_timestamp(F.substring("fname", 11, 15), "yyyyMMdd_HHmmss"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("file_ts"),
+    ).orderBy("fname")
