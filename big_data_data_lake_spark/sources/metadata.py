@@ -177,9 +177,43 @@ class LakeTable:
         self._commit(0, self._new_manifest(df, files, pb, extra))
         return 0
 
-    def append(self, df: DataFrame, extra: dict | None = None) -> int:
-        """New version = previous file set + new files (no rewrite)."""
+    def append(
+        self,
+        df: DataFrame,
+        extra: dict | None = None,
+        merge_schema: bool = False,
+    ) -> int:
+        """New version = previous file set + new files (no rewrite).
+
+        ``merge_schema=True`` allows additive evolution: ``df`` may
+        carry new columns (the manifest schema widens; old files read
+        back with nulls for them), and may omit existing columns
+        (filled with nulls on write). Type changes and column renames
+        are rejected — those are rewrites, not appends."""
+        from pyspark.sql.types import StructType
+
         prev = self.manifest()
+        prev_schema = StructType.fromJson(prev["schema_json"])
+        if merge_schema:
+            for f in prev_schema.fields:
+                if f.name in df.columns:
+                    if df.schema[f.name].dataType != f.dataType:
+                        raise ValueError(
+                            f"type change on {f.name} is not additive evolution"
+                        )
+                else:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            merged = StructType(
+                list(prev_schema.fields)
+                + [f for f in df.schema.fields if f.name not in prev_schema.names]
+            )
+            df = df.select([F.col(f.name) for f in merged.fields])
+        elif df.schema != prev_schema:
+            raise ValueError(
+                "append schema differs from table schema; pass merge_schema=True "
+                f"for additive evolution. table={prev_schema.simpleString()} "
+                f"df={df.schema.simpleString()}"
+            )
         files = self._write_files(df, prev["partition_by"])
         v = self.latest_version() + 1
         man = self._new_manifest(df, prev["files"] + files, prev["partition_by"], extra)
@@ -236,12 +270,21 @@ class LakeTable:
             files = [f for f in files if may_match(f)]
         if not files:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.option("basePath", self.path).parquet(
-            *[f["path"] for f in files]
+        df = (
+            self.spark.read.option("basePath", self.path)
+            .option("mergeSchema", "true")  # files may pre-date evolved columns
+            .parquet(*[f["path"] for f in files])
         )
         # pin column order and partition-column types back to the
-        # declared schema (path-derived partition values are inferred)
-        return df.select([F.col(f.name).cast(f.dataType) for f in schema.fields])
+        # declared schema (path-derived partition values are inferred;
+        # columns newer than a file read back as nulls)
+        cols = [
+            F.col(f.name).cast(f.dataType)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        return df.select(cols)
 
     def row_count(self, version: int | None = None) -> int:
         """Manifest-only row count — answers count(*) without touching

@@ -143,3 +143,25 @@ def test_upsert_rewrites_only_matching_files(spark, tmp_path):
     # time travel still sees the pre-merge value
     old = {r.id: r.val for r in t.read(version=v - 1).collect()}
     assert old[105] == "v105" and 200 not in old
+
+
+def test_append_with_schema_evolution(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "id long, k string"))
+    # incompatible append rejected without the flag
+    widened = spark.createDataFrame([(2, "b", 9.5)], "id long, k string, score double")
+    with pytest.raises(ValueError):
+        t.append(widened)
+    t.append(widened, merge_schema=True)
+    got = {r.id: (r.k, r.score) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+    # dropping a column on a later append back-fills nulls
+    t.append(spark.createDataFrame([(3, 7.0)], "id long, score double"), merge_schema=True)
+    got = {r.id: (r.k, r.score) for r in t.read().collect()}
+    assert got[3] == (None, 7.0)
+    # type change is refused
+    with pytest.raises(ValueError):
+        t.append(
+            spark.createDataFrame([(4, 1, 2.0)], "id long, k int, score double"),
+            merge_schema=True,
+        )
