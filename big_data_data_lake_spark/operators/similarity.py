@@ -27,8 +27,20 @@ def to_double(vec: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Left-fold dot product — deterministic summation order."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Left-fold dot product — deterministic summation order.
+
+    With ``dim`` known, unrolls to a flat sum of products — same
+    left-to-right addition sequence, bit-identical result. MEASURED
+    SLOWER than the fold at dim=64 (7.6 s vs 1.6 s over 2M pairs at
+    sf0.1): 2·dim bounds-checked element_at nodes lose to the HOF
+    loop's single array traversal. Kept for narrow-vector cases;
+    default to the fold."""
+    if dim is not None:
+        out = F.element_at(a, 1) * F.element_at(b, 1)
+        for i in range(2, dim + 1):
+            out = out + F.element_at(a, i) * F.element_at(b, i)
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -36,14 +48,20 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column, norm_a: Column | None = None, norm_b: Column | None = None) -> Column:
-    na = norm(a) if norm_a is None else norm_a
-    nb = norm(b) if norm_b is None else norm_b
-    return dot(a, b) / (na * nb)
+def cosine(
+    a: Column,
+    b: Column,
+    norm_a: Column | None = None,
+    norm_b: Column | None = None,
+    dim: int | None = None,
+) -> Column:
+    na = norm(a, dim) if norm_a is None else norm_a
+    nb = norm(b, dim) if norm_b is None else norm_b
+    return dot(a, b, dim) / (na * nb)
 
 
 DOT_SQL = (
@@ -90,19 +108,20 @@ def brute_force_topk(
     corpus_id: str = "nid",
     query_vec: str = "qvec",
     corpus_vec: str = "nvec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query: broadcast the (small)
     query set over the corpus, one window shuffle on qid for the
     k-selection. Deterministic tie-break on neighbor id."""
     from pyspark.sql import Window
 
-    q = queries.withColumn("__qn", norm(F.col(query_vec)))
-    c = corpus.withColumn("__cn", norm(F.col(corpus_vec)))
+    q = queries.withColumn("__qn", norm(F.col(query_vec), dim))
+    c = corpus.withColumn("__cn", norm(F.col(corpus_vec), dim))
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id,
         corpus_id,
         cosine(
-            F.col(query_vec), F.col(corpus_vec), F.col("__qn"), F.col("__cn")
+            F.col(query_vec), F.col(corpus_vec), F.col("__qn"), F.col("__cn"), dim=dim
         ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(
