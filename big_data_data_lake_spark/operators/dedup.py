@@ -46,15 +46,30 @@ ROWS_PER_BAND = N_MINHASH // N_BANDS
 N_SIMHASH_BITS = 32
 
 
+def _gram_starts(arr: Column, n: int) -> Column:
+    """1-based start indices of each n-gram, [] when the document is
+    shorter than n tokens. The guard matters under ANSI mode:
+    ``sequence(1, size-n+1)`` counts DOWN when size < n (e.g.
+    sequence(1,0) = [1,0]) and the subsequent element_at(toks, 0/OOB)
+    throws — whereas DuckDB's generate_series(1, len-n+1) is empty for
+    the same row. Empty-on-short keeps both engines aligned and makes
+    one-token/empty documents yield an empty shingle set instead of a
+    job-killing INVALID_ARRAY_INDEX error."""
+    return F.when(
+        F.size(arr) >= n, F.sequence(F.lit(1), F.size(arr) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def shingles(text: Column | str, n: int = 2) -> Column:
-    """Distinct word n-gram shingles of a document."""
+    """Distinct word n-gram shingles of a document; [] when the
+    document has fewer than n tokens (matches generate_series)."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(c, " ")
     if n == 1:
         return F.array_distinct(toks)
-    # element_at is 1-based; sequence(1, size-n+1) indexes each shingle start
+    # element_at is 1-based; _gram_starts guards the short-doc case
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        _gram_starts(toks, n),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
         ),
@@ -117,7 +132,7 @@ def shingle_hashes(text: Column | str, n: int = 2) -> Column:
             )
         return acc
 
-    return F.array_distinct(F.transform(F.sequence(F.lit(1), F.size(th) - (n - 1)), gram))
+    return F.array_distinct(F.transform(_gram_starts(th, n), gram))
 
 
 TOKEN_HASHES_SQL = (
@@ -177,12 +192,16 @@ def _bit_vote(j: int):
 
 def simhash(hash_arr: Column, bits: int = N_SIMHASH_BITS) -> Column:
     """SimHash sketch: bit j set iff the sum over tokens of
-    (2*bit_j(h)-1) is non-negative. Row-local."""
+    (2*bit_j(h)-1) is non-negative. Row-local.
+
+    An empty hash set sketches to 0 — matching the oracle SQL, where
+    list_sum over an empty list is NULL so every CASE votes 0 (a
+    fold-from-zero would instead set all bits via 0 >= 0)."""
     out = F.lit(0).cast("long")
     for j in range(bits):
         bit_sum = F.aggregate(hash_arr, F.lit(0).cast("long"), _bit_vote(j))
         out = out + F.when(bit_sum >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
-    return out
+    return F.when(F.size(hash_arr) > 0, out).otherwise(F.lit(0).cast("long"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -57,6 +57,53 @@ def test_planted_near_dups_found(spark):
     )
 
 
+@pytest.fixture(scope="module")
+def degenerate_sf_dir(spark, tmp_path_factory):
+    """An sf dir whose documents table carries degenerate rows (empty
+    text, one token, two tokens) alongside the real corpus — the rows
+    that used to throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT in the
+    shingle expressions under ANSI mode."""
+    import os
+
+    src = SF
+    dst = tmp_path_factory.mktemp("degenerate_sf")
+    for name in os.listdir(src):
+        if name != "documents.parquet":
+            os.symlink(os.path.join(src, name), dst / name)
+    import duckdb
+
+    duckdb.sql(
+        f"""
+        COPY (
+            SELECT * FROM '{src}/documents.parquet'
+            UNION ALL
+            SELECT * FROM (VALUES
+                (9001, '', 'en', 'degenerate', 0),
+                (9002, 'solo', 'en', 'degenerate', 4),
+                (9003, 'two tokens', 'en', 'degenerate', 10),
+                (9004, 'two tokens', 'en', 'degenerate', 10)
+            ) t(doc_id, text, lang, source, n_chars)
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(dst)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_signatures", "simhash_near_dups"],
+)
+def test_shingle_queries_survive_short_documents(spark, degenerate_sf_dir, name):
+    """Empty / one-token documents must neither crash the shingle
+    expressions (Spark's sequence(1,0) counts DOWN; element_at throws
+    under ANSI) nor diverge from the oracle, whose generate_series is
+    empty for the same rows."""
+    from big_data_data_lake_spark.testing import check_query
+
+    issues = check_query(spark, name, sf_dir=degenerate_sf_dir)
+    assert not issues, f"{name}: " + "; ".join(issues)
+
+
 def test_decode_image_is_a_loud_stub():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG")
