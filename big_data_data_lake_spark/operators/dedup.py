@@ -208,6 +208,113 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+# Chunk banding for Hamming-distance candidate generation. With the
+# sketch split into C equal chunks and a Hamming budget of H < C, any
+# pair within the budget has at most H differing chunks, so at least
+# C - H > 0 chunks match EXACTLY (pigeonhole) — an equi-join on
+# (chunk_idx, chunk_val) finds every qualifying pair with zero false
+# negatives, replacing the O(n²) all-pairs scan with a bucketed
+# shuffle. 8 chunks > the Hamming budget of 6 used by
+# simhash_near_dups. At 100 TB widen the sketch (e.g. 63 bits) so
+# chunks carry more bits (~8-9) and buckets stay small; the code below
+# is width-agnostic.
+N_SIMHASH_CHUNKS = 8
+
+
+def simhash_chunks(
+    h: Column, bits: int = N_SIMHASH_BITS, n_chunks: int = N_SIMHASH_CHUNKS
+) -> Column:
+    """Array of (ci, cv) structs: the sketch split into ``n_chunks``
+    equal bit slices for pigeonhole candidate banding. Row-local."""
+    width = bits // n_chunks
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright(h, i * width).bitwiseAND(F.lit(mask)).alias("cv"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generated Spark-SQL expression strings (same constants, same arithmetic)
+#
+# The Column-combinator functions above are the composable API; the hot
+# query paths use these string generators instead because one
+# ``selectExpr`` ships the whole expression to the JVM in a single py4j
+# call and parses there — measured >2x faster end-to-end than building
+# the identical tree node-by-node from Python (thousands of py4j round
+# trips). Values are bit-identical to the Column versions (asserted by
+# the DuckDB oracle parity suite, which is generated from the same
+# constants below).
+# ---------------------------------------------------------------------------
+
+
+def spark_token_hashes_expr(text: str = "text") -> str:
+    """Spark-SQL: per-token polynomial char hashes of ``text``."""
+    return (
+        f"transform(split({text}, ' '), t -> aggregate(split(t, ''), 0L, "
+        f"(acc, c) -> (acc * 31 + ascii(c)) % {MERSENNE_P}))"
+    )
+
+
+def _spark_gram_starts(arr: str, n: int) -> str:
+    """Spark-SQL twin of ``_gram_starts`` (same ANSI-mode guard)."""
+    return (
+        f"CASE WHEN size({arr}) >= {n} THEN sequence(1, size({arr}) - {n - 1}) "
+        f"ELSE CAST(array() AS array<int>) END"
+    )
+
+
+def _spark_gram_at(arr: str, j: int) -> str:
+    return f"element_at({arr}, i)" if j == 0 else f"element_at({arr}, CAST(i + {j} AS int))"
+
+
+def spark_shingles_expr(n: int = 2, toks: str = "t") -> str:
+    """Spark-SQL: distinct word n-gram shingles over a token array."""
+    if n == 1:
+        return f"array_distinct({toks})"
+    parts = ", ".join(_spark_gram_at(toks, j) for j in range(n))
+    return (
+        f"array_distinct(transform({_spark_gram_starts(toks, n)}, "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+
+
+def spark_shingle_hashes_expr(n: int = 2, th: str = "th") -> str:
+    """Spark-SQL: distinct hashed n-gram shingles over token hashes
+    (identical affine fold to ``shingle_hashes``)."""
+    if n == 1:
+        return f"array_distinct({th})"
+    acc = "0L"
+    for j in range(n):
+        acc = f"(({acc}) * {SHINGLE_COMBINE} + {_spark_gram_at(th, j)}) % {MERSENNE_P}"
+    return f"array_distinct(transform({_spark_gram_starts(th, n)}, i -> {acc}))"
+
+
+def spark_minhash_sig_exprs(hs: str = "hs") -> list[str]:
+    """Spark-SQL: the N_MINHASH signature columns ``s0..s{K-1}``."""
+    return [
+        f"array_min(transform({hs}, h -> ({a}L * h + {b}) % {MERSENNE_P})) AS s{k}"
+        for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
+def spark_simhash_expr(hs: str = "hs", bits: int = N_SIMHASH_BITS) -> str:
+    """Spark-SQL: the simhash sketch (same bit-majority votes, same
+    empty-set => 0 definition as ``simhash``)."""
+    terms = [
+        f"CASE WHEN aggregate({hs}, 0L, (acc, h) -> "
+        f"acc + (CAST((shiftright(h, {j}) & 1) AS BIGINT) * 2 - 1)) >= 0 "
+        f"THEN {1 << j}L ELSE 0L END"
+        for j in range(bits)
+    ]
+    return f"CASE WHEN size({hs}) > 0 THEN ({' + '.join(terms)}) ELSE 0L END"
+
+
 # ---------------------------------------------------------------------------
 # Generated oracle SQL fragments (same constants, same arithmetic)
 # ---------------------------------------------------------------------------

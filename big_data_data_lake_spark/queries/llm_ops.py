@@ -240,7 +240,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist the shingle arrays BEFORE the explode: Generate
     # re-evaluates an unmaterialized input expression once per output
     # row (~|shingles|x the work); from cache it is a plain attribute.
-    sh = docs.select("doc_id", dd.shingles("text", 2).alias("s")).persist()
+    sh = (
+        docs.selectExpr("doc_id", "split(text, ' ') AS t")
+        .selectExpr("doc_id", dd.spark_shingles_expr(2) + " AS s")
+        .persist()
+    )
     ex = sh.select("doc_id", F.explode("s").alias("g")).persist()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
@@ -288,43 +292,45 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     over bigram shingles (row-local), 16x2 LSH banding, band-bucket
     self-join for candidates, signature-agreement filter >= 0.5.
 
-    The scale shape: signatures never shuffle; the only shuffle is the
-    equi-join on (band, bkey) whose fan-out is governed by band width.
-    Constants are shared verbatim with the oracle SQL (dedup.py)."""
+    The scale shape: the only shuffles are the equi-join on
+    (band, bkey) — fan-out governed by band width — and a dedup of the
+    (already agreement-filtered, tiny) survivor set. Signatures ride
+    along through the band join (32 longs next to each band key), so
+    no join back to the signature table is ever needed: agreement is
+    checked inline on the join output. Pairs colliding in k bands are
+    scored k times (32 integer compares — cheap) and deduped after the
+    filter, where the set is smallest. Constants are shared verbatim
+    with the oracle SQL (dedup.py)."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    hs = docs.select("doc_id", dd.shingle_hashes("text", 2).alias("hs"))
+    hs = docs.selectExpr(
+        "doc_id", dd.spark_token_hashes_expr() + " AS th"
+    ).selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
     # Signatures are the expensive row-local lineage; persist so the
-    # band self-join (2 branches) and the sx/sy agreement lookups (2
-    # more) compute them exactly once.
-    sig = hs.select("doc_id", *dd.minhash_signature(F.col("hs"))).persist()
-    bands = sig.select("doc_id", F.explode(dd.minhash_bands()).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    # band self-join's two branches compute them exactly once.
+    sig = hs.selectExpr("doc_id", *dd.spark_minhash_sig_exprs()).persist()
+    bands = sig.select("*", F.explode(dd.minhash_bands()).alias("bk")).select(
+        "*", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
+    a = bands.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"s{k}").alias(f"x{k}") for k in range(dd.N_MINHASH)],
+        "band",
+        "bkey",
     )
-    sx = sig.select(
-        F.col("doc_id").alias("d1"), *[F.col(f"s{k}").alias(f"x{k}") for k in range(dd.N_MINHASH)]
-    )
-    sy = sig.select(
-        F.col("doc_id").alias("d2"), *[F.col(f"s{k}").alias(f"y{k}") for k in range(dd.N_MINHASH)]
+    b = bands.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"s{k}").alias(f"y{k}") for k in range(dd.N_MINHASH)],
+        "band",
+        "bkey",
     )
     est = sum(
         (F.col(f"x{k}") == F.col(f"y{k}")).cast("int") for k in range(dd.N_MINHASH)
     ) / float(dd.N_MINHASH)
     return (
-        cand.join(sx, "d1")
-        .join(sy, "d2")
-        .where(est >= 0.5)
+        a.join(b, ["band", "bkey"])
+        .where((F.col("d1") < F.col("d2")) & (est >= 0.5))
         .select("d1", "d2", F.round(est, 4).alias("est_sim"))
+        .dropDuplicates(["d1", "d2"])
     )
 
 
@@ -342,8 +348,11 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local bit-majority of portable token hashes; the dedup key a
     crawler stores per document."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    hs = docs.select("doc_id", dd.shingle_hashes("text", 2).alias("hs")).persist()
-    return hs.select("doc_id", dd.simhash(F.col("hs")).alias("sh32"))
+    return (
+        docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
+        .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
+        .selectExpr("doc_id", dd.spark_simhash_expr() + " AS sh32")
+    )
 
 
 SIMHASH_NEAR_DUPS_ORACLE = f"""
@@ -360,21 +369,39 @@ WHERE bit_count(xor(a.h, b.h)) <= 6
 @register("simhash_near_dups", SIMHASH_NEAR_DUPS_ORACLE)
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance <= 6 on the 32-bit
-    sketches. Small-corpus all-pairs here; at scale, band the sketch
-    into 4 chunks and equi-join on any-chunk-equal first (pigeonhole:
-    hamming<=6 pairs share a chunk within distance budget)."""
+    sketches, found WITHOUT an all-pairs scan. The sketch is split
+    into 8 chunks (> the Hamming budget of 6), so every qualifying
+    pair agrees exactly on at least one chunk (pigeonhole); the plan
+    is explode-to-chunks -> self-equi-join on (chunk_idx, chunk_val)
+    -> exact Hamming re-check -> dedup. Same answer as the all-pairs
+    definition (the oracle SQL keeps that form), but the only shuffles
+    are a bucketed equi-join and a dedup of the (small) survivor set —
+    the shape that survives 100 TB. At that scale widen the sketch so
+    chunks carry 8-9 bits and buckets stay tiny (dedup.py)."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    hs = docs.select("doc_id", dd.shingle_hashes("text", 2).alias("hs"))
-    # Persist the sketches so the all-pairs self-join's two branches
-    # don't each recompute the hash lineage.
-    sig = hs.select("doc_id", dd.simhash(F.col("hs")).alias("h")).persist()
-    a = sig.select(F.col("doc_id").alias("d1"), F.col("h").alias("h1"))
-    b = sig.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2"))
+    hs = docs.selectExpr(
+        "doc_id", dd.spark_token_hashes_expr() + " AS th"
+    ).selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
+    # Persist the sketches: the chunk self-join's two branches read
+    # the cached 8-byte sketches instead of recomputing hash lineage.
+    sig = hs.selectExpr("doc_id", dd.spark_simhash_expr() + " AS h").persist()
+    chunks = sig.select(
+        "doc_id", "h", F.explode(dd.simhash_chunks(F.col("h"))).alias("c")
+    ).select("doc_id", "h", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = chunks.select(
+        F.col("doc_id").alias("d1"), F.col("h").alias("h1"), "ci", "cv"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("d2"), F.col("h").alias("h2"), "ci", "cv"
+    )
     ham = dd.hamming64(F.col("h1"), F.col("h2"))
     return (
-        a.join(b, F.col("d1") < F.col("d2"))
-        .where(ham <= 6)
+        a.join(b, ["ci", "cv"])
+        .where((F.col("d1") < F.col("d2")) & (ham <= 6))
+        # a pair agreeing on k chunks surfaces k times — dedup the
+        # (already Hamming-filtered, tiny) survivor set
         .select("d1", "d2", ham.cast("int").alias("hamming"))
+        .dropDuplicates(["d1", "d2"])
     )
 
 
@@ -399,23 +426,63 @@ LIMIT 20
 """
 
 
+EMBEDDING_PAIR_BLOCKS = 16
+
+
 @register("embedding_topk_pairs", EMBEDDING_TOPK_PAIRS_ORACLE)
 def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup scan: exact top-20 most-similar pairs
-    (left-fold dot products, deterministic double math). The corpus
-    here is small; the scale path is ann_lsh_topk's bucketed variant."""
+    """Embedding-cosine near-dup scan: EXACT top-20 most-similar pairs
+    (left-fold dot products, deterministic double math).
+
+    Exact all-pairs is intrinsically O(n²) compute, but the *plan*
+    need not be a nested-loop join: vectors are hashed into B blocks
+    and each of the B(B+1)/2 unordered block pairs becomes one unit of
+    an equi-join on the composite key (bi, bj) — each side explodes to
+    the block pairs it participates in, so every join key holds
+    exactly one block × block square and work is uniform across keys
+    (joining on the right block alone would leave B skewed keys where
+    key j carries j+1 blocks of work). Memory per task is two blocks,
+    and Spark's TakeOrderedAndProject folds the top-20 per partition
+    before the driver merge. Pick B ≈ sqrt(cluster parallelism) at
+    scale; shuffle volume is ~B/2 replicas of each vector. For
+    sublinear candidate generation (approximate), see ann_lsh_topk."""
     emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     e = emb.select("vec_id", sim.to_double("embedding").alias("v"))
     # Persist vectors+norms so both pair-join branches skip the norm
     # computation. The fold-based dot is the measured-fastest exact
     # form (see sim.dot docstring on the unrolled variant).
-    en = e.withColumn("n", sim.norm(F.col("v"))).persist()
-    a = en.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"), F.col("n").alias("n1"))
-    b = en.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"), F.col("n").alias("n2"))
-    c = sim.cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2"))
+    nb = EMBEDDING_PAIR_BLOCKS
+    en = (
+        e.withColumn("n", sim.norm(F.col("v")))
+        .withColumn("blk", F.pmod(F.col("vec_id"), F.lit(nb)).cast("int"))
+        .persist()
+    )
+    a = en.select(
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+        F.col("blk").alias("bi"),
+    ).withColumn("bj", F.explode(F.sequence(F.col("bi"), F.lit(nb - 1))))
+    b = en.select(
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+        F.col("blk").alias("bj"),
+    ).withColumn("bi", F.explode(F.sequence(F.lit(0), F.col("bj"))))
+    c = sim.cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    # Pin shuffle-hash: the replicated corpus side must never be the
+    # build of a broadcast (the anti-scale plan AQE sometimes picks at
+    # toy SF), and sorting B² blocks for SMJ is pure overhead.
     return (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .select("id1", "id2", c.alias("c"))
+        a.join(b.hint("SHUFFLE_HASH"), ["bi", "bj"])
+        # i == j block pairs carry the triangle condition; i < j pairs
+        # are complete by construction (each unordered pair meets once)
+        .where((F.col("bi") < F.col("bj")) | (F.col("ida") < F.col("idb")))
+        .select(
+            F.least("ida", "idb").alias("id1"),
+            F.greatest("ida", "idb").alias("id2"),
+            c.alias("c"),
+        )
         .orderBy(F.round(F.col("c"), 6).desc(), "id1", "id2")
         .limit(20)
         .select("id1", "id2", F.round("c", 6).alias("cos_sim"))

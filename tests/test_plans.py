@@ -79,10 +79,21 @@ def test_range_band_join_broadcasts_band_dim(spark):
     assert plans.sort_merge_join_count(df) == 0
 
 
-def test_ngram_join_streams_big_side(spark):
-    """The inverted-index self-join must not shuffle both exploded
-    sides when one fits a broadcast (small-SF shape); at worst it may
-    SMJ — but never cartesian."""
-    df = _q(spark, "ngram_jaccard_pairs")
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ngram_jaccard_pairs",
+        "minhash_lsh_pairs",
+        "simhash_near_dups",
+        "embedding_topk_pairs",
+    ],
+)
+def test_pair_generation_never_plans_quadratic_join(spark, name):
+    """EVERY pair-generating query must be a bucketed equi-join
+    (inverted index / LSH bands / sketch chunks / block pairs) — never
+    a CartesianProduct and never a BroadcastNestedLoopJoin, which are
+    the same O(n²) work in different clothes."""
+    df = _q(spark, name)
     plan = plans.formatted_plan(df)
-    assert "CartesianProduct" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
