@@ -97,15 +97,25 @@ class LakeTable:
             return json.load(fh)
 
     def _commit(self, version: int, manifest: dict) -> None:
+        """Atomic put-if-absent of the version file. ``os.link`` fails
+        with EEXIST when the target exists, so two writers racing on
+        the same version cannot both win (an exists()-then-replace
+        check would be TOCTOU: both pass the check, the second
+        silently overwrites the first — a lost commit). This is the
+        create-exclusive primitive Delta's log protocol requires."""
         os.makedirs(self._mdir, exist_ok=True)
         tmp = os.path.join(self._mdir, f".v{version}.json.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
         final = os.path.join(self._mdir, f"v{version}.json")
-        if os.path.exists(final):
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise FileExistsError(
+                f"concurrent commit of version {version} at {self.path}"
+            ) from None
+        finally:
             os.remove(tmp)
-            raise FileExistsError(f"concurrent commit of version {version}")
-        os.replace(tmp, final)
 
     # ------------------------------------------------------------- writes
 
@@ -163,6 +173,19 @@ class LakeTable:
             out.update(extra)
         return out
 
+    def _carry(self, prev: dict, extra: dict | None) -> dict | None:
+        """Streaming replay metadata must outlive maintenance commits:
+        the exactly-once guard in ``lake_table_sink`` reads
+        ``batch_id`` from the LATEST manifest, so a compact/overwrite/
+        upsert between micro-batches that dropped it would reset the
+        high-water mark to -1 and let a replayed batch append twice.
+        Every new manifest therefore carries the previous one's
+        ``batch_id`` forward unless ``extra`` explicitly overrides."""
+        out = {k: prev[k] for k in ("batch_id",) if k in prev}
+        if extra:
+            out.update(extra)
+        return out or None
+
     def create(
         self,
         df: DataFrame,
@@ -216,7 +239,9 @@ class LakeTable:
             )
         files = self._write_files(df, prev["partition_by"])
         v = self.latest_version() + 1
-        man = self._new_manifest(df, prev["files"] + files, prev["partition_by"], extra)
+        man = self._new_manifest(
+            df, prev["files"] + files, prev["partition_by"], self._carry(prev, extra)
+        )
         self._commit(v, man)
         return v
 
@@ -227,7 +252,10 @@ class LakeTable:
         prev = self.manifest()
         files = self._write_files(df, prev["partition_by"])
         v = self.latest_version() + 1
-        self._commit(v, self._new_manifest(df, files, prev["partition_by"]))
+        self._commit(
+            v,
+            self._new_manifest(df, files, prev["partition_by"], self._carry(prev, None)),
+        )
         return v
 
     # -------------------------------------------------------------- reads
@@ -270,14 +298,21 @@ class LakeTable:
             files = [f for f in files if may_match(f)]
         if not files:
             return self.spark.createDataFrame([], schema)
+        return self._read_files(schema, files)
+
+    def _read_files(self, schema, files: list[dict]) -> DataFrame:
+        """Read a manifest file list back to the declared schema:
+        mergeSchema tolerates files that pre-date evolved columns,
+        then column order and partition-column types are pinned back
+        (path-derived partition values are inferred; columns newer
+        than a file read back as nulls). Every internal reader of
+        manifest files — read() and upsert()'s touched-file path —
+        must go through this, or a schema-evolved table breaks them."""
         df = (
             self.spark.read.option("basePath", self.path)
-            .option("mergeSchema", "true")  # files may pre-date evolved columns
+            .option("mergeSchema", "true")
             .parquet(*[f["path"] for f in files])
         )
-        # pin column order and partition-column types back to the
-        # declared schema (path-derived partition values are inferred;
-        # columns newer than a file read back as nulls)
         cols = [
             F.col(f.name).cast(f.dataType)
             if f.name in df.columns
@@ -347,21 +382,31 @@ class LakeTable:
         touched = [f for f in prev["files"] if may_contain(f)]
         untouched = [f for f in prev["files"] if not may_contain(f)]
 
-        if touched:
-            old = self.spark.read.option("basePath", self.path).parquet(
-                *[f["path"] for f in touched]
-            )
-            from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructType
 
-            schema = StructType.fromJson(prev["schema_json"])
-            old = old.select([F.col(f.name).cast(f.dataType) for f in schema.fields])
-            survivors = old.join(df.select(*keys), on=keys, how="left_anti")
-            rewritten = survivors.unionByName(df)
+        schema = StructType.fromJson(prev["schema_json"])
+        if touched:
+            # go through the evolved-schema read path: touched files
+            # may pre-date added columns (a plain parquet read of them
+            # would fail the declared-schema select)
+            old = self._read_files(schema, touched)
+            base = old.join(df.select(*keys), on=keys, how="left_anti")
         else:
-            rewritten = df
+            base = self.spark.createDataFrame([], schema)
+        # columns df lacks null-fill from the declared schema; new df
+        # columns widen it (additive evolution, as in merge_schema
+        # append) — the manifest schema is taken from the union, so an
+        # upsert can never silently narrow the table
+        rewritten = base.unionByName(df, allowMissingColumns=True)
         new_files = self._write_files(rewritten, prev["partition_by"])
         v = self.latest_version() + 1
         self._commit(
-            v, self._new_manifest(df, untouched + new_files, prev["partition_by"])
+            v,
+            self._new_manifest(
+                rewritten,
+                untouched + new_files,
+                prev["partition_by"],
+                self._carry(prev, None),
+            ),
         )
         return v

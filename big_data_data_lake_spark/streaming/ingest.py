@@ -111,6 +111,7 @@ def latest_wins_dedup(
     key: str = "icao24",
     ts_col: str = "last_contact",
     ttl_s: int = DEDUP_TTL_S,
+    lateness_s: int = 10,
 ) -> DataFrame:
     """T3/T4/F9 — stateful latest-wins dedup with TTL, the producer's
     exact semantics (producer.py:84-96): emit a record iff its ts is
@@ -120,11 +121,24 @@ def latest_wins_dedup(
     the reference keeps the *newest* (SURVEY §7 risk 1) — so this is
     an ``applyInPandasWithState`` operator with a long-typed state.
     State is partitioned by key across executors; no global state.
+
+    The TTL is EVENT-time: a watermark on ``ts_col`` (held back by
+    ``lateness_s``) drives eviction at ``last_ts + ttl_s``, so which
+    records re-emit is a pure function of the data — replay from a
+    checkpoint reproduces the exact output (the reference's TTL is
+    wall-clock, producer.py:26, and its replays are not).
+
+    The latest-wins scan is vectorized: keep[i] = ts[i] >
+    running-max(state floor, ts[:i]) — one cummax over the batch, no
+    Python row loop, so high per-key fan-in stays Arrow-speed.
     """
+    import numpy as np
+
     out_schema = stream.schema
     state_schema = T.StructType([T.StructField("last_ts", T.LongType())])
 
     field_names = [f.name for f in out_schema.fields]
+    ttl_ms = ttl_s * 1000
 
     def dedup_fn(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: Any
@@ -133,31 +147,40 @@ def latest_wins_dedup(
             state.remove()
             return
         (last_ts,) = state.get if state.exists else (None,)
-        # Arrival order, NOT ts order: the producer emits iff the
-        # incoming record is newer than the keyed state at the moment
-        # it arrives (producer.py:89-96) — a stale record arriving
-        # after a newer one is dropped even within one batch.
-        batch = pd.concat(list(pdfs))
-        emitted = []
-        for _, row in batch.iterrows():
-            ts = int(row[ts_col])
-            if last_ts is None or ts > last_ts:
-                emitted.append(row)
-                last_ts = ts
-        if last_ts is not None:
-            state.update((last_ts,))
+        floor = np.int64(last_ts) if last_ts is not None else np.iinfo(np.int64).min
+        for batch in pdfs:
+            if not len(batch):
+                continue
+            ts = batch[ts_col].to_numpy(dtype="int64", copy=False)
+            # Arrival order, NOT ts order: the producer emits iff the
+            # incoming record is newer than the keyed state at the
+            # moment it arrives (producer.py:89-96) — a stale record
+            # arriving after a newer one is dropped even within one
+            # batch. Vectorized as a cummax mask.
+            prev_max = np.maximum.accumulate(np.concatenate(([floor], ts[:-1])))
+            keep = ts > prev_max
+            floor = max(floor, np.int64(ts.max()))
+            if keep.any():
+                yield batch.loc[keep, field_names]
+        if floor != np.iinfo(np.int64).min:
+            state.update((int(floor),))
             # TTL eviction (producer.py:26,84-86): idle keys expire so
-            # a long-quiet aircraft re-emits on return.
-            state.setTimeoutDuration(ttl_s * 1000)
-        if emitted:
-            yield pd.DataFrame(emitted)[field_names]
+            # a long-quiet aircraft re-emits on return. Event-time:
+            # fires when the watermark passes last_ts + ttl (clamped
+            # above the current watermark, as Spark requires).
+            state.setTimeoutTimestamp(
+                max(int(floor) * 1000 + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
 
-    return stream.groupBy(key).applyInPandasWithState(
+    with_evt = stream.withColumn(
+        "__evt", F.timestamp_seconds(F.col(ts_col))
+    ).withWatermark("__evt", f"{lateness_s} seconds")
+    return with_evt.groupBy(key).applyInPandasWithState(
         dedup_fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf="ProcessingTimeTimeout",
+        timeoutConf="EventTimeTimeout",
     )
 
 

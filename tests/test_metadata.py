@@ -165,3 +165,65 @@ def test_append_with_schema_evolution(spark, tmp_path):
             spark.createDataFrame([(4, 1, 2.0)], "id long, k int, score double"),
             merge_schema=True,
         )
+
+
+def test_commit_is_put_if_absent(spark, tmp_path):
+    """Two writers racing on the same version: exactly one wins, and
+    the loser's error does not clobber the winner's manifest (the
+    exists()-then-replace formulation was TOCTOU — both writers pass
+    the check and the second silently overwrites the first)."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "id long, k string"))
+    man_v1 = dict(t.manifest(), marker="winner")
+    t._commit(1, man_v1)
+    with pytest.raises(FileExistsError):
+        t._commit(1, dict(man_v1, marker="loser"))
+    assert t.manifest(1)["marker"] == "winner"
+    # tmp files are cleaned up on both paths
+    import os
+    assert not [f for f in os.listdir(t._mdir) if f.endswith(".tmp")]
+
+
+def test_batch_id_survives_maintenance_commits(spark, tmp_path):
+    """The streaming replay guard reads batch_id from the LATEST
+    manifest; compact/overwrite/upsert between micro-batches must
+    carry it forward or a replayed batch would be appended twice."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(4)], "id long, val string")
+    t.create(df, extra={"batch_id": 0})
+    t.append(spark.createDataFrame([(10, "x")], "id long, val string"),
+             extra={"batch_id": 1})
+    t.compact()
+    assert t.manifest()["batch_id"] == 1
+    t.overwrite(df)
+    assert t.manifest()["batch_id"] == 1
+    t.upsert(spark.createDataFrame([(2, "NEW")], "id long, val string"), keys=["id"])
+    assert t.manifest()["batch_id"] == 1
+    # a real micro-batch still advances it
+    t.append(spark.createDataFrame([(11, "y")], "id long, val string"),
+             extra={"batch_id": 2})
+    assert t.manifest()["batch_id"] == 2
+
+
+def test_upsert_after_schema_evolution(spark, tmp_path):
+    """Upserting a table whose touched files pre-date an added column
+    must read them through the evolved-schema path (null-fill), not
+    fail on a missing-column select."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string").coalesce(1))
+    t.append(
+        spark.createDataFrame([(3, "c", 9.5)], "id long, k string, score double"),
+        merge_schema=True,
+    )
+    # touches the v0 file (id range overlaps), which lacks `score`
+    v = t.upsert(
+        spark.createDataFrame([(2, "B", 1.5)], "id long, k string, score double"),
+        keys=["id"],
+    )
+    got = {r.id: (r.k, r.score) for r in t.read(version=v).collect()}
+    assert got == {1: ("a", None), 2: ("B", 1.5), 3: ("c", 9.5)}
+    # an upsert with a NARROWER frame null-fills and never narrows the
+    # table schema
+    t.upsert(spark.createDataFrame([(4,)], "id long"), keys=["id"])
+    got = {r.id: (r.k, r.score) for r in t.read().collect()}
+    assert got[4] == (None, None) and got[3] == ("c", 9.5)

@@ -84,8 +84,8 @@ def test_parse_state_vectors_filters_and_types(spark, tmpdir):
 
 def test_latest_wins_dedup_semantics(spark, tmpdir):
     """FIXTURES F-E #1: newer wins, stale out-of-order drops. (TTL
-    eviction is processing-time state timeout — the hasTimedOut path —
-    which a single availableNow run can't deterministically trigger.)"""
+    eviction is event-time — exercised across checkpointed restarts in
+    test_latest_wins_ttl_evicts_on_event_time.)"""
     batches = [
         _sv("aaa", 100),
         _sv("aaa", 150),   # newer -> emit
@@ -101,6 +101,52 @@ def test_latest_wins_dedup_semantics(spark, tmpdir):
     out = _run_stream_to_memory(spark, deduped, "dedup_sv").collect()
     got = sorted((r.icao24, r.last_contact) for r in out)
     assert got == [("aaa", 100), ("aaa", 150), ("aaa", 900), ("bbb", 50)]
+
+
+def test_latest_wins_ttl_evicts_on_event_time(spark, tmpdir):
+    """T4 as an EVENT-time TTL: eviction and late-drop depend only on
+    the data's timestamps (deterministic under replay), not wall-clock.
+
+    ttl=600s, lateness=10s. aaa@1000 sets a timeout at event-time
+    1600; once ccc@2000 pushes the watermark to 1990, aaa's state is
+    removed (observed via numRowsRemoved). A later stale aaa@900 sits
+    behind the watermark and is dropped as late input
+    (numRowsDroppedByWatermark) — never re-emitted. State size is
+    bounded by the TTL; emission = newer-than-state AND not-late.
+    """
+    import os
+
+    src, sink, ckpt = f"{tmpdir}/src", f"{tmpdir}/sink", f"{tmpdir}/ckpt"
+    os.makedirs(src)
+
+    def run_batch(fname, *svs):
+        with open(f"{src}/{fname}", "w") as fh:
+            fh.write("\n".join(json.dumps({"value": json.dumps(s)}) for s in svs))
+        raw = spark.readStream.schema("value string").json(src)
+        q = micro_batch_writer(
+            latest_wins_dedup(parse_state_vectors(raw), ttl_s=600),
+            sink, ckpt, available_now=True,
+        )
+        q.awaitTermination(120)
+        removed = dropped = 0
+        total = None
+        for p in q.recentProgress:
+            for so in p["stateOperators"]:
+                removed += so.get("numRowsRemoved", 0)
+                dropped += so.get("numRowsDroppedByWatermark", 0)
+                total = so.get("numRowsTotal", total)
+        return removed, dropped, total
+
+    run_batch("b0.jsonl", _sv("aaa", 1000))
+    removed, _, total = run_batch("b1.jsonl", _sv("ccc", 2000))
+    assert removed == 1 and total == 1          # aaa evicted at wm 1990
+    run_batch("b2.jsonl", _sv("ddd", 2500))
+    _, dropped, _ = run_batch("b3.jsonl", _sv("aaa", 900))
+    assert dropped == 1                          # stale row is late input
+
+    out = spark.read.schema(STATE_VECTOR_SCHEMA).parquet(sink)
+    got = sorted((r.icao24, r.last_contact) for r in out.collect())
+    assert got == [("aaa", 1000), ("ccc", 2000), ("ddd", 2500)]
 
 
 def test_bronze_to_silver_enrichment(spark, tmpdir):
