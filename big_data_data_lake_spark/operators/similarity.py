@@ -71,6 +71,41 @@ DOT_SQL = (
 NORM_SQL = "sqrt(" + DOT_SQL.format(a="{a}", b="{a}") + ")"
 
 
+def hyperplane_sig_sql(v: str = "v", n_planes: int = ANN_N_PLANES) -> str:
+    """DuckDB expression computing the identical hyperplane bucket id:
+    the plane weights are pure integer arithmetic and the projection is
+    the same left-fold over the same doubles, so the sign — hence the
+    bucket — matches Spark's bit for bit. This is what makes the LSH
+    ANN oracle-checkable rather than rows-only."""
+    terms = []
+    for j in range(n_planes):
+        w = f"((({j * 1_103_515_245} + i * 12345) % 2001 - 1000) / 1000.0)"
+        proj = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(0, len({v}) - 1), "
+            f"i -> {v}[i + 1] * {w})), (acc, x) -> acc + x)"
+        )
+        terms.append(f"CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+DIST2_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+    "(acc, v) -> acc + v)"
+)
+
+
+def dist2(a: Column, b: Column) -> Column:
+    """Squared L2 as the same left-fold DIST2_SQL runs — deterministic
+    double order, so centroid argmins agree across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def hyperplane_signature(vec: Column, n_planes: int = ANN_N_PLANES) -> Column:
     """Random-hyperplane LSH bucket id: bit j = sign of <w_j, x> with
     deterministic pseudo-random plane weights

@@ -210,14 +210,22 @@ def top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-duplicate detection (n-gram Jaccard / MinHash LSH / SimHash)
 # --------------------------------------------------------------------------
 
-NGRAM_JACCARD_ORACLE = f"""
+def _ngram_jaccard_oracle(max_df: int | None) -> str:
+    cap = (
+        f""",
+hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) > {max_df}),
+exc AS (SELECT * FROM ex WHERE g NOT IN (SELECT g FROM hot))"""
+        if max_df is not None
+        else ",\nexc AS (SELECT * FROM ex)"
+    )
+    return f"""
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (SELECT doc_id, {dd.shingles_sql(2)} AS s FROM tok),
-ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh){cap},
+sizes AS (SELECT doc_id, count(*) AS sz FROM exc GROUP BY doc_id),
 common AS (
     SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    FROM exc a JOIN exc b ON a.g = b.g AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
 SELECT d1, d2,
@@ -229,13 +237,13 @@ WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.3
 """
 
 
-@register("ngram_jaccard_pairs", NGRAM_JACCARD_ORACLE)
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact bigram-shingle Jaccard near-dup pairs via an inverted
-    index: explode shingles -> self-equi-join on shingle -> common
-    counts -> |A∩B|/|A∪B| >= 0.3. No O(n²): only docs sharing a
-    shingle ever meet (at 100 TB, cap document frequency per shingle
-    to bound hot-key fan-out)."""
+NGRAM_CAPPED_MAX_DF = 40
+
+
+def _ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, max_df: int | None = None
+) -> DataFrame:
+    """Shared core of the exact and df-capped Jaccard queries."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     # Persist the shingle arrays BEFORE the explode: Generate
     # re-evaluates an unmaterialized input expression once per output
@@ -246,6 +254,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     ex = sh.select("doc_id", F.explode("s").alias("g")).persist()
+    if max_df is not None:
+        # The hot set (shingles in more than max_df docs) is tiny by
+        # construction — broadcast anti-join strips it from the index,
+        # bounding every join key's fan-out at max_df.
+        hot = (
+            ex.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("g")
+        )
+        ex = ex.join(F.broadcast(hot), "g", "left_anti").persist()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         ex.alias("a")
@@ -262,6 +281,27 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.3)
         .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@register("ngram_jaccard_pairs", _ngram_jaccard_oracle(None))
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-shingle Jaccard near-dup pairs via an inverted
+    index: explode shingles -> self-equi-join on shingle -> common
+    counts -> |A∩B|/|A∪B| >= 0.3. No O(n²): only docs sharing a
+    shingle ever meet. The production twin with bounded hot-key
+    fan-out is ngram_jaccard_pairs_capped."""
+    return _ngram_jaccard_pairs(spark, sf_dir, max_df=None)
+
+
+@register("ngram_jaccard_pairs_capped", _ngram_jaccard_oracle(NGRAM_CAPPED_MAX_DF))
+def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of ngram_jaccard_pairs: shingles appearing in
+    more than max_df documents (stopword-like bigrams — the join keys
+    whose fan-out is quadratic in df) are excluded from the index AND
+    from the set sizes, so Jaccard is exact over the capped vocabulary
+    and every inverted-index key joins at most max_df² pairs. The hot
+    set itself is tiny and broadcast as an anti-join."""
+    return _ngram_jaccard_pairs(spark, sf_dir, max_df=NGRAM_CAPPED_MAX_DF)
 
 
 MINHASH_LSH_ORACLE = f"""
@@ -524,14 +564,42 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(q, c, k=10)
 
 
-@register("ann_lsh_topk", None)  # approximate: rows-only; recall tested in pytest
+_LSH_PLANES = 4
+
+ANN_LSH_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+en AS (SELECT vec_id, v, {_E_NORM} AS n,
+       {sim.hyperplane_sig_sql("v", _LSH_PLANES)} AS bucket FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, n AS qn,
+             unnest([bucket{"".join(f", xor(bucket, {1 << j})" for j in range(_LSH_PLANES))}]) AS bucket
+      FROM en WHERE vec_id < 5),
+c AS (SELECT vec_id AS nid, v AS nv, n AS nn, bucket FROM en WHERE vec_id >= 5),
+scored AS (
+    SELECT qid, nid, {sim.DOT_SQL.format(a="qv", b="nv")} / (qn * nn) AS cs
+    FROM c JOIN q USING (bucket)
+)
+SELECT qid, nid, cos_sim
+FROM (SELECT qid, nid, round(cs, 6) AS cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY round(cs, 6) DESC, nid) AS rn
+      FROM scored)
+WHERE rn <= 10
+"""
+
+
+@register("ann_lsh_topk", ANN_LSH_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors (the 100 TB scale
     path): random-hyperplane sign buckets (row-local), candidates only
-    within the query's bucket, exact re-rank inside. Recall vs the
-    brute-force baseline is asserted in tests/test_llm_ops.py."""
+    within the query's probed buckets, exact re-rank inside.
+
+    Fully oracle-checked, not rows-only: the plane weights are pinned
+    integer arithmetic and the projections fold in a fixed order, so
+    DuckDB reproduces the buckets — and therefore the exact result
+    set — bit for bit (sim.hyperplane_sig_sql). Recall vs the
+    brute-force baseline is additionally gated in tests and exposed as
+    the ann_lsh_recall query."""
     emb = _t(spark, sf_dir, "embeddings")
-    n_planes = 4
+    n_planes = _LSH_PLANES
     e = emb.select("vec_id", sim.to_double("embedding").alias("v")).withColumn(
         "bucket", sim.hyperplane_signature(F.col("v"), n_planes=n_planes)
     )
@@ -614,23 +682,85 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk", None)  # approximate: rows-only; recall tested in pytest
+_IVF_LISTS = 8
+_IVF_NPROBE = 3
+
+_IVF_CENTS = f"""
+cents AS (SELECT rn - 1 AS cen, v AS cv
+          FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+                FROM en WHERE vec_id >= 5)
+          WHERE rn <= {_IVF_LISTS})"""
+
+ANN_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+en AS (SELECT vec_id, v, {_E_NORM} AS n FROM e),{_IVF_CENTS},
+cor AS (SELECT vec_id AS nid, v AS nv, n AS nn FROM en WHERE vec_id >= 5),
+assign AS (SELECT nid, nv, nn, cen AS list_id FROM (
+    SELECT nid, nv, nn, cen,
+           row_number() OVER (PARTITION BY nid
+               ORDER BY {sim.DIST2_SQL.format(a="nv", b="cv")}, cen) AS rn
+    FROM cor CROSS JOIN cents) WHERE rn = 1),
+qs AS (SELECT vec_id AS qid, v AS qv, n AS qn FROM en WHERE vec_id < 5),
+probe AS (SELECT qid, qv, qn, cen AS list_id FROM (
+    SELECT qid, qv, qn, cen,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY {sim.DIST2_SQL.format(a="qv", b="cv")}, cen) AS rn
+    FROM qs CROSS JOIN cents) WHERE rn <= {_IVF_NPROBE}),
+scored AS (SELECT qid, nid, {sim.DOT_SQL.format(a="qv", b="nv")} / (qn * nn) AS cs
+           FROM assign JOIN probe USING (list_id))
+SELECT qid, nid, cos_sim
+FROM (SELECT qid, nid, round(cs, 6) AS cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY round(cs, 6) DESC, nid) AS rn
+      FROM scored)
+WHERE rn <= 10
+"""
+
+
+@register("ann_ivf_topk", ANN_IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors (the other scale path next to
-    ann_lsh_topk): KMeans coarse quantizer partitions the corpus into
+    ann_lsh_topk): a coarse quantizer partitions the corpus into
     inverted lists; each query probes its nprobe nearest lists and
     re-ranks exactly inside them. The corpus join is an equi-join on
     list_id — candidate work scales with nprobe/n_lists of the corpus,
-    never O(n·q)."""
+    never O(n·q).
+
+    The quantizer is a DETERMINISTIC SAMPLED-CENTROID one: the 8
+    lowest-id corpus vectors are the centroids (at 100 TB you train on
+    a sample and broadcast centroids anyway — here the sample is
+    pinned so DuckDB reproduces assignment, probing, and the result
+    exactly, turning a rows-only check into a full oracle row). The
+    KMeans-trained quantizer remains available as
+    operators.similarity.ivf_assignments, recall-gated in pytest.
+    Centroid fetch is a driver-side 8-row collect (like the upsert
+    bounds fetch — metadata-scale, not data-scale)."""
     from pyspark.sql import Window
 
     emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     e = emb.select("vec_id", sim.to_double("embedding").alias("v"))
-    corpus, model = sim.ivf_assignments(e.where(F.col("vec_id") >= 5), n_lists=8)
-    queries = sim.ivf_probe_lists(e.where(F.col("vec_id") < 5), model, nprobe=3).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qvec"), "list_id"
+    corpus = e.where(F.col("vec_id") >= 5)
+    cents = corpus.orderBy("vec_id").limit(_IVF_LISTS).select("v").collect()
+    cent_lits = [F.array(*[F.lit(float(x)) for x in row.v]) for row in cents]
+
+    def nearest_lists(vec: F.Column, k: int) -> F.Column:
+        pairs = F.array(
+            *[
+                F.struct(sim.dist2(vec, cent_lits[j]).alias("d"), F.lit(j).alias("list_id"))
+                for j in range(len(cent_lits))
+            ]
+        )
+        return F.transform(F.slice(F.array_sort(pairs), 1, k), lambda s: s.list_id)
+
+    c = corpus.select(
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("nvec"),
+        nearest_lists(F.col("v"), 1)[0].alias("list_id"),
     )
-    c = corpus.select(F.col("vec_id").alias("nid"), F.col("v").alias("nvec"), "list_id")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qvec"),
+        F.explode(nearest_lists(F.col("v"), _IVF_NPROBE)).alias("list_id"),
+    )
     scored = c.join(F.broadcast(queries), "list_id").select(
         "qid", "nid", sim.cosine(F.col("qvec"), F.col("nvec")).alias("cos_sim")
     )
@@ -639,4 +769,50 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 10)
         .select("qid", "nid", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def _recall_oracle(approx_oracle: str) -> str:
+    return f"""
+WITH ex AS ({ANN_TOPK_ORACLE}), ap AS ({approx_oracle})
+SELECT ex.qid AS qid,
+       round(CAST(count(ap.nid) AS DOUBLE) / 10.0, 2) AS recall_at_10
+FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid
+GROUP BY ex.qid
+ORDER BY qid
+"""
+
+
+def _recall_at_10(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    hit = approx.select("qid", "nid").withColumn("hit", F.lit(1))
+    return (
+        exact.select("qid", "nid")
+        .join(hit, ["qid", "nid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / 10.0, 2
+            ).alias("recall_at_10")
+        )
+        .orderBy("qid")
+    )
+
+
+@register("ann_lsh_recall", _recall_oracle(ANN_LSH_ORACLE))
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH-bucketed ANN against the exact brute-force
+    baseline, per query — the quality gauge a 100 TB deployment tracks
+    when tuning planes/probes. Deterministic on both engines, so the
+    driver hash-checks ANN quality itself, not just row counts."""
+    return _recall_at_10(
+        ann_cosine_topk(spark, sf_dir), ann_lsh_topk(spark, sf_dir)
+    )
+
+
+@register("ann_ivf_recall", _recall_oracle(ANN_IVF_ORACLE))
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF ANN (sampled-centroid quantizer, nprobe=3
+    of 8 lists) against the exact brute-force baseline, per query."""
+    return _recall_at_10(
+        ann_cosine_topk(spark, sf_dir), ann_ivf_topk(spark, sf_dir)
     )

@@ -155,3 +155,51 @@ def test_frame_sample_is_one_to_n(spark):
     assert out.count() == n_docs * 4
     one = out.where(F.col("doc_id") == out.first().doc_id).collect()
     assert sorted(r.frame_idx for r in one) == [0, 1, 2, 3]
+
+
+def test_ngram_df_cap_bounds_fanout(spark, tmp_path):
+    """The max_df cap must (a) drop pairs whose only overlap is a
+    stopword-like hot shingle and (b) bound the inverted-index key
+    fan-out at max_df — the property that makes the join safe at
+    100 TB."""
+    import duckdb
+
+    from big_data_data_lake_spark.queries.llm_ops import _ngram_jaccard_pairs
+
+    dst = tmp_path / "corpus"
+    dst.mkdir()
+    duckdb.sql(
+        f"""
+        COPY (
+            SELECT * FROM (VALUES
+                (0, 'the cat', 'en', 'web', 7),
+                (1, 'the cat', 'en', 'web', 7),
+                (2, 'the cat', 'en', 'web', 7),
+                (3, 'the cat', 'en', 'web', 7)
+            ) t(doc_id, text, lang, source, n_chars)
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    uncapped = _ngram_jaccard_pairs(spark, str(dst), max_df=None)
+    capped = _ngram_jaccard_pairs(spark, str(dst), max_df=2)
+    assert uncapped.count() == 6  # all pairs share the single shingle
+    assert capped.count() == 0    # hot shingle excluded -> no index keys
+
+    # the surviving index in the real corpus respects the bound
+    from big_data_data_lake_spark.queries.llm_ops import NGRAM_CAPPED_MAX_DF
+    from big_data_data_lake_spark.operators import dedup as dd
+    from big_data_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ex = (
+        docs.selectExpr("doc_id", "split(text, ' ') AS t")
+        .selectExpr("doc_id", dd.spark_shingles_expr(2) + " AS s")
+        .select("doc_id", F.explode("s").alias("g"))
+    )
+    df_counts = ex.groupBy("g").count()
+    hot = df_counts.where(F.col("count") > NGRAM_CAPPED_MAX_DF).select("g")
+    surviving_max = (
+        ex.join(F.broadcast(hot), "g", "left_anti")
+        .groupBy("g").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert surviving_max <= NGRAM_CAPPED_MAX_DF
