@@ -3,18 +3,21 @@ payloads (image/audio/video bytes) with typed metadata, processed by
 Arrow-batched ``mapInPandas`` — the sanctioned Python seam for logic
 built-in functions can't express.
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked stub (``decode_image`` raises, ``extract_features``
-computes deterministic byte-level features). Everything around the
-stub — binary columns, Arrow batch transfer, output schema, partition
-preservation — is the real production plumbing: swapping the stub for
-PIL/ffmpeg changes only the function body, not the plan.
+``decode_image`` is a REAL decoder for the uncompressed raster
+formats that need no codec library — PPM (P6) and 24-bit BMP — with
+numpy nearest-neighbor resampling behind ``resize_images``; only
+compressed codecs (PNG/JPEG/video) remain a clearly-marked
+NotImplementedError stub, because libjpeg/ffmpeg are absent in this
+container. The plumbing — binary columns, Arrow batch transfer,
+output schema, 1→n flatMap shape — is identical either way: swapping
+in PIL/ffmpeg changes only a function body, never the plan.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -28,14 +31,102 @@ def attach_blob(df: DataFrame, text_col: str = "text", out: str = "blob") -> Dat
     return df.withColumn(out, F.encode(F.col(text_col), "UTF-8"))
 
 
-def decode_image(blob: bytes):
-    """STUB — image decode requires codec libraries not present in
-    this environment. The Spark-side seam (binary in, struct of
-    features out via mapInPandas) is real and tested with
-    ``extract_features``."""
+# ---------------------------------------------------------------------------
+# Image decode: real for uncompressed formats, loud stub for codecs
+# ---------------------------------------------------------------------------
+
+
+def _ppm_token(buf: bytes, pos: int) -> tuple[bytes, int]:
+    """Next whitespace-delimited PPM header token, skipping
+    ``#`` comments (the format allows them anywhere in the header)."""
+    while pos < len(buf):
+        c = buf[pos : pos + 1]
+        if c in (b" ", b"\t", b"\r", b"\n"):
+            pos += 1
+        elif c == b"#":
+            nl = buf.find(b"\n", pos)
+            pos = len(buf) if nl == -1 else nl + 1
+        else:
+            break
+    start = pos
+    while pos < len(buf) and buf[pos : pos + 1] not in (b" ", b"\t", b"\r", b"\n"):
+        pos += 1
+    return buf[start:pos], pos
+
+
+def decode_ppm(blob: bytes) -> np.ndarray:
+    """Binary PPM (P6): ``P6 <w> <h> <maxval>`` header, then raw RGB.
+    Returns (h, w, 3) uint8."""
+    tok, pos = _ppm_token(blob, 0)
+    if tok != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {tok!r})")
+    (w_tok, pos) = _ppm_token(blob, pos)
+    (h_tok, pos) = _ppm_token(blob, pos)
+    (mx_tok, pos) = _ppm_token(blob, pos)
+    w, h, maxval = int(w_tok), int(h_tok), int(mx_tok)
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    data = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=pos + 1)
+    return data.reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM bytes (round-trips decode_ppm)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, the plain Windows
+    bitmap): BGR rows padded to 4 bytes, stored bottom-up (top-down
+    when height is negative). Returns (h, w, 3) uint8 RGB."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(blob[10:14], "little")
+    w = int.from_bytes(blob[18:22], "little", signed=True)
+    h = int.from_bytes(blob[22:26], "little", signed=True)
+    bpp = int.from_bytes(blob[28:30], "little")
+    compression = int.from_bytes(blob[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def decode_image(blob: bytes) -> np.ndarray:
+    """Decode an image blob to an (h, w, 3) uint8 RGB array.
+
+    Real for the dependency-free uncompressed formats (PPM P6, 24-bit
+    BMP). Compressed codecs stay a LOUD stub: PNG/JPEG need
+    libpng/libjpeg, which this container does not ship."""
+    if blob[:2] == b"P6":
+        return decode_ppm(blob)
+    if blob[:2] == b"BM":
+        return decode_bmp(blob)
     raise NotImplementedError(
-        "image decode needs PIL/libjpeg; not available in this container"
+        "only uncompressed PPM(P6)/BMP-24 decode is built in; compressed "
+        "codecs (PNG/JPEG/video) need PIL/libjpeg/ffmpeg, absent in this "
+        "container"
     )
+
+
+def resize_nearest(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resample via pure index arithmetic — the
+    deterministic, dependency-free kernel behind resize_images."""
+    h, w = img.shape[:2]
+    rows = (np.arange(target_h) * h) // target_h
+    cols = (np.arange(target_w) * w) // target_w
+    return img[rows][:, cols]
 
 
 def extract_features(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
@@ -68,13 +159,22 @@ def resize_images(
     id_col: str = "doc_id",
     blob_col: str = "blob",
 ) -> DataFrame:
-    """Image resize plumbing over Arrow batches. The pixel resample
-    needs PIL (absent here), so the batch op produces a deterministic
-    fake: the blob truncated/padded to target_w*target_h bytes — the
-    schema, batch iterator, and output column shapes are exactly what
-    the PIL-backed body would produce."""
+    """Image resize over Arrow batches: decodable blobs (PPM/BMP) do
+    REAL pixel work — decode, numpy nearest-neighbor resample to
+    (target_h, target_w), re-encode as PPM so the output column is
+    itself a decodable image. Blobs in formats the container can't
+    decode fall back to a deterministic byte truncate/pad (the
+    plumbing stand-in), so mixed-format corpora never kill the job —
+    the production posture for crawl data full of half-broken files."""
 
     n = target_w * target_h
+
+    def one(b: bytes) -> bytes:
+        try:
+            img = decode_image(bytes(b))
+        except (NotImplementedError, ValueError):
+            return bytes(b[:n]).ljust(n, b"\0")
+        return encode_ppm(resize_nearest(img, target_w, target_h))
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -84,7 +184,7 @@ def resize_images(
                     "doc_id": pdf[id_col].astype("int64"),
                     "width": target_w,
                     "height": target_h,
-                    "resized": blobs.map(lambda b: bytes(b[:n]).ljust(n, b"\0")),
+                    "resized": blobs.map(one),
                 }
             )
 

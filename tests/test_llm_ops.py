@@ -104,9 +104,65 @@ def test_shingle_queries_survive_short_documents(spark, degenerate_sf_dir, name)
     assert not issues, f"{name}: " + "; ".join(issues)
 
 
-def test_decode_image_is_a_loud_stub():
+def test_ppm_decode_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    assert (mm.decode_image(mm.encode_ppm(img)) == img).all()
+    # header comments are legal PPM
+    with_comment = b"P6\n# a comment\n9 5\n255\n" + img.tobytes()
+    assert (mm.decode_image(with_comment) == img).all()
+
+
+def test_bmp_decode_real_pixels():
+    import numpy as np
+
+    # hand-built 2x2 24-bit BMP, bottom-up BGR rows padded to 4 bytes:
+    # top row (red, green), bottom row (blue, white)
+    rows = [
+        b"\xff\x00\x00" + b"\xff\xff\xff" + b"\x00\x00",  # bottom: blue, white
+        b"\x00\x00\xff" + b"\x00\xff\x00" + b"\x00\x00",  # top: red, green
+    ]
+    pixel_data = b"".join(rows)
+    header = (
+        b"BM" + (54 + len(pixel_data)).to_bytes(4, "little") + b"\0\0\0\0"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little", signed=True)   # width
+        + (2).to_bytes(4, "little", signed=True)   # height (bottom-up)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")               # bpp
+        + (0).to_bytes(4, "little")                # BI_RGB
+        + b"\0" * 20
+    )
+    img = mm.decode_image(header + pixel_data)
+    expect = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    assert (img == expect).all()
+
+
+def test_compressed_decode_is_a_loud_stub():
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")
+        mm.decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_resize_does_real_pixel_work(spark):
+    import numpy as np
+
+    # 4x2 gradient -> 2x1: nearest-neighbor picks columns 0 and 2
+    img = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    small = mm.resize_nearest(img, 2, 1)
+    assert (small == img[[0]][:, [0, 2]]).all()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(mm.encode_ppm(img)))], "doc_id long, blob binary"
+    )
+    out = mm.resize_images(df, target_w=2, target_h=1).collect()[0]
+    decoded = mm.decode_image(bytes(out.resized))
+    assert decoded.shape == (1, 2, 3)
+    assert (decoded == small).all()
 
 
 def test_multimodal_batch_plumbing(spark):

@@ -298,3 +298,38 @@ def test_payload_format_detection(spark):
         ("aaa111", 100), ("bbb222", 200), ("ccc333", 300),
         ("ddd444", 400), ("eee555", 500),
     ]
+
+
+def test_kafka_source_integration_smoke(spark):
+    """S3 end-to-end, env-gated: when the spark-sql-kafka package and a
+    broker (KAFKA_SMOKE_BROKER=host:port) are present, run the REAL
+    readStream.format('kafka') -> parse_state_vectors path; skip
+    cleanly when either is absent (this container ships no kafka jar).
+    The plan shape itself is covered unconditionally by the
+    file-source twins above — this closes the last seam with the
+    reference's Kafka entry point (consumer.py:52-58) wherever the
+    dependency exists."""
+    import os
+
+    from big_data_data_lake_spark.streaming.ingest import kafka_source
+
+    broker = os.environ.get("KAFKA_SMOKE_BROKER")
+    try:
+        src = kafka_source(spark, broker or "localhost:9092", "opensky-smoke")
+    except Exception as e:  # missing data source resolves at load()
+        pytest.skip(f"kafka connector unavailable: {type(e).__name__}")
+    if not broker:
+        pytest.skip("kafka connector present but no KAFKA_SMOKE_BROKER to drive")
+
+    parsed = parse_state_vectors(src.selectExpr("CAST(value AS STRING) AS value"))
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("kafka_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert [f.name for f in spark.table("kafka_smoke").schema.fields] == [
+        f.name for f in STATE_VECTOR_SCHEMA.fields
+    ]
