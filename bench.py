@@ -39,9 +39,13 @@ HEADLINE = [
     "sliding_hourly_counts",
     "dedup_exact",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_capped",
     "minhash_lsh_pairs",
+    "simhash_near_dups",
     "embedding_topk_pairs",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "token_stats",
     "multimodal_features",
 ]

@@ -1,0 +1,188 @@
+"""Corpus-level analytics for LLM training data: TF-IDF term salience
+and near-duplicate CLUSTERING (the consumption side of the pair
+queries — a dedup pipeline doesn't want pairs, it wants one canonical
+survivor per duplicate cluster).
+
+Scale shapes:
+- TF-IDF: two hash aggregations (doc-term counts, term doc
+  frequencies) + a broadcast of the single-row corpus count — the
+  classic two-pass shape; nothing quadratic.
+- Clustering: min-label propagation over the (symmetrized) near-dup
+  edge list — one join + one aggregation per iteration, converging in
+  O(component diameter) rounds. Near-dup clusters are shallow (docs
+  similar to a common ancestor), so 3-5 rounds at any corpus size;
+  every round is a pair of shuffles, never a driver-side graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as tx
+from . import register
+from .llm_ops import _ngram_jaccard_oracle, _ngram_jaccard_pairs, _spread, _t
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+# ln() differs by one ulp between engines for some inputs (measured:
+# ln(3.0)), so the idf is rounded to 6 decimals BEFORE the tf
+# multiplication. The df domain is finite (distinct shingle counts),
+# and the oracle-parity suite verifies every value that occurs.
+TFIDF_ORACLE = """
+WITH tokens AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token,
+           round(tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6), 4) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tfidf
+FROM (SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+      FROM scored)
+WHERE rn <= 3
+"""
+
+
+@register("tfidf_top_terms", TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the standard term-salience
+    signal for corpus curation (near-dup template detection, topical
+    routing). Two partial-aggregated shuffles plus a broadcast scalar;
+    the top-k window reuses the doc_id partitioning of the tf
+    aggregate."""
+    from pyspark.sql import Window
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    tokens = docs.select("doc_id", F.explode(tx.tokenize("text")).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", F.round(F.col("tf") * idf, 4).alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_ngram_jaccard_oracle(None)}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach(s, t) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS cluster
+FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
+GROUP BY d.doc_id
+"""
+
+
+@register("dedup_clusters", DEDUP_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact near-dup pairs: every
+    document labeled with its cluster id (= the minimum doc_id in its
+    component; singletons label themselves). This is the step that
+    turns pairwise similarity into an actionable keep/drop decision —
+    keep cluster == doc_id, drop the rest.
+
+    Min-label propagation: each round joins labels to the symmetrized
+    edge list and takes the elementwise min — the Pregel-style shape
+    (one equi-join + one aggregation per round, both partial-
+    aggregated) that runs at any scale, unlike a driver-side
+    union-find. Rounds needed = component diameter; near-dup clusters
+    are shallow, and the loop hard-fails rather than silently
+    mislabeling if it hasn't converged in 20.
+
+    The oracle reproduces the same components with a recursive CTE
+    (transitive closure, fine at oracle SF)."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    pairs = _ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    edges = (
+        pairs.union(pairs.select(F.col("d2"), F.col("d1")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    for _ in range(20):
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        merged = (
+            labels.join(prop, labels.doc_id == prop.dst, "left")
+            .select(
+                labels.doc_id,
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            merged.alias("m")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("m.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = merged
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("label propagation did not converge in 20 rounds")
+    return labels.select("doc_id", F.col("label").alias("cluster"))
+
+
+DEDUP_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_ngram_jaccard_oracle(None)}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach(s, t) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+),
+clusters AS (
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS cluster
+    FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
+    GROUP BY d.doc_id
+)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+FROM clusters
+GROUP BY cluster
+"""
+
+
+@register("dedup_survivors", DEDUP_SURVIVORS_ORACLE)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical dedup output: one row per kept document (the
+    cluster representative) with its duplicate-cluster size — what a
+    training-data pipeline joins back against the corpus to drop
+    near-duplicates while keeping provenance counts."""
+    return (
+        dedup_clusters(spark, sf_dir)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
