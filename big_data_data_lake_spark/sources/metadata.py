@@ -37,6 +37,33 @@ from pyspark.sql import functions as F
 MANIFEST_DIR = "_manifest"
 
 
+def zorder_key(
+    cols: list, lows: list, highs: list, bits: int = 12
+) -> "F.Column":
+    """Z-order (Morton) key: each column is min-max normalized to
+    ``bits`` bits and the bits are interleaved, so sorting by the key
+    co-locates rows that are close in EVERY dimension. Files written
+    in key ranges then carry tight footer min/max on all the z-order
+    columns at once — zone-map skipping works for predicates on any of
+    them, where a plain sort helps only its leading column. Pure
+    integer expressions, row-local."""
+    top = (1 << bits) - 1
+    norms = []
+    for c, lo, hi in zip(cols, lows, highs):
+        lo, hi = float(lo), float(hi)
+        span = (hi - lo) or 1.0
+        n = ((c.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(top)).cast("long")
+        norms.append(F.least(F.greatest(n, F.lit(0)), F.lit(top)))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, n in enumerate(norms):
+            z = z + (
+                F.shiftright(n, b).bitwiseAND(F.lit(1)).cast("long")
+                * F.lit(1 << (b * len(norms) + i))
+            )
+    return z
+
+
 def _footer_stats(path: str) -> tuple[int, dict]:
     """Row count and per-column min/max from the parquet footer — no
     data read, no Spark job. Stats are kept for JSON-safe scalar types
@@ -341,6 +368,52 @@ class LakeTable:
         else:
             df = df.repartition(files_per_partition)
         return self.overwrite(df)
+
+    def cluster_by(self, cols: list[str], n_files: int = 16, bits: int = 12) -> int:
+        """Rewrite the current snapshot z-ordered on ``cols``: rows are
+        range-partitioned by the interleaved Morton key into
+        ``n_files`` files, giving every file a tight min/max envelope
+        on ALL the clustering columns — ``read(stat_filter=...)`` then
+        skips files for a predicate on any of them. This is the
+        data-layout lever that makes a 100 TB point/range query read
+        1/n_files of the table instead of all of it. Produces a new
+        version (old versions stay readable); the min/max scan is one
+        cheap aggregate over the snapshot."""
+        df = self.read()
+        bounds = df.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in cols],
+            *[F.max(c).alias(f"hi_{c}") for c in cols],
+        ).collect()[0]
+        key = zorder_key(
+            [F.col(c) for c in cols],
+            [bounds[f"lo_{c}"] for c in cols],
+            [bounds[f"hi_{c}"] for c in cols],
+            bits=bits,
+        )
+        clustered = (
+            df.withColumn("__z", key)
+            .repartitionByRange(n_files, "__z")
+            .drop("__z")
+        )
+        return self.overwrite(clustered)
+
+    def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Rows in files ADDED between two versions — incremental
+        consumption for downstream pipelines (process only what a
+        micro-batch committed instead of re-reading the snapshot).
+        Exact row-level CDC for append-only history; across an
+        upsert/compact/overwrite the added files also contain
+        carried-over survivor rows, so consumers of rewriting tables
+        should treat it as file-level, not row-level, change data."""
+        from pyspark.sql.types import StructType
+
+        man_to = self.manifest(v_to)
+        old_paths = {f["path"] for f in self.manifest(v_from)["files"]}
+        added = [f for f in man_to["files"] if f["path"] not in old_paths]
+        schema = StructType.fromJson(man_to["schema_json"])
+        if not added:
+            return self.spark.createDataFrame([], schema)
+        return self._read_files(schema, added)
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Explicitly destructive: drop all but the last ``retain_last``

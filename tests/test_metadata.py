@@ -227,3 +227,57 @@ def test_upsert_after_schema_evolution(spark, tmp_path):
     t.upsert(spark.createDataFrame([(4,)], "id long"), keys=["id"])
     got = {r.id: (r.k, r.score) for r in t.read().collect()}
     assert got[4] == (None, None) and got[3] == ("c", 9.5)
+
+
+def test_changes_returns_only_new_rows(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "id long, k string"))
+    t.append(spark.createDataFrame([(2, "b")], "id long, k string"))
+    t.append(spark.createDataFrame([(3, "c")], "id long, k string"))
+    assert sorted(r.id for r in t.changes(0).collect()) == [2, 3]
+    assert [r.id for r in t.changes(0, 1).collect()] == [2]
+    assert [r.id for r in t.changes(1, 2).collect()] == [3]
+    assert t.changes(2, 2).count() == 0
+
+
+def test_cluster_by_zorder_enables_multi_column_skipping(spark, tmp_path):
+    """After z-ordering on (x, y), a stat_filter on EITHER column must
+    prune most files; a plain x-sorted layout only helps x."""
+    import pyspark.sql.functions as F
+
+    n, files = 40_000, 16
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 7919) % 200).alias("y"),
+    )
+    plain = LakeTable(spark, str(tmp_path / "plain"))
+    plain.create(df.repartitionByRange(files, "x"))
+    zed = LakeTable(spark, str(tmp_path / "zed"))
+    zed.create(df)
+    zed.cluster_by(["x", "y"], n_files=files)
+
+    def files_scanned(t, col):
+        man = t.manifest()
+        lo, hi = 10, 20  # a 5% slice of the domain
+        keep = [
+            f for f in man["files"]
+            if not (f["stats"][col]["min"] > hi or f["stats"][col]["max"] < lo)
+        ]
+        return len(keep), len(man["files"])
+
+    zx, zn = files_scanned(zed, "x")
+    zy, _ = files_scanned(zed, "y")
+    px, pn = files_scanned(plain, "x")
+    py_, _ = files_scanned(plain, "y")
+    assert zx <= zn // 2 and zy <= zn // 2   # z-order prunes BOTH dims
+    assert px <= pn // 2                      # sort prunes its own column
+    assert zy < py_                           # ...and is strictly worse than
+                                              # z-order on the non-leading one
+    # layout changed, data did not
+    got = sorted((r.id, r.x, r.y) for r in zed.read().collect())
+    want = sorted((r.id, r.x, r.y) for r in df.collect())
+    assert got == want
+    # and the pruned read returns exactly the matching rows
+    pruned = zed.read(stat_filter={"y": (10, 20)}).where(F.col("y").between(10, 20))
+    assert pruned.count() == df.where(F.col("y").between(10, 20)).count()
