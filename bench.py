@@ -80,6 +80,10 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # each query's own persisted intermediates are inside its
+        # timing; drop them afterwards so no query reuses (or pays GC
+        # pressure for) another's cache — every timing is cold-data
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
