@@ -169,6 +169,77 @@ def brute_force_topk(
     )
 
 
+def block_pair_topk(
+    blocked: DataFrame,
+    n_blocks: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    blk_col: str = "blk",
+) -> DataFrame:
+    """Exact top-k cosine pairs via blocked all-pairs with a BLAS
+    kernel: each of the B(B+1)/2 unordered block pairs becomes one
+    cogroup key (bi, bj); inside a group the block × block cosine
+    matrix is one numpy matmul (Arrow-batched, zero per-pair
+    interpreter work) and only the group's top-k survive, so the
+    driver-side merge sees ≤ k·B(B+1)/2 rows. The only shuffles are
+    the two cogroup hash-partitions on (bi, bj) — work per key is one
+    uniform block square (joining on the right block alone would leave
+    B skewed keys). At 100 TB pick B ≈ sqrt(cluster parallelism) so a
+    block pair fits executor memory; shuffle volume is ~B/2 replicas
+    of each vector.
+
+    Returns (id1, id2, c) with id1 < id2 — the caller applies the
+    global ORDER BY/LIMIT. Group-local top-k uses the same
+    (round(c,6) desc, id1, id2) order as the global sort, so the merge
+    is exact. numpy's pairwise summation differs from the oracle's
+    left fold only at ~1e-15 relative — far inside the 1e-6 rounding
+    the comparison applies (parity asserted by the DuckDB gate)."""
+    import numpy as np
+    import pandas as pd
+
+    a = blocked.select(id_col, vec_col, F.col(blk_col).alias("bi")).withColumn(
+        "bj", F.explode(F.sequence(F.col("bi"), F.lit(n_blocks - 1)))
+    )
+    b = blocked.select(id_col, vec_col, F.col(blk_col).alias("bj")).withColumn(
+        "bi", F.explode(F.sequence(F.lit(0), F.col("bj")))
+    )
+
+    def topk_block(key: tuple, left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        bi, bj = key
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"id1": [], "id2": [], "c": []})
+        la = np.stack(left[vec_col].to_numpy())
+        ra = np.stack(right[vec_col].to_numpy())
+        lid = left[id_col].to_numpy()
+        rid = right[id_col].to_numpy()
+        ln = np.linalg.norm(la, axis=1)
+        rn = np.linalg.norm(ra, axis=1)
+        cs = (la @ ra.T) / np.outer(ln, rn)
+        ii, jj = np.meshgrid(np.arange(len(lid)), np.arange(len(rid)), indexing="ij")
+        ii, jj = ii.ravel(), jj.ravel()
+        i1, i2 = lid[ii], rid[jj]
+        # the diagonal block carries the triangle condition; off-diagonal
+        # block pairs are distinct blocks, every unordered pair meets once
+        keep = i1 < i2 if bi == bj else np.ones(len(i1), dtype=bool)
+        d = pd.DataFrame(
+            {
+                "id1": np.minimum(i1, i2)[keep],
+                "id2": np.maximum(i1, i2)[keep],
+                "c": cs.ravel()[keep],
+            }
+        )
+        d["r"] = d["c"].round(6)
+        d = d.sort_values(["r", "id1", "id2"], ascending=[False, True, True]).head(k)
+        return d[["id1", "id2", "c"]]
+
+    return (
+        a.groupBy("bi", "bj")
+        .cogroup(b.groupBy("bi", "bj"))
+        .applyInPandas(topk_block, schema="id1 long, id2 long, c double")
+    )
+
+
 def ivf_assignments(
     vectors: DataFrame,
     vec_col: str = "v",
