@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "token_stats",
     "multimodal_features",
+    "benchmark_decontamination",
 ]
 
 

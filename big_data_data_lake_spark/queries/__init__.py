@@ -46,6 +46,6 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 def load_all() -> dict[str, QueryDef]:
     """Import every query module (registration is at import time)."""
-    from . import analytics, corpus, llm_ops, relational  # noqa: F401
+    from . import analytics, corpus, curation, llm_ops, relational  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,289 @@
+"""Training-corpus curation: the decisions a pretraining-data pipeline
+makes AFTER similarity/quality signals exist — split assignment,
+train/test leakage, stratified downsampling, the retention funnel, and
+benchmark decontamination. (Reference scope: the medallion pipeline's
+curated-silver role, `services/processor/processor.py`; these are the
+LLM-corpus equivalents per SURVEY §7.)
+
+Every operator here is row-local arithmetic or a bounded equi-join —
+nothing quadratic, nothing driver-side:
+
+- split assignment / sampling: an affine hash of doc_id mod a Mersenne
+  prime — a pure projection, no shuffle at all. Deterministic across
+  engines AND across runs, which is the property that matters: a
+  re-run of a 100 TB pipeline must route every document to the same
+  split (hash-routing, not rand()).
+- leakage: a row-local split expression on both ends of the already-
+  bounded near-dup pair list.
+- funnel: one scan, one conditional aggregation.
+- decontamination: inverted-index equi-join where one side (the
+  benchmark set, ~1%) is small — at scale, a broadcast of the
+  benchmark index; per-shingle fan-out is bounded by the benchmark
+  side's df.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from . import register
+from .llm_ops import _ngram_jaccard_oracle, _ngram_jaccard_pairs, _spread, _t
+
+P = dd.MERSENNE_P
+
+# Split-routing hash: affine step mod p, then a QUADRATIC mixing step
+# (h² + c mod p) before the small-modulus reduction. The square is what
+# breaks the lattice a purely affine hash leaves on sequential ids
+# (stride A mod 100 shares a factor with 100 → only a few residues
+# appear until the mod-p wrap perturbs it; measured 85.6/9.2/5.2 on
+# 500 sequential ids vs 89.2/6.0/4.8 with the square). All
+# intermediates stay < 2^62 for ANY doc_id — no 64-bit overflow in
+# either engine (ANSI Spark would raise; DuckDB would error).
+SPLIT_A, SPLIT_B, SPLIT_C = 1_103_515_245, 12_345, 9_973
+# Independent sampling hash (different constants => independent of the
+# split routing: a stratified sample must not correlate with splits).
+SAMPLE_A, SAMPLE_B, SAMPLE_C = 48_271, 7_919, 7_127
+
+TRAIN_PCT, VAL_PCT = 90, 95  # train < 90 <= val < 95 <= test
+
+
+def _mix(col: str, a: int, b: int, c: int, mod: int) -> str:
+    h = f"(({col} % {P}) * {a} + {b}) % {P}"
+    return f"(({h}) * ({h}) + {c}) % {P} % {mod}"
+
+
+_SPLIT_BUCKET = _mix("doc_id", SPLIT_A, SPLIT_B, SPLIT_C, 100)
+_SAMPLE_MILLE = _mix("doc_id", SAMPLE_A, SAMPLE_B, SAMPLE_C, 1000)
+
+
+def _split_case(bucket: str) -> str:
+    return (
+        f"CASE WHEN {bucket} < {TRAIN_PCT} THEN 'train' "
+        f"WHEN {bucket} < {VAL_PCT} THEN 'val' ELSE 'test' END"
+    )
+
+
+TRAIN_SPLIT_ORACLE = f"""
+SELECT doc_id, {_split_case(_SPLIT_BUCKET)} AS split
+FROM documents
+"""
+
+
+@register("train_split_assign", TRAIN_SPLIT_ORACLE)
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test routing by affine hash of
+    doc_id — a pure row-local projection (zero shuffles; the plan is
+    scan -> project). Hash routing rather than rand() is what makes
+    the split reproducible across engines, runs, and re-partitioned
+    inputs."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.selectExpr("doc_id", _split_case(_SPLIT_BUCKET) + " AS split")
+
+
+def _split_of(col: str) -> str:
+    return _split_case(_mix(col, SPLIT_A, SPLIT_B, SPLIT_C, 100))
+
+
+SPLIT_LEAKAGE_ORACLE = f"""
+WITH pairs AS ({_ngram_jaccard_oracle(None)})
+SELECT d1, d2, {_split_of("d1")} AS split1, {_split_of("d2")} AS split2, jaccard
+FROM pairs
+WHERE {_split_of("d1")} <> {_split_of("d2")}
+"""
+
+
+@register("split_leakage_pairs", SPLIT_LEAKAGE_ORACLE)
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination: near-duplicate pairs whose members
+    land in DIFFERENT splits — the documents that leak eval data into
+    training. Because split assignment is a row-local expression on
+    doc_id, this adds zero joins to the (already shuffle-bounded)
+    near-dup pair list; at 100 TB the cost is the dedup scan you were
+    running anyway."""
+    pairs = _ngram_jaccard_pairs(spark, sf_dir)
+    return (
+        pairs.withColumn("split1", F.expr(_split_of("d1")))
+        .withColumn("split2", F.expr(_split_of("d2")))
+        .where(F.col("split1") != F.col("split2"))
+        .select("d1", "d2", "split1", "split2", "jaccard")
+    )
+
+
+# Per-language keep rates (per mille): downsample the overrepresented
+# language, keep the tails — the standard rebalancing move.
+STRATA_RATES = {"en": 200, "es": 600, "fr": 1000}
+_DEFAULT_RATE = 1000
+
+
+def _rate_case(lang_col: str = "lang") -> str:
+    whens = " ".join(
+        f"WHEN {lang_col} = '{lang}' THEN {rate}" for lang, rate in STRATA_RATES.items()
+    )
+    return f"CASE {whens} ELSE {_DEFAULT_RATE} END"
+
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+SELECT lang,
+       CAST({_rate_case()} AS INT) AS keep_per_mille,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN {_SAMPLE_MILLE} < {_rate_case()} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("stratified_sample_counts", STRATIFIED_SAMPLE_ORACLE)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic downsampling: each language keeps a
+    pinned per-mille of documents, selected by an affine hash
+    INDEPENDENT of the split-routing hash (different constants — a
+    sample correlated with the split would bias val/test). Row-local
+    keep decision + one partial-aggregated count; the kept-set filter
+    itself never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = F.expr(f"{_SAMPLE_MILLE} < {_rate_case()}").cast("int")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.first(F.expr(_rate_case())).cast("int").alias("keep_per_mille"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+_EN_SW = "'the', 'a', 'and', 'of', 'to'"
+_ES_SW = "'el', 'la', 'de', 'que', 'y'"
+_FR_SW = "'le', 'la', 'de', 'et', 'un'"
+
+MIN_TOKENS = 30
+MIN_QUALITY = 0.5
+
+CURATION_FUNNEL_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT lang,
+             len(list_intersect(list_distinct(toks), [{_EN_SW}])) AS s_en,
+             len(list_intersect(list_distinct(toks), [{_ES_SW}])) AS s_es,
+             len(list_intersect(list_distinct(toks), [{_FR_SW}])) AS s_fr,
+             len(toks) AS n_tok,
+             round(least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.5
+                   + CAST(len(list_filter(toks, x -> x IN ({_EN_SW}))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) * 0.5, 4) AS q
+      FROM t),
+f AS (SELECT lang,
+             CASE WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred,
+             n_tok, q
+      FROM s)
+SELECT CAST(0 AS INT) AS stage_idx, 'ingested' AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs FROM f
+UNION ALL
+SELECT 1, 'lang_id_match',
+       CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) FROM f
+UNION ALL
+SELECT 2, 'long_enough',
+       CAST(sum(CASE WHEN pred = lang AND n_tok >= {MIN_TOKENS}
+                THEN 1 ELSE 0 END) AS BIGINT) FROM f
+UNION ALL
+SELECT 3, 'quality_pass',
+       CAST(sum(CASE WHEN pred = lang AND n_tok >= {MIN_TOKENS}
+                     AND q >= {MIN_QUALITY} THEN 1 ELSE 0 END) AS BIGINT) FROM f
+"""
+
+
+@register("curation_funnel", CURATION_FUNNEL_ORACLE)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention funnel: how many documents survive each cumulative
+    curation gate (language-ID agreement -> length floor -> quality
+    floor). ONE scan and ONE conditional aggregation produce every
+    stage count — the shape that holds at 100 TB, vs. running the
+    corpus through k separate filter-count jobs."""
+    from ..operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "lang",
+        tx.lang_id("text").alias("pred"),
+        tx.token_count("text").alias("n_tok"),
+        F.round(tx.quality_score("text"), 4).alias("q"),
+    )
+    g1 = F.col("pred") == F.col("lang")
+    g2 = g1 & (F.col("n_tok") >= MIN_TOKENS)
+    g3 = g2 & (F.col("q") >= MIN_QUALITY)
+    counts = staged.agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.sum(g1.cast("bigint")).alias("c1"),
+        F.sum(g2.cast("bigint")).alias("c2"),
+        F.sum(g3.cast("bigint")).alias("c3"),
+    )
+    return counts.selectExpr(
+        "stack(4, 0, 'ingested', c0, 1, 'lang_id_match', c1, "
+        "2, 'long_enough', c2, 3, 'quality_pass', c3) "
+        "AS (stage_idx, stage, n_docs)"
+    )
+
+
+BENCH_MOD = 11  # doc_id % 11 == 0 => held-out benchmark stand-in (~9%)
+
+DECONTAMINATION_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM documents),
+hsh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS hs FROM tok),
+ex AS (SELECT doc_id, unnest(hs) AS g FROM hsh),
+bench AS (SELECT * FROM ex WHERE doc_id % {BENCH_MOD} = 0),
+bsz AS (SELECT doc_id AS bench_id, count(*) AS bsz FROM bench GROUP BY 1),
+train AS (SELECT * FROM ex WHERE doc_id % {BENCH_MOD} <> 0),
+overlap AS (
+    SELECT t.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS c
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY 1, 2
+)
+SELECT o.doc_id, o.bench_id,
+       CAST(o.c AS BIGINT) AS n_shared,
+       round(CAST(o.c AS DOUBLE) / s.bsz, 4) AS bench_coverage
+FROM overlap o JOIN bsz s USING (bench_id)
+WHERE 2 * o.c >= s.bsz
+"""
+
+
+@register("benchmark_decontamination", DECONTAMINATION_ORACLE)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: (training doc, benchmark doc) pairs
+    where the training document covers >= half of the benchmark
+    document's distinct bigram shingles (stand-in benchmark set:
+    doc_id % 11 == 0). Coverage-of-benchmark is the metric that
+    matters for eval integrity — an absolute shared-shingle floor
+    would either drown in small-vocabulary noise or miss short
+    benchmark docs. The inverted-index join's benchmark side is ~9% of
+    the corpus and its per-doc sizes are a tiny aggregate — broadcast
+    both, so the training index never shuffles; per-shingle fan-out is
+    bounded by the benchmark side's doc frequency, keeping the join
+    linear in the training corpus at 100 TB."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    hs = docs.selectExpr(
+        "doc_id", dd.spark_token_hashes_expr() + " AS th"
+    ).selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
+    # Persist before explode: Generate re-evaluates unmaterialized
+    # input lineage per output row (see _ngram_jaccard_pairs).
+    ex = hs.persist().select("doc_id", F.explode("hs").alias("g"))
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = ex.where(is_bench).select(F.col("doc_id").alias("bench_id"), "g")
+    bsz = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bsz"))
+    train = ex.where(~is_bench)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(F.broadcast(bsz), "bench_id")
+        .where(F.lit(2) * F.col("c") >= F.col("bsz"))
+        .select(
+            "doc_id",
+            "bench_id",
+            F.col("c").alias("n_shared"),
+            F.round(F.col("c").cast("double") / F.col("bsz"), 4).alias("bench_coverage"),
+        )
+    )
