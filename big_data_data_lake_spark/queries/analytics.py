@@ -351,3 +351,63 @@ def events_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderBy(rand())."""
     ev = _t(spark, sf_dir, "events")
     return ev.sample(fraction=0.1, seed=42).select("event_id", "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality profiling
+# ---------------------------------------------------------------------------
+
+_PROFILE_NUMERIC = ["o_orderkey", "o_custkey", "o_totalprice"]
+_PROFILE_OTHER = ["o_orderstatus", "o_orderpriority"]
+
+ORDERS_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {f"round(min({c}), 2)" if c in _PROFILE_NUMERIC else "CAST(NULL AS DOUBLE)"} AS min_num,
+       {f"round(max({c}), 2)" if c in _PROFILE_NUMERIC else "CAST(NULL AS DOUBLE)"} AS max_num,
+       {f"round(avg({c}), 2)" if c in _PROFILE_NUMERIC else "CAST(NULL AS DOUBLE)"} AS avg_num
+FROM orders"""
+    for c in _PROFILE_NUMERIC + _PROFILE_OTHER
+)
+
+
+@register("orders_profile", ORDERS_PROFILE_ORACLE)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile (row count, null count, distinct
+    count, numeric min/max/mean) in long format — the table-health
+    scan a lake runs before admitting data to silver. ONE aggregation
+    pass computes every column's metrics; the exact multi-column
+    count(distinct) is what the oracle can check — at 100 TB swap in
+    approx_count_distinct (HLL sketches are mergeable, single-pass,
+    and shuffle O(sketch) instead of O(distinct values))."""
+    orders = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_NUMERIC + _PROFILE_OTHER:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+        if c in _PROFILE_NUMERIC:
+            aggs += [
+                F.round(F.min(c).cast("double"), 2).alias(f"{c}__min"),
+                F.round(F.max(c).cast("double"), 2).alias(f"{c}__max"),
+                F.round(F.avg(c), 2).alias(f"{c}__avg"),
+            ]
+    wide = orders.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, "
+        + (
+            f"{c}__min, {c}__max, {c}__avg"
+            if c in _PROFILE_NUMERIC
+            else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+        )
+        for c in _PROFILE_NUMERIC + _PROFILE_OTHER
+    )
+    n = len(_PROFILE_NUMERIC + _PROFILE_OTHER)
+    return wide.selectExpr(
+        f"stack({n}, {stacked}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_num, max_num, avg_num)"
+    )

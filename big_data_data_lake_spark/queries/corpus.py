@@ -186,3 +186,83 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_members"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation strength (PMI)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+
+# ln() can differ by one ulp between engines (see TFIDF_ORACLE note);
+# PMI applies a single ln to an exact rational, so round(·, 4) is
+# boundary-safe in practice and the parity suite pins every value.
+PMI_ORACLE = f"""
+WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1])) AS bigram
+       FROM tok),
+uni AS (SELECT unnest(t) AS tok FROM tok),
+bc AS (SELECT bigram, count(*) AS c_xy FROM bg GROUP BY bigram),
+uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+n AS (SELECT (SELECT count(*) FROM bg) AS n_pairs,
+             (SELECT count(*) FROM uni) AS n_tok)
+SELECT bigram, CAST(c_xy AS BIGINT) AS c_xy,
+       round(ln((CAST(c_xy AS DOUBLE) / n.n_pairs)
+                / ((CAST(ux.c AS DOUBLE) / n.n_tok)
+                   * (CAST(uy.c AS DOUBLE) / n.n_tok))), 4) AS pmi
+FROM bc
+JOIN uc ux ON split_part(bigram, ' ', 1) = ux.tok
+JOIN uc uy ON split_part(bigram, ' ', 2) = uy.tok
+CROSS JOIN n
+WHERE c_xy >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, bigram
+LIMIT 20
+"""
+
+
+@register("collocations_pmi", PMI_ORACLE)
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 strongest collocations by pointwise mutual information —
+    the corpus statistic behind tokenizer-vocabulary induction and
+    multiword-expression mining. Two counting aggregations (bigram
+    occurrences, unigram occurrences) plus two joins of the bigram
+    table against the unigram table; the unigram side is vocabulary-
+    sized, so at 100 TB both joins broadcast (a vocabulary fits in
+    memory even when the corpus doesn't) and the only data-scale
+    shuffles are the two partial-aggregated counts."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = docs.selectExpr("split(text, ' ') AS t").persist()
+    bg = toks.selectExpr(
+        "explode(CASE WHEN size(t) >= 2 "
+        "THEN transform(sequence(1, size(t) - 1), "
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, CAST(i + 1 AS int)))) "
+        "ELSE CAST(array() AS array<string>) END) AS bigram"
+    )
+    uni = toks.selectExpr("explode(t) AS tok")
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    n = bg.agg(F.count(F.lit(1)).alias("n_pairs")).crossJoin(
+        uni.agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    ux = uc.select(F.col("tok").alias("__x"), F.col("c").alias("cx"))
+    uy = uc.select(F.col("tok").alias("__y"), F.col("c").alias("cy"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy").cast("double") / F.col("n_pairs"))
+            / (
+                (F.col("cx").cast("double") / F.col("n_tok"))
+                * (F.col("cy").cast("double") / F.col("n_tok"))
+            )
+        ),
+        4,
+    )
+    return (
+        bc.where(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(F.broadcast(ux), F.expr("split_part(bigram, ' ', 1) = __x"))
+        .join(F.broadcast(uy), F.expr("split_part(bigram, ' ', 2) = __y"))
+        .crossJoin(F.broadcast(n))
+        .select("bigram", "c_xy", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(20)
+    )
