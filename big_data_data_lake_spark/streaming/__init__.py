@@ -1,5 +1,6 @@
 from .ingest import (
     bronze_to_silver,
+    interval_join,
     kafka_source,
     lake_table_sink,
     latest_wins_dedup,
@@ -11,6 +12,7 @@ from .ingest import (
 
 __all__ = [
     "bronze_to_silver",
+    "interval_join",
     "kafka_source",
     "lake_table_sink",
     "latest_wins_dedup",

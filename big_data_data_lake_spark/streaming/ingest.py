@@ -216,6 +216,51 @@ def windowed_counts(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_s: int = 0,
+    upper_s: int = 300,
+    watermark_s: int = 600,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream inner equi-join with an event-time interval
+    bound: a right row matches a left row with the same key when
+    ``left_ts + lower_s <= right_ts <= left_ts + upper_s`` (e.g.
+    "pair each position report with status messages in the following
+    5 minutes").
+
+    Both inputs carry watermarks, and the interval condition is what
+    BOUNDS THE JOIN STATE: the engine derives from (watermark,
+    interval) how long a buffered row can still find a partner and
+    evicts it after — without the time bound, stream-stream join state
+    grows forever. Per micro-batch the work is one hash shuffle of
+    each side on the key: the same co-partitioned equi-join shape as
+    the batch twin, and state per key is bounded by the interval width
+    × arrival rate, independent of stream length. Right columns are
+    prefixed to keep the joined schema collision-free."""
+    lw = left.withWatermark(left_ts, f"{watermark_s} seconds")
+    rw = right.withWatermark(right_ts, f"{watermark_s} seconds")
+    rw = rw.select(
+        [F.col(c).alias(c if c == key else f"{right_prefix}{c}") for c in rw.columns]
+    )
+    r_ts = f"{right_prefix}{right_ts}"
+    cond = (
+        (F.col(r_ts) >= F.col(left_ts) + F.expr(f"INTERVAL {lower_s} SECONDS"))
+        & (F.col(r_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    )
+    # the time bound must live IN the join condition (not a post-
+    # filter) so the engine can derive the state-eviction horizon
+    return lw.join(
+        rw.withColumnRenamed(key, "__rk"),
+        (F.col(key) == F.col("__rk")) & cond,
+        "inner",
+    ).drop("__rk")
+
+
 def micro_batch_writer(
     stream: DataFrame,
     path: str,

@@ -333,3 +333,48 @@ def test_kafka_source_integration_smoke(spark):
     assert [f.name for f in spark.table("kafka_smoke").schema.fields] == [
         f.name for f in STATE_VECTOR_SCHEMA.fields
     ]
+
+
+def test_interval_join_matches_batch_twin(spark, tmpdir):
+    """Stream-stream interval join == the equivalent batch range join:
+    positions paired with status messages for the same key within the
+    following 120 s. Late/out-of-range rows must NOT match."""
+    from big_data_data_lake_spark.streaming import interval_join
+
+    base = 1_700_000_000
+    pos_rows = [("aaa", base), ("aaa", base + 600), ("bbb", base + 60)]
+    st_rows = [
+        ("aaa", base + 30, "ok"),        # joins pos(aaa, base)
+        ("aaa", base + 650, "warn"),     # joins pos(aaa, base+600)
+        ("aaa", base + 400, "stale"),    # in no pos window
+        ("bbb", base + 61, "ok"),        # joins pos(bbb, base+60)
+        ("ccc", base + 10, "orphan"),    # no such key
+    ]
+    pos = spark.createDataFrame(
+        [(k, t) for k, t in pos_rows], "icao24 string, ts_s long"
+    ).withColumn("ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+    st = spark.createDataFrame(
+        [(k, t, s) for k, t, s in st_rows], "icao24 string, ts_s long, status string"
+    ).withColumn("ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+    pos.write.parquet(f"{tmpdir}/pos")
+    st.write.parquet(f"{tmpdir}/st")
+
+    lstream = spark.readStream.schema(pos.schema).parquet(f"{tmpdir}/pos")
+    rstream = spark.readStream.schema(st.schema).parquet(f"{tmpdir}/st")
+    joined = interval_join(
+        lstream, rstream, key="icao24", lower_s=0, upper_s=120
+    ).select("icao24", "ts", "r_ts", "r_status")
+    got = sorted(map(tuple, _run_stream_to_memory(spark, joined, "ivj").collect()))
+
+    batch = (
+        pos.alias("l")
+        .join(
+            st.selectExpr("icao24 AS rk", "ts AS r_ts", "status AS r_status"),
+            (F.col("icao24") == F.col("rk"))
+            & (F.col("r_ts") >= F.col("ts"))
+            & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 120 SECONDS")),
+        )
+        .select("icao24", "ts", "r_ts", "r_status")
+    )
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) == 3
