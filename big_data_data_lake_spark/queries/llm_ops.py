@@ -635,6 +635,48 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(mm.attach_blob(docs), "doc_id", "blob")
 
 
+AUDIO_TRIAGE_ORACLE = """
+WITH b AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ''),
+                          c -> (CAST(ascii(c) AS DOUBLE) - 128.0) / 128.0) AS x
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(x) AS INT) AS n_samples,
+       round(len(x) / 8.0, 3) AS duration_ms,
+       CASE WHEN len(x) = 0 THEN 0.0
+            ELSE round(sqrt(list_sum(list_transform(x, v -> v * v)) / len(x)), 4)
+       END AS rms,
+       CASE WHEN len(x) = 0 THEN 0.0
+            ELSE round(list_max(list_transform(x, v -> abs(v))), 4)
+       END AS peak
+FROM b
+"""
+
+
+@register("audio_triage", AUDIO_TRIAGE_ORACLE)
+def audio_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-clip triage (duration / RMS level / peak) over Arrow
+    batches — the silence/clipping/truncation gate an audio pipeline
+    runs before transcription. The decode is REAL numpy DSP
+    (operators/multimodal.py::audio_features): RIFF/WAVE 16-bit PCM
+    when the blob is WAV, headerless unsigned-8-bit PCM at 8 kHz
+    otherwise. The corpus stand-in blobs take the u8 branch, which the
+    oracle reproduces exactly from the source text's bytes — making
+    the audio path value-checked, not just shape-checked. Row-local:
+    zero shuffles."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    feats = mm.audio_features(mm.attach_blob(docs), "doc_id", "blob")
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 4).alias("rms"),
+        F.round("peak", 4).alias("peak"),
+    )
+
+
 BPE_TOKEN_STATS_ORACLE = f"""
 SELECT doc_id,
        len(regexp_extract_all(text, '{tx.BPE_SPLIT_REGEX}')) AS n_pieces,

@@ -259,3 +259,51 @@ def test_ngram_df_cap_bounds_fanout(spark, tmp_path):
         .groupBy("g").count().agg(F.max("count")).collect()[0][0]
     )
     assert surviving_max <= NGRAM_CAPPED_MAX_DF
+
+
+def test_wav_roundtrip_and_rms():
+    """Real audio decode: a 440 Hz int16 sine round-trips encode/decode
+    and its RMS lands at amplitude/sqrt(2)."""
+    import numpy as np
+
+    from big_data_data_lake_spark.operators import multimodal as mm
+
+    rate, amp = 8000, 0.5
+    t = np.arange(rate)  # 1 second
+    wave = (amp * 32767 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int16)
+    blob = mm.encode_wav(wave, rate)
+    decoded, got_rate = mm.decode_wav(blob)
+    assert got_rate == rate and decoded.shape == (rate, 1)
+    assert np.array_equal(decoded[:, 0], wave)
+    x, _ = mm._as_mono_float(blob)
+    assert abs(float(np.sqrt(np.mean(x * x))) - amp / np.sqrt(2)) < 0.01
+
+
+def test_audio_features_and_frame_energy(spark):
+    """audio_features: real per-clip stats; frame_energy: windowed RMS
+    localizes a loud burst in an otherwise silent clip. Non-WAV blobs
+    fall back to the u8-PCM interpretation instead of failing."""
+    import numpy as np
+
+    from big_data_data_lake_spark.operators import multimodal as mm
+
+    rate = 8000
+    silent = np.zeros(rate, dtype=np.int16)
+    burst = silent.copy()
+    burst[2000:4000] = 16000  # loud square in frames 1 (250ms windows)
+    rows = [
+        (1, bytearray(mm.encode_wav(burst, rate))),
+        (2, bytearray(mm.encode_wav(silent, rate))),
+        (3, bytearray(b"not audio at all")),  # u8-PCM fallback
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+
+    feats = {r["doc_id"]: r for r in mm.audio_features(df).collect()}
+    assert feats[1]["duration_ms"] == 1000.0 and feats[1]["sample_rate"] == rate
+    assert feats[2]["rms"] == 0.0 and feats[1]["rms"] > 0.1
+    assert feats[3]["n_samples"] == 16  # fallback decoded, not crashed
+
+    frames = mm.frame_energy(df, frame_ms=250).collect()
+    by_doc1 = {r["frame_idx"]: r["rms"] for r in frames if r["doc_id"] == 1}
+    assert len(by_doc1) == 4
+    assert by_doc1[1] > 0.2 and by_doc1[0] == 0.0 and by_doc1[3] == 0.0
