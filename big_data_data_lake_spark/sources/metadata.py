@@ -93,6 +93,52 @@ def _footer_stats(path: str) -> tuple[int, dict]:
     return md.num_rows, {c: {"min": mins[c], "max": maxs[c]} for c in mins}
 
 
+class ExpectationViolation(ValueError):
+    """A write was rejected because expectation rules failed."""
+
+    def __init__(self, violations: dict[str, int]):
+        self.violations = violations
+        super().__init__(f"expectations violated: {violations}")
+
+
+def enforce_expectations(
+    df: DataFrame, rules: dict[str, str], mode: str = "fail"
+) -> tuple[DataFrame, dict[str, int]]:
+    """Write-time quality gates (the CHECK-constraint / expectations
+    pattern): ``rules`` maps rule name -> boolean SQL over the rows.
+    NULL results satisfy a rule (SQL-standard CHECK semantics) in both
+    the counting and the filtering path.
+
+    mode='fail'  -> raise ExpectationViolation if any rule has
+                    violations; nothing should be committed.
+    mode='drop'  -> return (df filtered to passing rows, counts); the
+                    caller records counts in the commit metadata.
+
+    Violation counting is ONE aggregation over the batch and the
+    collect is a single row of counters (metadata-scale, like the
+    upsert bounds fetch). It is a second scan next to the write; at
+    100 TB fold it into the write itself with ``df.observe()`` metrics
+    — same counters, zero extra passes."""
+    if mode not in ("fail", "drop"):
+        raise ValueError(f"unknown expectation mode: {mode}")
+    sat = {name: F.coalesce(F.expr(expr), F.lit(True)) for name, expr in rules.items()}
+    counts_row = df.agg(
+        *[
+            F.sum((~c).cast("bigint")).cast("bigint").alias(name)
+            for name, c in sat.items()
+        ]
+    ).collect()[0]
+    violations = {name: int(counts_row[name] or 0) for name in rules}
+    if mode == "fail":
+        if any(violations.values()):
+            raise ExpectationViolation({k: v for k, v in violations.items() if v})
+        return df, violations
+    clean = df
+    for c in sat.values():
+        clean = clean.where(c)
+    return clean, violations
+
+
 class LakeTable:
     """Handle to one versioned table rooted at ``path``."""
 
@@ -218,10 +264,18 @@ class LakeTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         extra: dict | None = None,
+        expectations: dict[str, str] | None = None,
+        expect_mode: str = "fail",
     ) -> int:
         """Version 0: initial snapshot."""
         if self.versions():
             raise FileExistsError(f"table already exists at {self.path}")
+        if expectations:
+            df, stats = enforce_expectations(df, expectations, expect_mode)
+            extra = {
+                **(extra or {}),
+                "expectations": {"mode": expect_mode, "violations": stats},
+            }
         pb = partition_by or []
         files = self._write_files(df, pb)
         self._commit(0, self._new_manifest(df, files, pb, extra))
@@ -232,6 +286,8 @@ class LakeTable:
         df: DataFrame,
         extra: dict | None = None,
         merge_schema: bool = False,
+        expectations: dict[str, str] | None = None,
+        expect_mode: str = "fail",
     ) -> int:
         """New version = previous file set + new files (no rewrite).
 
@@ -239,9 +295,20 @@ class LakeTable:
         carry new columns (the manifest schema widens; old files read
         back with nulls for them), and may omit existing columns
         (filled with nulls on write). Type changes and column renames
-        are rejected — those are rewrites, not appends."""
+        are rejected — those are rewrites, not appends.
+
+        ``expectations`` gates the batch with named CHECK rules
+        (enforce_expectations): 'fail' rejects the whole commit,
+        'drop' admits passing rows and records violation counts in
+        the committed manifest — an audit trail per version."""
         from pyspark.sql.types import StructType
 
+        if expectations:
+            df, stats = enforce_expectations(df, expectations, expect_mode)
+            extra = {
+                **(extra or {}),
+                "expectations": {"mode": expect_mode, "violations": stats},
+            }
         prev = self.manifest()
         prev_schema = StructType.fromJson(prev["schema_json"])
         if merge_schema:

@@ -281,3 +281,43 @@ def test_cluster_by_zorder_enables_multi_column_skipping(spark, tmp_path):
     # and the pruned read returns exactly the matching rows
     pruned = zed.read(stat_filter={"y": (10, 20)}).where(F.col("y").between(10, 20))
     assert pruned.count() == df.where(F.col("y").between(10, 20)).count()
+
+
+def test_expectations_fail_mode_rejects_commit(spark, tmp_path):
+    """A violating batch under mode='fail' raises and commits NOTHING
+    — the table's version history is unchanged."""
+    from big_data_data_lake_spark.sources.metadata import (
+        ExpectationViolation,
+        LakeTable,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 10.0)], "id long, v double"))
+    bad = spark.createDataFrame([(2, -5.0), (3, 7.0)], "id long, v double")
+    import pytest as _pytest
+
+    with _pytest.raises(ExpectationViolation) as ei:
+        t.append(bad, expectations={"v_nonneg": "v >= 0", "id_set": "id IS NOT NULL"})
+    assert ei.value.violations == {"v_nonneg": 1}
+    assert t.latest_version() == 0 and t.row_count() == 1
+
+
+def test_expectations_drop_mode_filters_and_audits(spark, tmp_path):
+    """mode='drop' admits passing rows only and records per-rule
+    violation counts in the committed manifest. NULL rule results
+    satisfy the rule (SQL CHECK semantics) — null rows are kept."""
+    from big_data_data_lake_spark.sources.metadata import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 10.0)], "id long, v double"))
+    batch = spark.createDataFrame(
+        [(2, -5.0), (3, 7.0), (4, None)], "id long, v double"
+    )
+    v = t.append(batch, expectations={"v_nonneg": "v >= 0"}, expect_mode="drop")
+    man = t.manifest(v)
+    assert man["expectations"] == {
+        "mode": "drop",
+        "violations": {"v_nonneg": 1},
+    }
+    got = sorted(r.id for r in t.read().collect())
+    assert got == [1, 3, 4]  # -5 dropped; NULL kept
