@@ -844,3 +844,94 @@ def file_ts_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd HH:mm:ss",
         ).alias("file_ts"),
     ).orderBy("fname")
+
+
+SHIPPING_PRIORITY_ORACLE = """
+SELECT l.l_orderkey,
+       round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@register("shipping_priority", SHIPPING_PRIORITY_ORACLE)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the canonical dim->fact->fact join pipeline:
+    segment-filtered customers (small after the pushed-down predicate)
+    BROADCAST into orders, the surviving orders equi-join lineitem on
+    the key both sides can co-partition on, one partial-aggregated
+    revenue rollup, top-10 via TakeOrderedAndProject. Both date
+    predicates reach the parquet scans (PushedFilters); at 100 TB the
+    orders->lineitem join is the only data-scale shuffle."""
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(
+            o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+VALUE_DECILES_ORACLE = """
+WITH d AS (
+    SELECT o_totalprice, ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM d
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+@register("value_deciles", VALUE_DECILES_ORACLE)
+def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile banding via ntile window (deterministic total order with
+    key tiebreak) + per-band stats — the distribution profile behind
+    price/value segmentation. The global sort is the intrinsic cost of
+    exact ntile; at 100 TB use range partitioning (Spark's sort is
+    already range-partitioned) or swap to approx percentile cutpoints
+    if exactness isn't required."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )

@@ -97,3 +97,13 @@ def test_pair_generation_never_plans_quadratic_join(spark, name):
     plan = plans.formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_shipping_priority_broadcasts_dim_and_pushes_dates(spark):
+    """TPC-H Q3 shape: the segment-filtered customer dim must
+    broadcast (never SMJ against orders/lineitem), and the date
+    predicates must reach the parquet scans."""
+    df = _q(spark, "shipping_priority")
+    assert plans.broadcast_join_count(df) >= 1
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "orderdate" in pushed.lower() or "shipdate" in pushed.lower(), pushed
