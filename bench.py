@@ -49,6 +49,8 @@ HEADLINE = [
     "token_stats",
     "multimodal_features",
     "benchmark_decontamination",
+    "shipping_priority",
+    "audio_triage",
 ]
 
 

@@ -411,3 +411,40 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({n}, {stacked}) AS "
         "(column_name, n_rows, n_nulls, n_distinct, min_num, max_num, avg_num)"
     )
+
+
+SALTED_EVENT_ROLLUP_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total_value,
+       round(max(value), 6) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("salted_event_rollup", SALTED_EVENT_ROLLUP_ORACLE)
+def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-type rollup: the SAME answer as a plain
+    groupBy(event_type) — the driver oracle proves it — computed with
+    the two-phase salted plan (operators/skew.py::salted_agg) that a
+    100 TB pipeline needs when one key holds a disproportionate share
+    of rows: partials aggregate on (key, salt) so the hot key's rows
+    spread over n_salts reducers, then the tiny per-salt partials
+    merge. Decomposable measures only; rounding happens after the
+    final merge so the salted and unsalted sums agree exactly."""
+    from ..operators import skew as sk
+
+    ev = _t(spark, sf_dir, "events")
+    out = sk.salted_agg(
+        ev,
+        "event_type",
+        {"n": "count(*)", "total_value": "sum(value)", "max_value": "max(value)"},
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("max_value", 6).alias("max_value"),
+    ).orderBy("event_type")
