@@ -1,0 +1,107 @@
+"""Property-based robustness: hypothesis generates the inputs nobody
+writes by hand. The round-1 crash class (single-token documents
+killing every sketch under ANSI mode) is exactly what these hunt:
+arbitrary ASCII corpora through the sketch lineage on BOTH engines,
+arbitrary ids through the split router, arbitrary signals through the
+codec round-trips.
+
+The portable-hash contract is defined over ASCII text (the corpus
+domain; production swaps in xxhash64 over UTF-8 bytes) — non-BMP
+unicode intentionally out of scope: Spark splits UTF-16 units where
+DuckDB splits codepoints, a dialect difference, not an engine bug.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from big_data_data_lake_spark.operators import dedup as dd
+from big_data_data_lake_spark.operators import multimodal as mm
+
+# printable ASCII incl. space — tokens may be empty/odd; that's the point
+_ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E), max_size=80
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_ascii_text, min_size=1, max_size=12))
+def test_sketch_lineage_never_crashes_and_matches_duckdb(spark, texts):
+    """Any ASCII corpus — empty docs, one-token docs, runs of spaces —
+    must flow through token-hash → shingle-hash → simhash on both
+    engines and agree bit-for-bit."""
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
+        .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
+        .selectExpr("doc_id", "hs", dd.spark_simhash_expr() + " AS sh")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = con.sql(
+        f"""
+        WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM docs),
+        hsh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS hs FROM tok)
+        SELECT doc_id, hs, {dd.simhash_sql()} AS sh FROM hsh ORDER BY doc_id
+        """
+    ).df().set_index("doc_id")
+    for i in got.index:
+        assert sorted(got.loc[i, "hs"]) == sorted(want.loc[i, "hs"]), texts[i]
+        assert int(got.loc[i, "sh"]) == int(want.loc[i, "sh"]), texts[i]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=32))
+def test_split_router_total_and_cross_engine(spark, ids):
+    """Split routing must be total over the whole int64 id domain
+    (no ANSI overflow) and identical across engines."""
+    from big_data_data_lake_spark.queries.curation import _SPLIT_BUCKET, _split_case
+
+    pdf = pd.DataFrame({"doc_id": np.array(ids, dtype=np.uint64).astype(np.int64)})
+    pdf = pdf[pdf.doc_id >= 0].reset_index(drop=True)
+    if pdf.empty:
+        return
+    sdf = spark.createDataFrame(pdf)
+    got = sdf.selectExpr("doc_id", _split_case(_SPLIT_BUCKET) + " AS split").toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.sql(
+        f"SELECT doc_id, {_split_case(_SPLIT_BUCKET)} AS split FROM documents"
+    ).df()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    assert list(g["split"]) == list(w["split"])
+    assert set(g["split"]) <= {"train", "val", "test"}
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=256),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(min_value=1, max_value=2),
+)
+def test_wav_roundtrip_property(samples, rate, channels):
+    arr = np.array(samples, dtype=np.int16)
+    n = (len(arr) // channels) * channels
+    if n == 0:
+        return
+    arr = arr[:n].reshape(-1, channels)
+    decoded, got_rate = mm.decode_wav(mm.encode_wav(arr, rate))
+    assert got_rate == rate
+    assert np.array_equal(decoded, arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=1, max_value=40), st.integers(min_value=1, max_value=40), st.randoms())
+def test_ppm_roundtrip_property(w, h, rnd):
+    img = np.frombuffer(
+        bytes(rnd.getrandbits(8) for _ in range(w * h * 3)), dtype=np.uint8
+    ).reshape(h, w, 3)
+    assert np.array_equal(mm.decode_ppm(mm.encode_ppm(img)), img)
