@@ -343,14 +343,32 @@ def sliding_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_sample", None)  # O3 — nondeterministic across engines: rows-only
+def _events_sample_oracle() -> str:
+    from .curation import SAMPLE_A, SAMPLE_B, SAMPLE_C, _mix
+
+    keep = _mix("event_id", SAMPLE_A, SAMPLE_B, SAMPLE_C, 1000)
+    return f"""
+SELECT event_id, user_id, event_type
+FROM events
+WHERE {keep} < 100
+"""
+
+
+@register("events_sample", _events_sample_oracle())
 def events_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3 — seeded Bernoulli sample (dashboard.py:122,152). Sampling is
-    pushed into the scan (SampleExec before any shuffle); exact-n
-    variants at scale use sample(frac*1.1).limit(n), never a full
-    orderBy(rand())."""
+    """O3 — 10% uniform sample (dashboard.py:122,152), DETERMINISTIC:
+    membership is a hash of event_id, so the sample is identical
+    across engines, runs, and repartitionings — the reproducibility a
+    pipeline needs (and what makes O3 oracle-checkable instead of
+    rows-only). The predicate is row-local, evaluated in the scan
+    stage before any shuffle — the same cost shape as Spark's native
+    seeded ``sample()`` (SampleExec), which remains the right call
+    when per-run independence is wanted instead."""
+    from .curation import SAMPLE_A, SAMPLE_B, SAMPLE_C, _mix
+
+    keep = _mix("event_id", SAMPLE_A, SAMPLE_B, SAMPLE_C, 1000)
     ev = _t(spark, sf_dir, "events")
-    return ev.sample(fraction=0.1, seed=42).select("event_id", "user_id", "event_type")
+    return ev.where(F.expr(f"{keep} < 100")).select("event_id", "user_id", "event_type")
 
 
 # ---------------------------------------------------------------------------
