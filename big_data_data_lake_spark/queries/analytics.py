@@ -466,3 +466,103 @@ def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 2).alias("total_value"),
         F.round("max_value", 6).alias("max_value"),
     ).orderBy("event_type")
+
+
+GAPFILLED_HOURLY_ORACLE = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+spine AS (
+    SELECT t.event_type, h.hr
+    FROM (SELECT DISTINCT event_type FROM events) t
+    CROSS JOIN (
+        SELECT unnest(generate_series(
+            (SELECT min(date_trunc('hour', ts)) FROM events),
+            (SELECT max(date_trunc('hour', ts)) FROM events),
+            INTERVAL 1 HOUR)) AS hr
+    ) h
+)
+SELECT s.event_type,
+       strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(coalesce(hourly.n, 0) AS BIGINT) AS n
+FROM spine s
+LEFT JOIN hourly ON s.event_type = hourly.event_type AND s.hr = hourly.hr
+"""
+
+
+@register("hourly_counts_gapfilled", GAPFILLED_HOURLY_ORACLE)
+def hourly_counts_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: every (event_type, hour) cell over
+    the observed span, zero-filled where no events landed — what a
+    monitoring/feature pipeline needs before rolling windows (a gap
+    that silently disappears corrupts every downstream average). The
+    spine is domain-sized (types × hours — metadata scale), built with
+    sequence+explode and BROADCAST into the left join; the only
+    data-scale work is the hourly count aggregation itself."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(hours)
+    return (
+        F.broadcast(spine)
+        .join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+
+
+HOURLY_MOVING_AVG_ORACLE = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+       round(avg(n) OVER (
+           PARTITION BY event_type ORDER BY hr
+           RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW
+       ), 4) AS moving_avg
+FROM hourly
+"""
+
+
+@register("hourly_moving_avg", HOURLY_MOVING_AVG_ORACLE)
+def hourly_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hour moving average of hourly event volume per type — a
+    RANGE-framed window (interval-based, so missing hours shrink the
+    frame rather than silently widening it the way a ROWS frame
+    would). One shuffle on event_type shared by the count and the
+    window; the frame arithmetic is row-local."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hr").cast("long"))
+        .rangeBetween(-2 * 3600, 0)
+    )
+    return hourly.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.round(F.avg("n").over(w), 4).alias("moving_avg"),
+    )
