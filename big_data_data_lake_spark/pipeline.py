@@ -91,9 +91,14 @@ def curate_corpus(
     for split in SPLITS:
         part = routed.where(F.col("split") == split).drop("split")
         table = LakeTable(spark, f"{out_dir}/{split}")
-        v = table.create(
-            part, partition_by=["lang"], expectations=rules, expect_mode="drop"
-        )
+        # re-runs version the table (overwrite keeps prior snapshots
+        # readable) instead of failing on an existing output
+        if table.versions():
+            v = table.overwrite(part, expectations=rules, expect_mode="drop")
+        else:
+            v = table.create(
+                part, partition_by=["lang"], expectations=rules, expect_mode="drop"
+            )
         stats["splits"][split] = table.row_count()
         stats["versions"][split] = v
     return stats

@@ -339,16 +339,26 @@ class LakeTable:
         self._commit(v, man)
         return v
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        expectations: dict[str, str] | None = None,
+        expect_mode: str = "fail",
+    ) -> int:
         """New version replacing the visible file set; old files stay
         on disk so prior versions remain readable (vacuum is a
-        separate, explicitly destructive step — not implemented)."""
+        separate, explicitly destructive step — not implemented).
+        ``expectations`` gates the batch exactly as in append."""
+        extra = None
+        if expectations:
+            df, stats = enforce_expectations(df, expectations, expect_mode)
+            extra = {"expectations": {"mode": expect_mode, "violations": stats}}
         prev = self.manifest()
         files = self._write_files(df, prev["partition_by"])
         v = self.latest_version() + 1
         self._commit(
             v,
-            self._new_manifest(df, files, prev["partition_by"], self._carry(prev, None)),
+            self._new_manifest(df, files, prev["partition_by"], self._carry(prev, extra)),
         )
         return v
 

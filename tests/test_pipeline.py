@@ -50,3 +50,11 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     # deterministic: a second run routes identically
     stats2 = curate_corpus(spark, SF, str(tmp_path / "curated2"))
     assert stats2 == stats
+
+    # re-running onto the SAME output versions the tables (time travel
+    # to the prior snapshot still works) instead of failing
+    stats3 = curate_corpus(spark, SF, out)
+    assert stats3["versions"] == {s: 1 for s in ("train", "val", "test")}
+    assert stats3["splits"] == stats["splits"]
+    t = LakeTable(spark, f"{out}/train")
+    assert t.read(version=0).count() == t.read(version=1).count()
