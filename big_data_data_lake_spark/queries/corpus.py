@@ -266,3 +266,63 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "bigram")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-method dedup agreement (semantic vs lexical)
+# ---------------------------------------------------------------------------
+
+
+def _semantic_crosscheck_oracle() -> str:
+    from .llm_ops import EMBEDDING_TOPK_PAIRS_ORACLE
+
+    return f"""
+WITH emb AS ({EMBEDDING_TOPK_PAIRS_ORACLE.strip()}),
+lex AS ({_ngram_jaccard_oracle(None).strip()})
+SELECT e.id1, e.id2, e.cos_sim,
+       d1.lang AS lang1, d2.lang AS lang2,
+       (l.d1 IS NOT NULL) AS is_lexical_dup
+FROM emb e
+JOIN documents d1 ON e.id1 = d1.doc_id
+JOIN documents d2 ON e.id2 = d2.doc_id
+LEFT JOIN lex l ON e.id1 = l.d1 AND e.id2 = l.d2
+"""
+
+
+@register("semantic_dedup_crosscheck", _semantic_crosscheck_oracle())
+def semantic_dedup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do embedding near-dups agree with lexical near-dups? The top-20
+    semantic pairs annotated with both documents' languages and
+    whether the pair also passes the n-gram Jaccard gate — the audit a
+    curation pipeline runs before trusting embedding-only dedup
+    (semantic-but-not-lexical pairs are paraphrases or translations;
+    lexical-but-not-semantic ones are template noise). The embedding
+    ids double as document ids (same corpus row), so the annotation is
+    two broadcast-able dim joins plus a left join against the bounded
+    pair list — nothing new shuffles at data scale."""
+    from .llm_ops import embedding_topk_pairs
+
+    emb = embedding_topk_pairs(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    lex = _ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("d1").alias("id1"), F.col("d2").alias("id2"), F.lit(True).alias("__lex")
+    )
+    return (
+        emb.join(
+            F.broadcast(docs.select(F.col("doc_id").alias("id1"), F.col("lang").alias("lang1"))),
+            "id1",
+        )
+        .join(
+            F.broadcast(docs.select(F.col("doc_id").alias("id2"), F.col("lang").alias("lang2"))),
+            "id2",
+        )
+        .join(lex, ["id1", "id2"], "left")
+        .select(
+            "id1",
+            "id2",
+            "cos_sim",
+            "lang1",
+            "lang2",
+            F.coalesce("__lex", F.lit(False)).alias("is_lexical_dup"),
+        )
+    )
