@@ -125,6 +125,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    # Convergence check: labels only ever DECREASE under min-propagation,
+    # so the label sum strictly decreases iff any label changed — one
+    # single-row aggregate per round instead of a join + count.
+    # decimal(38,0) keeps the sum exact at any corpus size (int64 sums
+    # overflow around 1e12 docs × 1e12 ids).
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(20):
         prop = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -139,16 +148,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-        changed = (
-            merged.alias("m")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("m.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = _label_sum(merged)
         labels.unpersist()
         labels = merged
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError("label propagation did not converge in 20 rounds")
     return labels.select("doc_id", F.col("label").alias("cluster"))
