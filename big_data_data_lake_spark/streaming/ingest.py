@@ -292,6 +292,7 @@ def lake_table_sink(
     partition_by: list[str] | None = None,
     trigger_seconds: int = FLUSH_TRIGGER_S,
     available_now: bool = False,
+    expectations: dict[str, str] | None = None,
 ):
     """Checkpointed streaming sink into a versioned LakeTable
     (sources/metadata.py): every micro-batch becomes one atomic
@@ -301,18 +302,29 @@ def lake_table_sink(
     Exactly-once: Spark's checkpoint dedups source offsets, and the
     commit itself is idempotent under replay — each manifest records
     the ``batch_id`` it came from, and a replayed batch id (<= the
-    last committed one) is skipped without writing."""
+    last committed one) is skipped without writing.
+
+    ``expectations`` applies write-time CHECK gates per micro-batch in
+    drop mode (a stream must keep flowing, so violating ROWS are shed
+    and counted, never the whole batch rejected); each committed
+    manifest carries that batch's violation audit."""
     from ..sources.metadata import LakeTable
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         table = LakeTable(batch_df.sparkSession, table_path)
+        gate = {"expectations": expectations, "expect_mode": "drop"} if expectations else {}
         if not table.versions():
-            table.create(batch_df, partition_by=partition_by, extra={"batch_id": batch_id})
+            table.create(
+                batch_df,
+                partition_by=partition_by,
+                extra={"batch_id": batch_id},
+                **gate,
+            )
             return
         last = table.manifest().get("batch_id", -1)
         if batch_id <= last:  # replay after restart: already committed
             return
-        table.append(batch_df, extra={"batch_id": batch_id})
+        table.append(batch_df, extra={"batch_id": batch_id}, **gate)
 
     writer = (
         stream.writeStream.foreachBatch(commit)

@@ -378,3 +378,33 @@ def test_interval_join_matches_batch_twin(spark, tmpdir):
     )
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) == 3
+
+
+def test_lake_table_sink_expectations_shed_and_audit(spark, tmpdir):
+    """Streaming quality gates: violating rows are shed per
+    micro-batch (the stream keeps flowing) and every committed
+    manifest carries that batch's violation audit."""
+    import os
+
+    from big_data_data_lake_spark.sources.metadata import LakeTable
+    from big_data_data_lake_spark.streaming.ingest import lake_table_sink
+
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    with open(f"{src}/a.jsonl", "w") as fh:
+        fh.write(json.dumps({"id": 1, "v": 10.0}) + "\n")
+        fh.write(json.dumps({"id": 2, "v": -3.0}) + "\n")  # violates
+        fh.write(json.dumps({"id": 3, "v": 7.0}) + "\n")
+
+    stream = spark.readStream.schema("id long, v double").json(src)
+    q = lake_table_sink(
+        stream, f"{tmpdir}/table", f"{tmpdir}/ckpt",
+        available_now=True, expectations={"v_nonneg": "v >= 0"},
+    )
+    q.awaitTermination(120)
+
+    table = LakeTable(spark, f"{tmpdir}/table")
+    assert sorted(r.id for r in table.read().collect()) == [1, 3]
+    man = table.manifest()
+    assert man["expectations"] == {"mode": "drop", "violations": {"v_nonneg": 1}}
+    assert "batch_id" in man  # replay guard still carried alongside
