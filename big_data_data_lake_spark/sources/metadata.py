@@ -93,6 +93,27 @@ def _footer_stats(path: str) -> tuple[int, dict]:
     return md.num_rows, {c: {"min": mins[c], "max": maxs[c]} for c in mins}
 
 
+# Bloom probe constants: the shared portable poly-hash (dedup.py's
+# char fold) drives k affine probes — the same arithmetic runs as a
+# Spark expression at build time and in plain Python at lookup time,
+# which is what lets the driver prune files without touching the JVM.
+_BLOOM_P = 2_147_483_647
+_BLOOM_A = [1_103_515_245, 2_027_947_015, 784_588_717, 1_606_199_579]
+_BLOOM_B = [12_345, 1_553_461_036, 1_297_506_577, 1_120_480_699]
+
+
+def _poly_hash_py(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % _BLOOM_P
+    return h
+
+
+def _bloom_positions(value, bits: int, k: int) -> set[int]:
+    h = _poly_hash_py(str(value))
+    return {((_BLOOM_A[j] * h + _BLOOM_B[j]) % _BLOOM_P) % bits for j in range(k)}
+
+
 class ExpectationViolation(ValueError):
     """A write was rejected because expectation rules failed."""
 
@@ -362,6 +383,65 @@ class LakeTable:
         )
         return v
 
+    def add_bloom(self, col: str, bits: int = 1024, k: int = 4) -> int:
+        """Maintenance commit attaching a per-file Bloom filter on
+        ``col`` (int/long/string) — point-lookup file skipping for the
+        case zone maps can't prune: high-cardinality keys scattered
+        across files, where every file's min/max range covers every
+        query. One Spark pass computes each file's set bit positions
+        (k affine probes of the portable value hash); the per-file bit
+        sets are manifest metadata (≤ bits ints per file — production
+        packs them as a bitmap). Files appended later simply lack a
+        bloom and are never skipped. Lookups for NULL are unsupported
+        (null rows set no bits)."""
+        if k > len(_BLOOM_A):
+            raise ValueError(f"k <= {len(_BLOOM_A)} supported")
+        from pyspark.sql.types import StructType
+
+        man = self.manifest()
+        schema = StructType.fromJson(man["schema_json"])
+        if schema[col].dataType.typeName() not in ("integer", "long", "string"):
+            raise ValueError(f"bloom supports int/long/string columns, not {schema[col].dataType}")
+        df = self._read_files(schema, man["files"]).select(
+            F.input_file_name().alias("__f"), F.col(col).cast("string").alias("__v")
+        )
+        h = F.expr(
+            f"aggregate(split(__v, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % {_BLOOM_P})"
+        )
+        probes = F.array(
+            *[
+                ((F.lit(_BLOOM_A[j]) * h + F.lit(_BLOOM_B[j])) % _BLOOM_P % bits).cast("int")
+                for j in range(k)
+            ]
+        )
+        per_file = (
+            df.where(F.col("__v").isNotNull())
+            .select("__f", F.explode(probes).alias("p"))
+            .groupBy("__f")
+            .agg(F.collect_set("p").alias("bits"))
+            .collect()  # metadata-scale: files x <= `bits` ints
+        )
+        by_path = {}
+        for r in per_file:
+            path = r["__f"]
+            if path.startswith("file:"):  # file:///x -> /x
+                path = "/" + path.split(":", 1)[1].lstrip("/")
+            by_path[path] = sorted(r["bits"])
+        files = []
+        for f in man["files"]:
+            nf = dict(f)
+            if f["path"] in by_path:
+                nf.setdefault("bloom", {})
+                nf["bloom"] = {**nf.get("bloom", {}), col: by_path[f["path"]]}
+            files.append(nf)
+        new_man = dict(man)
+        new_man["files"] = files
+        new_man.setdefault("bloom_meta", {})
+        new_man["bloom_meta"] = {**new_man["bloom_meta"], col: {"bits": bits, "k": k}}
+        v = self.latest_version() + 1
+        self._commit(v, new_man)
+        return v
+
     # -------------------------------------------------------------- reads
 
     def read(
@@ -369,18 +449,33 @@ class LakeTable:
         version: int | None = None,
         partition_filter: dict[str, str] | None = None,
         stat_filter: dict[str, tuple] | None = None,
+        bloom_eq: dict | None = None,
     ) -> DataFrame:
         """Snapshot read pinned to one manifest. ``partition_filter``
         prunes files manifest-side, so Spark never lists or opens
         non-matching files; ``stat_filter`` maps column -> (lo, hi)
         and skips files whose footer min/max range cannot intersect —
-        zone-map data skipping. Both are pruning-only: callers still
-        apply the exact predicate to the returned DataFrame."""
+        zone-map data skipping. ``bloom_eq`` maps column -> value and
+        skips files whose Bloom filter (see add_bloom) proves the
+        value absent. All are pruning-only: callers still apply the
+        exact predicate to the returned DataFrame."""
         from pyspark.sql.types import StructType
 
         man = self.manifest(version)
         schema = StructType.fromJson(man["schema_json"])
         files = man["files"]
+        if bloom_eq:
+            for col, val in bloom_eq.items():
+                bm = man.get("bloom_meta", {}).get(col)
+                if not bm:
+                    continue  # no bloom on this column -> cannot skip
+                want = _bloom_positions(val, bm["bits"], bm["k"])
+                files = [
+                    f
+                    for f in files
+                    if f.get("bloom", {}).get(col) is None
+                    or want <= set(f["bloom"][col])
+                ]
         if partition_filter:
             files = [
                 f

@@ -321,3 +321,37 @@ def test_expectations_drop_mode_filters_and_audits(spark, tmp_path):
     }
     got = sorted(r.id for r in t.read().collect())
     assert got == [1, 3, 4]  # -5 dropped; NULL kept
+
+
+def test_bloom_filter_point_lookup_skips_files(spark, tmp_path):
+    """Bloom skipping prunes files for point lookups that zone maps
+    cannot (hash-scattered keys: every file's min/max covers every
+    query); results stay exact, and files appended after add_bloom
+    are never skipped."""
+    from big_data_data_lake_spark.sources.metadata import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, str(i % 7)) for i in range(400)], "id long, tag string"
+    )
+    # hash-scatter ids across 4 files so min/max ranges all overlap
+    t.create(df.repartition(4, "id"))
+    v = t.add_bloom("id")
+    assert t.latest_version() == v
+
+    hit = t.read(bloom_eq={"id": 123})
+    assert len(hit.inputFiles()) < 4  # pruned
+    assert [r.id for r in hit.where("id = 123").collect()] == [123]
+
+    # absent key: bloom may prune everything (no false negatives ever)
+    miss = t.read(bloom_eq={"id": 99999})
+    assert miss.where("id = 99999").count() == 0
+
+    # string column bloom
+    t.add_bloom("tag")
+    tagged = t.read(bloom_eq={"tag": "3"})
+    assert tagged.where("tag = '3'").count() == len([i for i in range(400) if i % 7 == 3])
+
+    # appended files have no bloom -> included, never wrongly skipped
+    t.append(spark.createDataFrame([(1000, "x")], "id long, tag string"))
+    assert t.read(bloom_eq={"id": 1000}).where("id = 1000").count() == 1
