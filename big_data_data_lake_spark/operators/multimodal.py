@@ -224,6 +224,10 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
             f"only 16-bit PCM WAV is built in (format={audio_format}, bits={bits}); "
             "compressed audio needs ffmpeg, absent in this container"
         )
+    if channels <= 0 or rate <= 0:
+        # a corrupt fmt chunk must downgrade to the raw-PCM fallback,
+        # not ZeroDivisionError an executor task
+        raise ValueError(f"corrupt WAV fmt chunk (channels={channels}, rate={rate})")
     n = len(data) // (2 * channels)
     samples = np.frombuffer(data, dtype="<i2", count=n * channels).reshape(n, channels)
     return samples, rate

@@ -50,13 +50,28 @@ def quality_gate(docs: DataFrame) -> DataFrame:
 
 
 def dedup_survivor_docs(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
-    """Keep one representative per near-dup cluster (the minimum
-    doc_id). The cluster labels come from the same connected-components
-    propagation the dedup_clusters query runs; the survivor filter is
-    a broadcast-sized semi-join at test SF and a co-partitioned
-    equi-join at scale."""
-    clusters = dedup_clusters(spark, sf_dir)
-    survivors = clusters.where(F.col("doc_id") == F.col("cluster")).select("doc_id")
+    """Keep one representative per near-dup cluster. The cluster
+    labels come from the same connected-components propagation the
+    dedup_clusters query runs — over the RAW corpus — but the
+    representative is the minimum doc_id among the GATED members of
+    each cluster: picking the raw-corpus minimum would silently drop
+    entire clusters whenever their minimum happened to fail the
+    quality gate (the gated members would semi-join against a
+    representative that no longer exists). The survivor pick is one
+    aggregation over the gated ids plus a semi-join — broadcast-sized
+    at test SF, co-partitioned equi-joins at scale."""
+    return survivor_filter(docs, dedup_clusters(spark, sf_dir))
+
+
+def survivor_filter(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Pure survivor pick: min doc_id per cluster AMONG ``docs``' own
+    rows (not the raw corpus), then a semi-join back."""
+    gated_clusters = docs.select("doc_id").join(clusters, "doc_id")
+    survivors = (
+        gated_clusters.groupBy("cluster")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
     return docs.join(survivors, "doc_id", "left_semi")
 
 
@@ -77,28 +92,36 @@ def curate_corpus(
     n_raw = docs.count()
 
     gated = quality_gate(docs).persist()
-    n_gated = gated.count()
+    deduped = None
+    try:
+        n_gated = gated.count()
 
-    deduped = dedup_survivor_docs(spark, sf_dir, gated).persist()
-    n_deduped = deduped.count()
+        deduped = dedup_survivor_docs(spark, sf_dir, gated).persist()
+        n_deduped = deduped.count()
 
-    routed = deduped.withColumn("split", F.expr(_split_case(_SPLIT_BUCKET)))
-    stats: dict = {
-        "stages": {"raw": n_raw, "quality_gated": n_gated, "deduped": n_deduped},
-        "splits": {},
-        "versions": {},
-    }
-    for split in SPLITS:
-        part = routed.where(F.col("split") == split).drop("split")
-        table = LakeTable(spark, f"{out_dir}/{split}")
-        # re-runs version the table (overwrite keeps prior snapshots
-        # readable) instead of failing on an existing output
-        if table.versions():
-            v = table.overwrite(part, expectations=rules, expect_mode="drop")
-        else:
-            v = table.create(
-                part, partition_by=["lang"], expectations=rules, expect_mode="drop"
-            )
-        stats["splits"][split] = table.row_count()
-        stats["versions"][split] = v
-    return stats
+        routed = deduped.withColumn("split", F.expr(_split_case(_SPLIT_BUCKET)))
+        stats: dict = {
+            "stages": {"raw": n_raw, "quality_gated": n_gated, "deduped": n_deduped},
+            "splits": {},
+            "versions": {},
+        }
+        for split in SPLITS:
+            part = routed.where(F.col("split") == split).drop("split")
+            table = LakeTable(spark, f"{out_dir}/{split}")
+            # re-runs version the table (overwrite keeps prior snapshots
+            # readable) instead of failing on an existing output
+            if table.versions():
+                v = table.overwrite(part, expectations=rules, expect_mode="drop")
+            else:
+                v = table.create(
+                    part, partition_by=["lang"], expectations=rules, expect_mode="drop"
+                )
+            stats["splits"][split] = table.row_count()
+            stats["versions"][split] = v
+        return stats
+    finally:
+        # a long-lived service calls this repeatedly — leaked caches
+        # would accumulate until they evict useful storage memory
+        gated.unpersist()
+        if deduped is not None:
+            deduped.unpersist()

@@ -496,10 +496,13 @@ def hourly_counts_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series densification: every (event_type, hour) cell over
     the observed span, zero-filled where no events landed — what a
     monitoring/feature pipeline needs before rolling windows (a gap
-    that silently disappears corrupts every downstream average). The
-    spine is domain-sized (types × hours — metadata scale), built with
-    sequence+explode and BROADCAST into the left join; the only
-    data-scale work is the hourly count aggregation itself."""
+    that silently disappears corrupts every downstream average). Both
+    join inputs are domain-sized (types × hours): the spine from
+    sequence+explode, the hourly counts from the one data-scale
+    aggregation. The AGGREGATE side broadcasts — the spine is the
+    preserved side of the left join, and a left-outer broadcast join
+    can only build its right side (a broadcast() hint on the
+    preserved side is silently ignored and degrades to SMJ)."""
     ev = _t(spark, sf_dir, "events")
     hourly = (
         ev.select("event_type", F.date_trunc("hour", "ts").alias("hr"))
@@ -516,8 +519,7 @@ def hourly_counts_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = ev.select("event_type").distinct()
     spine = types.crossJoin(hours)
     return (
-        F.broadcast(spine)
-        .join(hourly, ["event_type", "hr"], "left")
+        spine.join(F.broadcast(hourly), ["event_type", "hr"], "left")
         .select(
             "event_type",
             F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),

@@ -638,8 +638,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 AUDIO_TRIAGE_ORACLE = """
 WITH b AS (
     SELECT doc_id,
-           list_transform(string_split(text, ''),
-                          c -> (CAST(ascii(c) AS DOUBLE) - 128.0) / 128.0) AS x
+           -- empty text must mean ZERO samples: string_split('', '')
+           -- is [''] in DuckDB (one pseudo-sample), while the engine's
+           -- u8 decode of zero bytes yields an empty waveform
+           CASE WHEN len(text) = 0 THEN CAST([] AS DOUBLE[])
+                ELSE list_transform(string_split(text, ''),
+                                    c -> (CAST(ascii(c) AS DOUBLE) - 128.0) / 128.0)
+           END AS x
     FROM documents
 )
 SELECT doc_id,

@@ -93,16 +93,21 @@ def _footer_stats(path: str) -> tuple[int, dict]:
     return md.num_rows, {c: {"min": mins[c], "max": maxs[c]} for c in mins}
 
 
-# Bloom probe constants: the shared portable poly-hash (dedup.py's
-# char fold) drives k affine probes — the same arithmetic runs as a
-# Spark expression at build time and in plain Python at lookup time,
-# which is what lets the driver prune files without touching the JVM.
-_BLOOM_P = 2_147_483_647
-_BLOOM_A = [1_103_515_245, 2_027_947_015, 784_588_717, 1_606_199_579]
-_BLOOM_B = [12_345, 1_553_461_036, 1_297_506_577, 1_120_480_699]
+# Bloom probes: dedup.py's portable poly-hash (same MERSENNE_P
+# modulus, same affine constants) drives k probes — the identical
+# arithmetic runs as a Spark expression at build time (dedup._poly_hash)
+# and in plain Python at lookup time (_poly_hash_py below, the
+# deliberate Python twin: pruning must not need a JVM call). Constants
+# are IMPORTED, not copied, so the planned xxhash64 swap documented in
+# dedup.py cannot desynchronize build and probe and silently skip
+# files that do contain the value.
+from ..operators.dedup import MERSENNE_P as _BLOOM_P
+from ..operators.dedup import MINHASH_A as _BLOOM_A
+from ..operators.dedup import MINHASH_B as _BLOOM_B
 
 
 def _poly_hash_py(s: str) -> int:
+    """Python twin of dedup._poly_hash / POLY_HASH_SQL (same fold)."""
     h = 0
     for ch in s:
         h = (h * 31 + ord(ch)) % _BLOOM_P
@@ -402,12 +407,12 @@ class LakeTable:
         schema = StructType.fromJson(man["schema_json"])
         if schema[col].dataType.typeName() not in ("integer", "long", "string"):
             raise ValueError(f"bloom supports int/long/string columns, not {schema[col].dataType}")
+        from ..operators.dedup import _poly_hash
+
         df = self._read_files(schema, man["files"]).select(
             F.input_file_name().alias("__f"), F.col(col).cast("string").alias("__v")
         )
-        h = F.expr(
-            f"aggregate(split(__v, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % {_BLOOM_P})"
-        )
+        h = _poly_hash(F.col("__v"))
         probes = F.array(
             *[
                 ((F.lit(_BLOOM_A[j]) * h + F.lit(_BLOOM_B[j])) % _BLOOM_P % bits).cast("int")
@@ -431,7 +436,6 @@ class LakeTable:
         for f in man["files"]:
             nf = dict(f)
             if f["path"] in by_path:
-                nf.setdefault("bloom", {})
                 nf["bloom"] = {**nf.get("bloom", {}), col: by_path[f["path"]]}
             files.append(nf)
         new_man = dict(man)

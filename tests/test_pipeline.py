@@ -58,3 +58,34 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     assert stats3["splits"] == stats["splits"]
     t = LakeTable(spark, f"{out}/train")
     assert t.read(version=0).count() == t.read(version=1).count()
+
+
+def test_survivor_pick_respects_upstream_gate(spark):
+    """A cluster whose raw-corpus minimum failed the quality gate must
+    still keep its best GATED member — picking representatives from
+    the raw corpus would silently drop the whole cluster."""
+    from big_data_data_lake_spark.pipeline import survivor_filter
+
+    gated = spark.createDataFrame([(9, "keep"), (12, "solo")], "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(5, 5), (9, 5), (12, 12)], "doc_id long, cluster long"  # 5 failed the gate
+    )
+    got = sorted(r.doc_id for r in survivor_filter(gated, clusters).collect())
+    assert got == [9, 12]
+
+
+def test_corrupt_wav_falls_back_not_crashes():
+    """A WAV whose fmt chunk declares 0 channels must downgrade to the
+    raw-PCM fallback instead of ZeroDivisionError-ing the task."""
+    from big_data_data_lake_spark.operators import multimodal as mm
+
+    fmt = (
+        (1).to_bytes(2, "little") + (0).to_bytes(2, "little")  # channels=0
+        + (8000).to_bytes(4, "little") + (0).to_bytes(4, "little")
+        + (0).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + (4).to_bytes(4, "little") + b"\x00\x01\x02\x03"
+    blob = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+    x, rate = mm._as_mono_float(blob)  # u8 fallback path
+    assert rate == 8000 and len(x) == len(blob)
