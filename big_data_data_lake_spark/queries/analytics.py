@@ -568,3 +568,34 @@ def hourly_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.round(F.avg("n").over(w), 4).alias("moving_avg"),
     )
+
+
+GROUPED_PERCENTILES_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("grouped_percentiles", GROUPED_PERCENTILES_ORACLE)
+def grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p95/p99 per event type — the per-cohort
+    latency/size profile every monitoring pipeline computes. One hash
+    shuffle on the group key; all three percentiles share the same
+    per-group sort. At 100 TB swap percentile -> percentile_approx
+    (t-digest-style mergeable sketches, single pass, no per-group
+    sort) — one function name, same plan shape."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
