@@ -7,6 +7,7 @@ from .ingest import (
     micro_batch_writer,
     normalize_payloads,
     parse_state_vectors,
+    session_windowed_counts,
     windowed_counts,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "micro_batch_writer",
     "normalize_payloads",
     "parse_state_vectors",
+    "session_windowed_counts",
     "windowed_counts",
 ]

@@ -216,6 +216,34 @@ def windowed_counts(
     )
 
 
+def session_windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Session windows on a stream: per-key activity bursts separated
+    by ``gap`` of silence, closed and emitted once the watermark
+    passes the gap (completing the window-type set next to tumbling
+    and sliding). State per key is one open session, merged as events
+    arrive — the engine's dynamic-window equivalent of the batch
+    lag/cumsum sessionization (queries/analytics.py::sessionize_events);
+    the same expression works in batch, which is what the equality
+    test pins."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *keys,
+            "n",
+        )
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

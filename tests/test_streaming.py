@@ -408,3 +408,46 @@ def test_lake_table_sink_expectations_shed_and_audit(spark, tmpdir):
     man = table.manifest()
     assert man["expectations"] == {"mode": "drop", "violations": {"v_nonneg": 1}}
     assert "batch_id" in man  # replay guard still carried alongside
+
+
+def test_session_windows_match_batch_and_sessionize(spark, tmpdir):
+    """Streaming session windows == the batch session_window plan on
+    the same data; per-user session counts also agree with the batch
+    lag/cumsum sessionization query."""
+    from big_data_data_lake_spark.streaming.ingest import session_windowed_counts
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ).select("user_id", "ts")
+    # sentinel far past the end flushes all real sessions through the
+    # watermark (its own session stays in state)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    sentinel = events.limit(1).withColumn(
+        "ts", F.lit(max_ts).cast("timestamp") + F.expr("INTERVAL 2 DAYS")
+    ).withColumn("user_id", F.lit(-1).cast("long"))
+    events.unionByName(sentinel).write.mode("overwrite").parquet(f"{tmpdir}/ev")
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(f"{tmpdir}/ev")
+    streamed = _run_stream_to_memory(
+        spark, session_windowed_counts(stream, gap="30 minutes", keys=("user_id",)), "sess"
+    )
+    got = sorted(t for t in map(tuple, streamed.collect()) if t[2] != -1)
+
+    batch = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("s"), F.col("w.end").alias("e"), "user_id", "n")
+    )
+    assert got == sorted(map(tuple, batch.collect()))
+
+    # session COUNTS agree with the lag/cumsum batch sessionization
+    from big_data_data_lake_spark.queries import load_all
+
+    per_user = {}
+    for s, e, uid, n in got:
+        per_user[uid] = per_user.get(uid, 0) + 1
+    sess = {
+        r.user_id: r.n_sessions
+        for r in load_all()["sessionize_events"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert per_user == sess
