@@ -114,6 +114,25 @@ def _poly_hash_py(s: str) -> int:
     return h
 
 
+def _pack_bits(positions, bits: int) -> str:
+    """Set-bit positions -> base64 bitmap (bits/8 bytes — 1024 bits is
+    172 b64 chars vs ~1.5 KB as a JSON int list; at 10^5 files per
+    manifest the packing is what keeps blooms viable)."""
+    import base64
+
+    buf = bytearray(bits // 8)
+    for p in positions:
+        buf[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(buf)).decode("ascii")
+
+
+def _bits_contain(b64: str, want) -> bool:
+    import base64
+
+    buf = base64.b64decode(b64)
+    return all(buf[p >> 3] & (1 << (p & 7)) for p in want)
+
+
 def _bloom_positions(value, bits: int, k: int) -> set[int]:
     h = _poly_hash_py(str(value))
     return {((_BLOOM_A[j] * h + _BLOOM_B[j]) % _BLOOM_P) % bits for j in range(k)}
@@ -394,11 +413,11 @@ class LakeTable:
         case zone maps can't prune: high-cardinality keys scattered
         across files, where every file's min/max range covers every
         query. One Spark pass computes each file's set bit positions
-        (k affine probes of the portable value hash); the per-file bit
-        sets are manifest metadata (≤ bits ints per file — production
-        packs them as a bitmap). Files appended later simply lack a
-        bloom and are never skipped. Lookups for NULL are unsupported
-        (null rows set no bits)."""
+        (k affine probes of the portable value hash); each file's
+        bitmap is stored base64-packed in the manifest (bits/8 bytes
+        per file). Files appended later simply lack a bloom and are
+        never skipped. Lookups for NULL are unsupported (null rows
+        set no bits)."""
         if k > len(_BLOOM_A):
             raise ValueError(f"k <= {len(_BLOOM_A)} supported")
         from pyspark.sql.types import StructType
@@ -431,7 +450,7 @@ class LakeTable:
             path = r["__f"]
             if path.startswith("file:"):  # file:///x -> /x
                 path = "/" + path.split(":", 1)[1].lstrip("/")
-            by_path[path] = sorted(r["bits"])
+            by_path[path] = _pack_bits(r["bits"], bits)
         files = []
         for f in man["files"]:
             nf = dict(f)
@@ -478,7 +497,7 @@ class LakeTable:
                     f
                     for f in files
                     if f.get("bloom", {}).get(col) is None
-                    or want <= set(f["bloom"][col])
+                    or _bits_contain(f["bloom"][col], want)
                 ]
         if partition_filter:
             files = [
