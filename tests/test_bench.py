@@ -1,0 +1,38 @@
+"""bench.py is driver-facing infrastructure: the per-round BENCH_r{N}
+numbers come from running it as a script. This smoke test runs it at
+the smallest SF so a broken import, a renamed headline query, or a
+malformed JSON line is caught by pytest instead of costing a round."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_runs_and_emits_one_json_line():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, out.stdout[-2000:]
+    payload = json.loads(lines[0])
+    assert payload["metric"] == "headline_queries_total"
+    assert payload["unit"] == "sec" and payload["value"] > 0
+    assert payload["sf"] == 0.001
+    from bench import HEADLINE
+
+    assert set(payload["queries"]) == set(HEADLINE)
+    assert all(v >= 0 for v in payload["queries"].values())
