@@ -331,3 +331,48 @@ def semantic_dedup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("__lex", F.lit(False)).alias("is_lexical_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-accuracy audit (MinHash estimate vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_accuracy_oracle() -> str:
+    from .llm_ops import MINHASH_LSH_ORACLE
+
+    return f"""
+WITH mh AS ({MINHASH_LSH_ORACLE.strip()}),
+lex AS ({_ngram_jaccard_oracle(None).strip()}),
+joined AS (
+    SELECT mh.est_sim, lex.jaccard
+    FROM mh JOIN lex ON mh.d1 = lex.d1 AND mh.d2 = lex.d2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(abs(est_sim - jaccard)), 4) AS mean_abs_err,
+       round(max(abs(est_sim - jaccard)), 4) AS max_abs_err
+FROM joined
+"""
+
+
+@register("minhash_accuracy_audit", _minhash_accuracy_oracle())
+def minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How good is the sketch? MinHash-estimated similarity joined to
+    the exact Jaccard for the pairs both report, reduced to mean/max
+    absolute error — the calibration number that justifies trusting
+    32 hashes at 100 TB where the exact inverted index is the thing
+    being replaced. Joins two already-bounded pair lists on the pair
+    key; one tiny final aggregate."""
+    from .llm_ops import minhash_lsh_pairs
+
+    mh = minhash_lsh_pairs(spark, sf_dir)
+    lex = _ngram_jaccard_pairs(spark, sf_dir)
+    err = F.abs(F.col("est_sim") - F.col("jaccard"))
+    return (
+        mh.join(lex, ["d1", "d2"])
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(err), 4).alias("mean_abs_err"),
+            F.round(F.max(err), 4).alias("max_abs_err"),
+        )
+    )
