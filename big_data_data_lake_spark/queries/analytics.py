@@ -599,3 +599,73 @@ def grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+APPROX_DISTINCT_AUDIT_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("approx_distinct_audit", APPROX_DISTINCT_AUDIT_ORACLE)
+def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB distinct-count path, audited: HLL++
+    approx_count_distinct (single-pass, mergeable sketches, O(sketch)
+    shuffle) next to the exact count, reduced to a within-tolerance
+    boolean. The oracle pins the exact counts AND expects the
+    tolerance to hold — if Spark's sketch accuracy ever drifts past
+    5% at this cardinality, the correctness gate fails rather than a
+    production pipeline silently over/under-counting."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+        <= 0.05
+    )
+    return agg.select(
+        "event_type", "exact_users", within.alias("approx_within_5pct")
+    ).orderBy("event_type")
+
+
+APPROX_QUANTILE_AUDIT_ORACLE = """
+SELECT round(quantile_cont(value, 0.95), 6) AS exact_p95,
+       TRUE AS approx_within_rank_tolerance
+FROM events
+"""
+
+
+@register("approx_quantile_audit", APPROX_QUANTILE_AUDIT_ORACLE)
+def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for quantiles, audited: approx_percentile
+    (Greenwald-Khanna, single pass, no per-group sort) vs the exact
+    interpolated p95. The approx answer is a real data value within
+    the accuracy-bounded RANK window; the audit recomputes its true
+    rank and checks |rank - 0.95| <= 1/accuracy (value-distance would
+    be the wrong metric — a heavy tail makes close ranks far apart in
+    value)."""
+    ev = _t(spark, sf_dir, "events")
+    acc = 1000  # rank error <= n/acc
+    stats = ev.agg(
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("exact_p95"),
+        F.expr(f"approx_percentile(value, 0.95, {acc})").alias("approx_p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rank_of_approx = ev.crossJoin(F.broadcast(stats)).agg(
+        (
+            F.sum((F.col("value") <= F.col("approx_p95")).cast("long"))
+            / F.first("n")
+        ).alias("approx_rank"),
+        F.first("exact_p95").alias("exact_p95"),
+    )
+    within = F.abs(F.col("approx_rank") - 0.95) <= (1.0 / acc + 1e-9)
+    return rank_of_approx.select(
+        "exact_p95", within.alias("approx_within_rank_tolerance")
+    )

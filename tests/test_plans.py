@@ -107,3 +107,14 @@ def test_shipping_priority_broadcasts_dim_and_pushes_dates(spark):
     assert plans.broadcast_join_count(df) >= 1
     pushed = " ".join(plans.pushed_filters(df))
     assert "orderdate" in pushed.lower() or "shipdate" in pushed.lower(), pushed
+
+
+@pytest.mark.parametrize("name", ["local_supplier_volume", "returned_item_report"])
+def test_multi_join_reports_broadcast_dims(spark, name):
+    """Q5/Q10 shapes: every dimension side must broadcast; the only
+    sort-merge-eligible join is the fact-fact orders-lineitem edge
+    (AQE may still choose shuffled-hash for it — assert no more than
+    one non-broadcast join)."""
+    df = _q(spark, name)
+    assert plans.broadcast_join_count(df) >= 2, plans.formatted_plan(df)
+    assert plans.sort_merge_join_count(df) <= 1, plans.formatted_plan(df)
