@@ -9,7 +9,7 @@ the partition key and are AQE-coalesced.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -85,6 +85,89 @@ def running_sum(df: DataFrame, keys: Sequence[str], order_col: str, value_col: s
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(out, F.sum(value_col).over(w))
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int, Callable[[], None]]:
+    """Exact 1-based global rank by the total order ``order_cols``
+    (which must include a unique tiebreak column) WITHOUT the
+    single-partition window Spark plans for an unpartitioned
+    ``Window.orderBy`` — the classic "No Partition Defined for Window"
+    scale-killer that funnels every row through one task.
+
+    Pattern (scales to any row count):
+      1. ``repartitionByRange`` on the order columns — a parallel
+         range exchange, same machinery as Spark's distributed sort.
+      2. One metadata-scale job: per-partition row counts (one row per
+         partition), turned into prefix-sum offsets on the driver.
+      3. ``row_number`` over a window PARTITIONED by the physical
+         partition id + the broadcast offset map = exact global rank.
+
+    The input is persisted so the range bounds sampled for the
+    exchange are shared between the offsets job and downstream jobs
+    (re-sampling could re-draw bounds and misalign the offsets). Call
+    the returned ``release`` once downstream results are materialized.
+
+    Returns ``(ranked_df, total_rows, release)``.
+    """
+    spark = df.sparkSession
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        int(r["__pid"]): int(r["__c"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c")).collect()
+    }
+    offsets: dict[int, int] = {}
+    total = 0
+    for pid in sorted(counts):
+        offsets[pid] = total
+        total += counts[pid]
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+        )
+        offset = F.coalesce(
+            F.try_element_at(off_map, F.col("__pid")).cast("long"), F.lit(0).cast("long")
+        )
+    else:
+        offset = F.lit(0).cast("long")
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    ranked = ranged.withColumn(
+        rank_col, F.row_number().over(w).cast("long") + offset
+    ).drop("__pid")
+    return ranked, total, lambda: ranged.unpersist()
+
+
+def exact_ntile(rank: F.Column, total: int, buckets: int) -> F.Column:
+    """Row-local ntile bucket (1-based) from an exact global rank —
+    reproduces SQL ``ntile(buckets)`` semantics (first ``total %
+    buckets`` buckets get one extra row) without any window: pure
+    integer arithmetic on the rank column."""
+    q, r = divmod(total, buckets)
+    if q == 0:  # fewer rows than buckets: bucket i gets row i
+        return rank.cast("int")
+    split = r * (q + 1)  # ranks [1, split] fall in the size-(q+1) buckets
+
+    def idiv(col: F.Column, d: int) -> F.Column:
+        # exact integer division on longs: subtract the remainder first
+        # so the / never sees a non-integral quotient
+        return ((col - col % d) / d).cast("long")
+
+    rank0 = (rank - F.lit(1)).cast("long")
+    return (
+        F.when(rank0 < split, idiv(rank0, q + 1))
+        .otherwise(F.lit(r) + idiv(rank0 - split, q))
+        + 1
+    ).cast("int")
 
 
 def sessionize(

@@ -913,20 +913,20 @@ ORDER BY decile
 """
 
 
-@register("value_deciles", VALUE_DECILES_ORACLE)
-def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile banding via ntile window (deterministic total order with
-    key tiebreak) + per-band stats — the distribution profile behind
-    price/value segmentation. The global sort is the intrinsic cost of
-    exact ntile; at 100 TB use range partitioning (Spark's sort is
-    already range-partitioned) or swap to approx percentile cutpoints
-    if exactness isn't required."""
-    from pyspark.sql import Window
-
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+def _value_deciles_plan(spark: SparkSession, sf_dir: str):
+    """The lazy decile plan (exposed for plan tests): exact ntile(10)
+    semantics WITHOUT Spark's single-partition window — range exchange
+    + per-partition row_number + broadcast prefix offsets
+    (``windows.global_rank``), then row-local bucket arithmetic
+    (``windows.exact_ntile``). Returns ``(df, release)``; caller must
+    materialize before calling ``release``."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked, total, release = win.global_rank(
+        o, ["o_totalprice", "o_orderkey"], rank_col="__rank"
+    )
+    decile = win.exact_ntile(F.col("__rank"), total, 10)
+    df = (
+        ranked.select(decile.alias("decile"), "o_totalprice")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -935,6 +935,26 @@ def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+    return df, release
+
+
+@register("value_deciles", VALUE_DECILES_ORACLE)
+def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile banding with exact ntile semantics (deterministic total
+    order with key tiebreak) + per-band stats — the distribution
+    profile behind price/value segmentation. Round 2's unpartitioned
+    ``ntile`` window moved every row to ONE task; this round computes
+    the same result with a parallel range exchange + per-partition
+    ranks + driver prefix sums (one metadata-scale collect), so the
+    plan has no single-partition exchange and survives 100 TB. The
+    10-row band summary is materialized eagerly so the range-bound
+    cache can be released (no persist leak)."""
+    df, release = _value_deciles_plan(spark, sf_dir)
+    try:
+        rows = df.collect()
+    finally:
+        release()
+    return spark.createDataFrame(rows, df.schema).orderBy("decile")
 
 
 LOCAL_SUPPLIER_VOLUME_ORACLE = """

@@ -109,6 +109,22 @@ def test_shipping_priority_broadcasts_dim_and_pushes_dates(spark):
     assert "orderdate" in pushed.lower() or "shipdate" in pushed.lower(), pushed
 
 
+def test_value_deciles_has_no_single_partition_window(spark):
+    """The r2 verdict's one scale-killer: exact decile banding must
+    NOT plan an `Exchange SinglePartition` + unpartitioned Window —
+    the global rank is a range exchange + pid-partitioned row_number
+    + broadcast offsets."""
+    from big_data_data_lake_spark.queries.relational import _value_deciles_plan
+
+    df, release = _value_deciles_plan(spark, SF)
+    try:
+        plan = plans.formatted_plan(df)
+        assert "SinglePartition" not in plan, plan
+        assert "Window" in plan  # still a window — just a partitioned one
+    finally:
+        release()
+
+
 @pytest.mark.parametrize("name", ["local_supplier_volume", "returned_item_report"])
 def test_multi_join_reports_broadcast_dims(spark, name):
     """Q5/Q10 shapes: every dimension side must broadcast; the only
