@@ -1052,3 +1052,104 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+LARGE_VOLUME_ORDERS_ORACLE = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       round(o.o_totalprice, 2) AS total_price,
+       round(t.total_qty, 2) AS total_qty
+FROM orders o
+JOIN (
+    SELECT l_orderkey, sum(l_quantity) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 300
+) t ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY total_price DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register("large_volume_orders", LARGE_VOLUME_ORDERS_ORACLE)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — the HAVING / aggregate-subquery pattern: the
+    per-order quantity rollup shrinks lineitem to one row per order,
+    the HAVING predicate shrinks THAT to a handful of hot orders, and
+    the survivors broadcast into orders and then customer — so neither
+    fact table is re-scanned per group and the only data-scale shuffle
+    is the rollup on l_orderkey. At 100 TB this is the canonical
+    "filter on an aggregate" plan: partial map-side sums, tiny
+    broadcast semi-join back against the facts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    hot = o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+    return (
+        c.join(F.broadcast(hot), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+CHEAPEST_SUPPLIER_PER_PART_ORACLE = """
+SELECT DISTINCT l.l_partkey AS partkey,
+       s.s_name AS supplier,
+       round(l.l_extendedprice, 2) AS price
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE l.l_extendedprice = (
+    SELECT min(l2.l_extendedprice)
+    FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+)
+ORDER BY partkey, supplier, price
+"""
+
+
+@register("cheapest_supplier_per_part", CHEAPEST_SUPPLIER_PER_PART_ORACLE)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the correlated min-per-group subquery
+    ("the supplier(s) offering each part at its minimum price"),
+    decorrelated the way Catalyst itself would: a min() window over
+    the part key (ONE shuffle on l_partkey, no join-back, no re-scan
+    per group), filter rows at the group minimum, then broadcast the
+    supplier dim. Ties keep every minimum-price supplier, exactly the
+    correlated =-subquery semantics; DISTINCT collapses repeat
+    (part, supplier, price) lineitems."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.partitionBy("l_partkey")
+    at_min = li.withColumn("__min_price", F.min("l_extendedprice").over(w)).where(
+        F.col("l_extendedprice") == F.col("__min_price")
+    )
+    return (
+        at_min.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("s_name").alias("supplier"),
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+        .distinct()
+        .orderBy("partkey", "supplier", "price")
+    )

@@ -109,6 +109,27 @@ def test_shipping_priority_broadcasts_dim_and_pushes_dates(spark):
     assert "orderdate" in pushed.lower() or "shipdate" in pushed.lower(), pushed
 
 
+def test_large_volume_orders_broadcasts_having_survivors(spark):
+    """TPC-H Q18 shape: the HAVING-filtered rollup must broadcast back
+    into orders and customer — no sort-merge join, no fact re-scan per
+    group; the only data-scale shuffle is the l_orderkey rollup."""
+    df = _q(spark, "large_volume_orders")
+    assert plans.broadcast_join_count(df) >= 2, plans.formatted_plan(df)
+    assert plans.sort_merge_join_count(df) == 0, plans.formatted_plan(df)
+
+
+def test_cheapest_supplier_decorrelates_to_one_shuffle_window(spark):
+    """TPC-H Q2 shape: the correlated min-subquery must decorrelate to
+    a partitioned window (one shuffle on l_partkey) + broadcast dim —
+    never a per-group re-scan, join-back, or nested-loop."""
+    df = _q(spark, "cheapest_supplier_per_part")
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plans.broadcast_join_count(df) >= 1, plan
+    assert plans.sort_merge_join_count(df) == 0, plan
+
+
 def test_value_deciles_has_no_single_partition_window(spark):
     """The r2 verdict's one scale-killer: exact decile banding must
     NOT plan an `Exchange SinglePartition` + unpartitioned Window —
