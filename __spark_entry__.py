@@ -48,6 +48,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(name):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             _configure(spark)
+            # query boundary: free the PREVIOUS query's scoped caches so
+            # a long-lived session never accumulates executor storage
+            from big_data_data_lake_spark.caching import release_query_caches
+
+            release_query_caches()
             return registry[name].fn(spark, sf_dir)
 
         run.__name__ = f"query_{name}"

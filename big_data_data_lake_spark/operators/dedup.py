@@ -14,8 +14,9 @@ Scale shapes:
   generation is a self-equi-join on (band, key) — the classic
   band-bucket shuffle whose fan-out is controlled by band width, not
   corpus size. No O(n²) anywhere.
-- SimHash: row-local 64→32-bit sketch; pair generation joins on
-  sketch prefix buckets at scale (here, small-corpus cross candidates).
+- SimHash: row-local 62-bit sketch (widened affine rehash of the
+  31-bit shingle hashes); pair generation is a pigeonhole chunk-band
+  equi-join with 8-bit slots — bucketed shuffle, no O(n²).
 """
 
 from __future__ import annotations
@@ -43,7 +44,23 @@ MINHASH_B = [_lcg(k + 101) for k in range(N_MINHASH)]
 N_BANDS = 16
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 
-N_SIMHASH_BITS = 32
+# SimHash sketch geometry. Token/shingle hashes are 31-bit (mod the
+# Mersenne prime), so a wide sketch first WIDENS each hash to 62 bits
+# with two independent affine rehashes (low = (A1*h+B1) % P, high =
+# (A2*h+B2) % P, widened = high * 2^31 + low) — every product stays
+# under 2^62, so the identical arithmetic runs on Spark longs and
+# DuckDB bigints with no 128-bit support needed. 62 bits / 7 chunks
+# gives 8-bit chunk slots (256 values each), the width at which the
+# pigeonhole candidate join's bucket fan-out stays sub-quadratic at
+# corpus scale — the r2-flagged failure mode of the old 32-bit / 8-
+# chunk config (16 values per slot => buckets grow as n/16).
+N_SIMHASH_BITS = 62
+SIMHASH_HAMMING_BUDGET = 6  # Manku et al. use k=3 on 64 bits; 6 is looser
+N_SIMHASH_CHUNKS = SIMHASH_HAMMING_BUDGET + 1  # C > H => >= 1 exact chunk
+SIMHASH_W_A1 = (_lcg(501) | 1) % MERSENNE_P
+SIMHASH_W_B1 = _lcg(601)
+SIMHASH_W_A2 = (_lcg(701) | 1) % MERSENNE_P
+SIMHASH_W_B2 = _lcg(801)
 
 
 def _gram_starts(arr: Column, n: int) -> Column:
@@ -183,16 +200,27 @@ def minhash_bands(sig_prefix: str = "s") -> Column:
     return F.array(*bands)
 
 
+def _widened_bit(h: Column, j: int) -> Column:
+    """Bit ``j`` of the 62-bit widened hash, computed directly from the
+    31-bit input (bits 0-30 come from the low affine rehash, 31-61 from
+    the high one) — no intermediate widened array to rebuild per bit."""
+    if j < 31:
+        src, shift = (F.lit(SIMHASH_W_A1) * h + SIMHASH_W_B1) % MERSENNE_P, j
+    else:
+        src, shift = (F.lit(SIMHASH_W_A2) * h + SIMHASH_W_B2) % MERSENNE_P, j - 31
+    return F.shiftright(src, shift).bitwiseAND(F.lit(1))
+
+
 def _bit_vote(j: int):
     def apply(acc: Column, h: Column) -> Column:
-        return acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+        return acc + (_widened_bit(h, j) * 2 - 1)
 
     return apply
 
 
 def simhash(hash_arr: Column, bits: int = N_SIMHASH_BITS) -> Column:
-    """SimHash sketch: bit j set iff the sum over tokens of
-    (2*bit_j(h)-1) is non-negative. Row-local.
+    """SimHash sketch over the widened hashes: bit j set iff the sum
+    over tokens of (2*bit_j(widen(h))-1) is non-negative. Row-local.
 
     An empty hash set sketches to 0 — matching the oracle SQL, where
     list_sum over an empty list is NULL so every CASE votes 0 (a
@@ -214,19 +242,29 @@ def hamming64(a: Column, b: Column) -> Column:
 # C - H > 0 chunks match EXACTLY (pigeonhole) — an equi-join on
 # (chunk_idx, chunk_val) finds every qualifying pair with zero false
 # negatives, replacing the O(n²) all-pairs scan with a bucketed
-# shuffle. 8 chunks > the Hamming budget of 6 used by
-# simhash_near_dups. At 100 TB widen the sketch (e.g. 63 bits) so
-# chunks carry more bits (~8-9) and buckets stay small; the code below
-# is width-agnostic.
-N_SIMHASH_CHUNKS = 8
+# shuffle. (Bits beyond width*C are simply uncovered by any chunk —
+# harmless: total Hamming <= H bounds covered-bit Hamming too.)
 
 
 def simhash_chunks(
     h: Column, bits: int = N_SIMHASH_BITS, n_chunks: int = N_SIMHASH_CHUNKS
 ) -> Column:
     """Array of (ci, cv) structs: the sketch split into ``n_chunks``
-    equal bit slices for pigeonhole candidate banding. Row-local."""
+    equal bit slices for pigeonhole candidate banding. Row-local.
+
+    Guarded: a chunk narrower than 8 bits has < 256 distinct join-key
+    values per slot, so candidate buckets grow as n/2^width and the
+    equi-join degenerates toward quadratic fan-out — the exact failure
+    the r2 advice flagged for the old 32-bit/8-chunk config. Widen the
+    sketch or lower ``n_chunks`` (keeping C > the Hamming budget)."""
     width = bits // n_chunks
+    if width < 8:
+        raise ValueError(
+            f"simhash chunk width {width} bits ({bits} bits / {n_chunks} "
+            f"chunks) gives only {1 << width} values per slot — bucket "
+            "fan-out degenerates toward n² at corpus scale; widen the "
+            "sketch or reduce n_chunks (must stay > the Hamming budget)"
+        )
     mask = (1 << width) - 1
     return F.array(
         *[
@@ -303,12 +341,23 @@ def spark_minhash_sig_exprs(hs: str = "hs") -> list[str]:
     ]
 
 
+def _widened_bit_sql(h: str, j: int, spark: bool) -> str:
+    """SQL for bit ``j`` of the 62-bit widened hash (see simhash)."""
+    if j < 31:
+        a, b, shift = SIMHASH_W_A1, SIMHASH_W_B1, j
+    else:
+        a, b, shift = SIMHASH_W_A2, SIMHASH_W_B2, j - 31
+    if spark:
+        return f"(shiftright(({a}L * {h} + {b}) % {MERSENNE_P}, {shift}) & 1)"
+    return f"((({a} * {h} + {b}) % {MERSENNE_P}) >> {shift}) & 1"
+
+
 def spark_simhash_expr(hs: str = "hs", bits: int = N_SIMHASH_BITS) -> str:
-    """Spark-SQL: the simhash sketch (same bit-majority votes, same
-    empty-set => 0 definition as ``simhash``)."""
+    """Spark-SQL: the simhash sketch (same bit-majority votes over the
+    widened hashes, same empty-set => 0 definition as ``simhash``)."""
     terms = [
         f"CASE WHEN aggregate({hs}, 0L, (acc, h) -> "
-        f"acc + (CAST((shiftright(h, {j}) & 1) AS BIGINT) * 2 - 1)) >= 0 "
+        f"acc + (CAST({_widened_bit_sql('h', j, spark=True)} AS BIGINT) * 2 - 1)) >= 0 "
         f"THEN {1 << j}L ELSE 0L END"
         for j in range(bits)
     ]
@@ -349,11 +398,13 @@ def minhash_est_sim_sql(left: str = "x", right: str = "y") -> str:
 
 
 def simhash_sql(bits: int = N_SIMHASH_BITS) -> str:
-    """Expression computing the simhash from a hash list `hs`."""
+    """Expression computing the simhash (over widened hashes) from a
+    hash list `hs`."""
     terms = []
     for j in range(bits):
+        bit = _widened_bit_sql("h", j, spark=False)
         terms.append(
-            f"CASE WHEN list_sum(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1)) >= 0 "
+            f"CASE WHEN list_sum(list_transform(hs, h -> ({bit}) * 2 - 1)) >= 0 "
             f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
         )
     return "(" + " + ".join(terms) + ")"

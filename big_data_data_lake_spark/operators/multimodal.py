@@ -66,7 +66,19 @@ def decode_ppm(blob: bytes) -> np.ndarray:
     w, h, maxval = int(w_tok), int(h_tok), int(mx_tok)
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
-    data = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=pos + 1)
+    # The spec terminates the header with a SINGLE whitespace byte, but
+    # some Windows tools write "\r\n" — skipping blindly one byte would
+    # shift the raster and silently corrupt every pixel. Accept either,
+    # then validate the raster length so any other malformation raises.
+    if blob[pos : pos + 1] not in (b" ", b"\t", b"\r", b"\n"):
+        raise ValueError("malformed PPM: no whitespace after maxval")
+    offset = pos + 2 if blob[pos : pos + 2] == b"\r\n" else pos + 1
+    if len(blob) - offset < w * h * 3:
+        raise ValueError(
+            f"malformed PPM: raster holds {len(blob) - offset} bytes, "
+            f"needs {w * h * 3}"
+        )
+    data = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=offset)
     return data.reshape(h, w, 3)
 
 
@@ -142,7 +154,11 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blo
                     "doc_id": pdf[id_col].astype("int64"),
                     "blob_len": blobs.map(len).astype("int32"),
                     "first_byte": blobs.map(lambda b: b[0] if len(b) else -1).astype("int32"),
-                    "checksum": blobs.map(lambda b: int(sum(b)) % 256).astype("int32"),
+                    # numpy view per blob — no per-byte Python loop
+                    # (uint8 sum promotes to platform int, never wraps)
+                    "checksum": blobs.map(
+                        lambda b: int(np.frombuffer(b, dtype=np.uint8).sum()) % 256
+                    ).astype("int32"),
                 }
             )
 
@@ -316,13 +332,29 @@ def frame_energy(
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 x, rate = _as_mono_float(blob)
                 step = max(1, int(rate * frame_ms / 1000))
-                n_frames = max(1, -(-len(x) // step))
-                for i in range(n_frames):
-                    fr = x[i * step : (i + 1) * step]
-                    ids.append(int(doc_id))
-                    idxs.append(i)
-                    starts.append(round(i * step * 1000.0 / rate, 3))
-                    rmss.append(float(np.sqrt(np.mean(fr * fr))) if len(fr) else 0.0)
+                n = len(x)
+                n_frames = max(1, -(-n // step))
+                # One reshape + axis reduction instead of a Python
+                # per-frame loop: zero-pad to a (n_frames, step) grid
+                # (adding 0.0 is float-exact, so padded row sums equal
+                # the unpadded frame sums bit-for-bit), then divide by
+                # each frame's REAL length so the partial tail frame
+                # is not diluted.
+                if n:
+                    padded = np.zeros(n_frames * step, dtype=np.float64)
+                    padded[:n] = x
+                    sumsq = np.square(padded).reshape(n_frames, step).sum(axis=1)
+                    lens = np.full(n_frames, step, dtype=np.float64)
+                    lens[-1] = n - (n_frames - 1) * step
+                    frame_rms = np.sqrt(sumsq / lens)
+                else:
+                    frame_rms = np.zeros(1)
+                ids.extend([int(doc_id)] * n_frames)
+                idxs.extend(range(n_frames))
+                starts.extend(
+                    round(i * step * 1000.0 / rate, 3) for i in range(n_frames)
+                )
+                rmss.extend(float(v) for v in frame_rms)
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "start_ms": starts, "rms": rmss}
             )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..operators import text as tx
 from . import register
 from .llm_ops import _ngram_jaccard_oracle, _ngram_jaccard_pairs, _spread, _t
@@ -125,6 +126,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+
     # Convergence check: labels only ever DECREASE under min-propagation,
     # so the label sum strictly decreases iff any label changed — one
     # single-row aggregate per round instead of a join + count.
@@ -133,30 +135,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _label_sum(df: DataFrame):
         return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
 
-    prev_sum = _label_sum(labels)
-    for _ in range(20):
-        prop = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        merged = (
-            labels.join(prop, labels.doc_id == prop.dst, "left")
-            .select(
-                labels.doc_id,
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+    try:
+        prev_sum = _label_sum(labels)
+        for _ in range(20):
+            prop = (
+                edges.join(labels, edges.src == labels.doc_id)
+                .groupBy("dst")
+                .agg(F.min("label").alias("nlabel"))
             )
-            .persist()
-        )
-        new_sum = _label_sum(merged)
+            merged = (
+                labels.join(prop, labels.doc_id == prop.dst, "left")
+                .select(
+                    labels.doc_id,
+                    F.least(
+                        F.col("label"), F.coalesce("nlabel", "label")
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            new_sum = _label_sum(merged)
+            labels.unpersist()
+            labels = merged
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        else:
+            raise RuntimeError("label propagation did not converge in 20 rounds")
+        # Eager localCheckpoint cuts the 20-round join lineage (without
+        # it the caller's collect would re-execute every round once the
+        # caches below are released) and lets ALL loop caches be freed
+        # here instead of leaking per invocation (ADVICE r2). The
+        # checkpoint's own blocks are reclaimed by Spark's
+        # ContextCleaner when the returned DataFrame is dereferenced.
+        return labels.select(
+            "doc_id", F.col("label").alias("cluster")
+        ).localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
         labels.unpersist()
-        labels = merged
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    else:
-        raise RuntimeError("label propagation did not converge in 20 rounds")
-    return labels.select("doc_id", F.col("label").alias("cluster"))
 
 
 DEDUP_SURVIVORS_ORACLE = f"""
@@ -237,7 +253,7 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory even when the corpus doesn't) and the only data-scale
     shuffles are the two partial-aggregated counts."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    toks = docs.selectExpr("split(text, ' ') AS t").persist()
+    toks = scoped_persist(docs.selectExpr("split(text, ' ') AS t"))
     bg = toks.selectExpr(
         "explode(CASE WHEN size(t) >= 2 "
         "THEN transform(sequence(1, size(t) - 1), "
@@ -246,7 +262,7 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = toks.selectExpr("explode(t) AS tok")
     bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
-    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    uc = scoped_persist(uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
     n = bg.agg(F.count(F.lit(1)).alias("n_pairs")).crossJoin(
         uni.agg(F.count(F.lit(1)).alias("n_tok"))
     )

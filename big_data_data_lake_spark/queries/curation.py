@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..operators import dedup as dd
 from . import register
 from .llm_ops import _ngram_jaccard_oracle, _ngram_jaccard_pairs, _spread, _t
@@ -269,7 +270,7 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
     # Persist before explode: Generate re-evaluates unmaterialized
     # input lineage per output row (see _ngram_jaccard_pairs).
-    ex = hs.persist().select("doc_id", F.explode("hs").alias("g"))
+    ex = scoped_persist(hs).select("doc_id", F.explode("hs").alias("g"))
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench = ex.where(is_bench).select(F.col("doc_id").alias("bench_id"), "g")
     bsz = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bsz"))

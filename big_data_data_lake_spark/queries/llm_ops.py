@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
@@ -256,12 +257,11 @@ def _ngram_jaccard_pairs(
     # Persist the shingle arrays BEFORE the explode: Generate
     # re-evaluates an unmaterialized input expression once per output
     # row (~|shingles|x the work); from cache it is a plain attribute.
-    sh = (
+    sh = scoped_persist(
         docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
         .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS s")
-        .persist()
     )
-    ex = sh.select("doc_id", F.explode("s").alias("g")).persist()
+    ex = scoped_persist(sh.select("doc_id", F.explode("s").alias("g")))
     if max_df is not None:
         # The hot set (shingles in more than max_df docs) is tiny by
         # construction — broadcast anti-join strips it from the index,
@@ -272,7 +272,7 @@ def _ngram_jaccard_pairs(
             .where(F.col("df") > max_df)
             .select("g")
         )
-        ex = ex.join(F.broadcast(hot), "g", "left_anti").persist()
+        ex = scoped_persist(ex.join(F.broadcast(hot), "g", "left_anti"))
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         ex.alias("a")
@@ -355,7 +355,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
     # Signatures are the expensive row-local lineage; persist so the
     # band self-join's two branches compute them exactly once.
-    sig = hs.selectExpr("doc_id", *dd.spark_minhash_sig_exprs()).persist()
+    sig = scoped_persist(hs.selectExpr("doc_id", *dd.spark_minhash_sig_exprs()))
     bands = sig.select("*", F.explode(dd.minhash_bands()).alias("bk")).select(
         "*", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
@@ -385,7 +385,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_SIGNATURES_ORACLE = f"""
 WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM documents),
 hsh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS hs FROM tok)
-SELECT doc_id, {dd.simhash_sql()} AS sh32
+SELECT doc_id, {dd.simhash_sql()} AS sketch
 FROM hsh
 """
 
@@ -399,7 +399,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
         .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
-        .selectExpr("doc_id", dd.spark_simhash_expr() + " AS sh32")
+        .selectExpr("doc_id", dd.spark_simhash_expr() + " AS sketch")
     )
 
 
@@ -410,29 +410,31 @@ sig AS (SELECT doc_id, {dd.simhash_sql()} AS h FROM hsh)
 SELECT a.doc_id AS d1, b.doc_id AS d2,
        CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.h, b.h)) <= 6
+WHERE bit_count(xor(a.h, b.h)) <= {dd.SIMHASH_HAMMING_BUDGET}
 """
 
 
 @register("simhash_near_dups", SIMHASH_NEAR_DUPS_ORACLE)
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: Hamming distance <= 6 on the 32-bit
-    sketches, found WITHOUT an all-pairs scan. The sketch is split
-    into 8 chunks (> the Hamming budget of 6), so every qualifying
-    pair agrees exactly on at least one chunk (pigeonhole); the plan
-    is explode-to-chunks -> self-equi-join on (chunk_idx, chunk_val)
-    -> exact Hamming re-check -> dedup. Same answer as the all-pairs
-    definition (the oracle SQL keeps that form), but the only shuffles
-    are a bucketed equi-join and a dedup of the (small) survivor set —
-    the shape that survives 100 TB. At that scale widen the sketch so
-    chunks carry 8-9 bits and buckets stay tiny (dedup.py)."""
+    """SimHash near-dup pairs: Hamming distance <= budget (6) on the
+    62-bit widened sketches, found WITHOUT an all-pairs scan. The
+    sketch splits into 7 chunks of 8 bits (chunks > budget), so every
+    qualifying pair agrees exactly on at least one chunk (pigeonhole);
+    the plan is explode-to-chunks -> self-equi-join on (chunk_idx,
+    chunk_val) -> exact Hamming re-check -> dedup. Same answer as the
+    all-pairs definition (the oracle SQL keeps that form), but the
+    only shuffles are a bucketed equi-join and a dedup of the (small)
+    survivor set. 8-bit slots keep bucket fan-out ~n/256 per chunk —
+    the r2-advice fix for the old 32-bit/8-chunk config whose 16-value
+    slots degenerated quadratically; simhash_chunks now guards the
+    width (dedup.py)."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     hs = docs.selectExpr(
         "doc_id", dd.spark_token_hashes_expr() + " AS th"
     ).selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
     # Persist the sketches: the chunk self-join's two branches read
     # the cached 8-byte sketches instead of recomputing hash lineage.
-    sig = hs.selectExpr("doc_id", dd.spark_simhash_expr() + " AS h").persist()
+    sig = scoped_persist(hs.selectExpr("doc_id", dd.spark_simhash_expr() + " AS h"))
     chunks = sig.select(
         "doc_id", "h", F.explode(dd.simhash_chunks(F.col("h"))).alias("c")
     ).select("doc_id", "h", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
@@ -445,7 +447,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = dd.hamming64(F.col("h1"), F.col("h2"))
     return (
         a.join(b, ["ci", "cv"])
-        .where((F.col("d1") < F.col("d2")) & (ham <= 6))
+        .where((F.col("d1") < F.col("d2")) & (ham <= dd.SIMHASH_HAMMING_BUDGET))
         # a pair agreeing on k chunks surfaces k times — dedup the
         # (already Hamming-filtered, tiny) survivor set
         .select("d1", "d2", ham.cast("int").alias("hamming"))

@@ -126,6 +126,22 @@ def _pack_bits(positions, bits: int) -> str:
     return base64.b64encode(bytes(buf)).decode("ascii")
 
 
+def _norm_file_uri(p: str) -> str:
+    """Canonicalize a path-or-URI for identity comparison: one URI
+    parse + percent-decode on BOTH the ``input_file_name()`` output
+    and the manifest-recorded path, so matching works for local paths,
+    file:/// URIs, hdfs://nn/... and s3a://bucket/... alike (the
+    file: scheme collapses to a plain path, since writers record local
+    files without the scheme)."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(p)
+    path = unquote(u.path)
+    if u.scheme in ("", "file"):
+        return path
+    return f"{u.scheme}://{u.netloc}{path}"
+
+
 def _bits_contain(b64: str, want) -> bool:
     import base64
 
@@ -445,17 +461,31 @@ class LakeTable:
             .agg(F.collect_set("p").alias("bits"))
             .collect()  # metadata-scale: files x <= `bits` ints
         )
-        by_path = {}
-        for r in per_file:
-            path = r["__f"]
-            if path.startswith("file:"):  # file:///x -> /x
-                path = "/" + path.split(":", 1)[1].lstrip("/")
-            by_path[path] = _pack_bits(r["bits"], bits)
+        # input_file_name() returns a URI (file:///x, hdfs://nn/x,
+        # s3a://bkt/x, possibly percent-encoded); manifest paths are
+        # whatever the writer recorded. Normalize BOTH sides through
+        # the same URI parse + unquote so the match works on every
+        # filesystem — a silent mismatch here would attach bitmaps to
+        # zero files and turn bloom_eq pruning into a no-op.
+        by_path = {
+            _norm_file_uri(r["__f"]): _pack_bits(r["bits"], bits) for r in per_file
+        }
+        manifest_norms = {_norm_file_uri(f["path"]) for f in man["files"]}
+        unmatched = set(by_path) - manifest_norms
+        if unmatched:
+            raise RuntimeError(
+                "add_bloom: scanned file(s) do not match any manifest path "
+                f"after URI normalization: {sorted(unmatched)[:3]}"
+            )
         files = []
         for f in man["files"]:
             nf = dict(f)
-            if f["path"] in by_path:
-                nf["bloom"] = {**nf.get("bloom", {}), col: by_path[f["path"]]}
+            # files absent from by_path had only null values: an empty
+            # bitmap (no bits set) is the CORRECT filter for them —
+            # bloom_eq rightly skips a file that cannot contain any
+            # non-null value
+            bitmap = by_path.get(_norm_file_uri(f["path"]), _pack_bits([], bits))
+            nf["bloom"] = {**nf.get("bloom", {}), col: bitmap}
             files.append(nf)
         new_man = dict(man)
         new_man["files"] = files

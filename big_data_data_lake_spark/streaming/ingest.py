@@ -111,11 +111,25 @@ def latest_wins_dedup(
     key: str = "icao24",
     ts_col: str = "last_contact",
     ttl_s: int = DEDUP_TTL_S,
-    lateness_s: int = 10,
+    lateness_s: int = 300,
 ) -> DataFrame:
     """T3/T4/F9 — stateful latest-wins dedup with TTL, the producer's
     exact semantics (producer.py:84-96): emit a record iff its ts is
     newer than the keyed state; evict state idle for ``ttl_s``.
+
+    CAVEAT (the one divergence from the producer): the event-time
+    watermark that drives TTL eviction also DROPS any row more than
+    ``lateness_s`` behind the max event time seen across ALL keys —
+    silently, even when that row is newer than its own key's state
+    (e.g. one bursty source delivering a key's backlog after other
+    keys advanced the watermark). The default is therefore generous
+    (300 s — a full reference poll cycle plus slack, vs the 10 s an
+    earlier round shipped); size it to your sources' worst cross-key
+    skew, and monitor
+    ``query.lastProgress["stateOperators"][0]["numRowsDroppedByWatermark"]``
+    — nonzero means real records are being discarded and
+    ``lateness_s`` must grow. The cost of a larger value is only
+    delayed TTL eviction (state lingers), never wrong emissions.
 
     ``dropDuplicatesWithinWatermark`` keeps the *first* row seen —
     the reference keeps the *newest* (SURVEY §7 risk 1) — so this is

@@ -355,3 +355,20 @@ def test_bloom_filter_point_lookup_skips_files(spark, tmp_path):
     # appended files have no bloom -> included, never wrongly skipped
     t.append(spark.createDataFrame([(1000, "x")], "id long, tag string"))
     assert t.read(bloom_eq={"id": 1000}).where("id = 1000").count() == 1
+
+
+def test_norm_file_uri_matches_across_schemes():
+    """ADVICE r2: bloom path matching must survive URI schemes and
+    percent-encoding, or bitmaps silently attach to zero files."""
+    from big_data_data_lake_spark.sources.metadata import _norm_file_uri
+
+    assert _norm_file_uri("file:///tmp/a%20b/x.parquet") == "/tmp/a b/x.parquet"
+    assert _norm_file_uri("/tmp/a b/x.parquet") == "/tmp/a b/x.parquet"
+    assert (
+        _norm_file_uri("hdfs://nn:8020/warehouse/t/part-0.parquet")
+        == "hdfs://nn:8020/warehouse/t/part-0.parquet"
+    )
+    assert (
+        _norm_file_uri("s3a://bucket/k%C3%A9y/p.parquet")
+        == "s3a://bucket/kéy/p.parquet"
+    )

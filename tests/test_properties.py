@@ -105,3 +105,18 @@ def test_ppm_roundtrip_property(w, h, rnd):
         bytes(rnd.getrandbits(8) for _ in range(w * h * 3)), dtype=np.uint8
     ).reshape(h, w, 3)
     assert np.array_equal(mm.decode_ppm(mm.encode_ppm(img)), img)
+
+
+def test_simhash_chunks_guards_narrow_slots():
+    """ADVICE r2: sub-8-bit chunk slots degenerate the candidate join
+    toward n² — the helper must refuse them loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from big_data_data_lake_spark.operators import dedup as dd
+
+    with pytest.raises(ValueError, match="chunk width"):
+        dd.simhash_chunks(F.lit(0).cast("long"), bits=32, n_chunks=8)
+    # the production default is exactly at the guard boundary
+    assert dd.N_SIMHASH_BITS // dd.N_SIMHASH_CHUNKS >= 8
+    assert dd.N_SIMHASH_CHUNKS > dd.SIMHASH_HAMMING_BUDGET
