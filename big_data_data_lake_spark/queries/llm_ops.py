@@ -25,15 +25,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's parallelism.
+    """Round-robin repartition — only when the scan under-splits.
 
     The documents/embeddings parquet at test SFs is one small file →
     one input partition, which would serialize every downstream
-    pair-generation join onto a single core. At 100 TB the scan
-    arrives pre-split and this becomes a cheap no-op-sized shuffle
-    relative to the quadratic candidate stage it feeds.
-    """
-    return df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    pair-generation stage onto a single core. At 100 TB the scan
+    arrives pre-split into thousands of partitions, so the exchange is
+    GATED: if the scan already produced at least the session's
+    parallelism, return the input untouched and plan no shuffle at all
+    (r2 advice — the unconditional exchange was a small-file artifact
+    riding along into production plans)."""
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 # --------------------------------------------------------------------------
