@@ -288,3 +288,51 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c").cast("double") / F.col("bsz"), 4).alias("bench_coverage"),
         )
     )
+
+
+# 13 contiguous tokens is the published-practice exact-substring
+# decontamination window (GPT-3 appendix C / PaLM style): one shared
+# 13-gram between a training document and a held-out benchmark
+# document flags the pair, no coverage ratio needed.
+EXACT_SUBSTRING_N = 13
+
+EXACT_SUBSTRING_DECON_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM documents),
+hsh AS (SELECT doc_id, {dd.shingle_hashes_sql(EXACT_SUBSTRING_N)} AS hs FROM tok),
+ex AS (SELECT doc_id, unnest(hs) AS g FROM hsh),
+bench AS (SELECT doc_id AS bench_id, g FROM ex WHERE doc_id % {BENCH_MOD} = 0),
+train AS (SELECT * FROM ex WHERE doc_id % {BENCH_MOD} <> 0)
+SELECT t.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared_13grams
+FROM train t JOIN bench b ON t.g = b.g
+GROUP BY t.doc_id, b.bench_id
+"""
+
+
+@register("exact_substring_decontamination", EXACT_SUBSTRING_DECON_ORACLE)
+def exact_substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination, the published-practice twin of
+    the coverage-ratio gate above: a training document is contaminated
+    the moment it shares ONE contiguous 13-token run with any
+    benchmark document (stand-in benchmark set: doc_id % 11 == 0).
+    Same machinery as the bigram version at n=13 — hashed-shingle
+    inverted index, benchmark side broadcast (it is ~9% of the corpus
+    and shrinks further at n=13, since only docs with >= 13 tokens
+    shingle at all) — so the training index never shuffles and
+    per-shingle fan-out is bounded by the benchmark side's doc
+    frequency, which at n=13 is almost always 1. Linear in the
+    training corpus at 100 TB."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    hs = docs.selectExpr(
+        "doc_id", dd.spark_token_hashes_expr() + " AS th"
+    ).selectExpr(
+        "doc_id", dd.spark_shingle_hashes_expr(EXACT_SUBSTRING_N) + " AS hs"
+    )
+    ex = scoped_persist(hs).select("doc_id", F.explode("hs").alias("g"))
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = ex.where(is_bench).select(F.col("doc_id").alias("bench_id"), "g")
+    train = ex.where(~is_bench)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_13grams"))
+    )
