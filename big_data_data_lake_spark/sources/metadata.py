@@ -657,7 +657,7 @@ class LakeTable:
             os.remove(os.path.join(self._mdir, f"v{v}.json"))
         return deleted
 
-    def upsert(self, df: DataFrame, keys: list[str]) -> int:
+    def upsert(self, df: DataFrame, keys: list[str], extra: dict | None = None) -> int:
         """Copy-on-write MERGE: rows in ``df`` replace same-key rows;
         new keys append. Only files whose zone-map range on
         ``keys[0]`` can intersect the incoming key range are
@@ -704,7 +704,7 @@ class LakeTable:
                 rewritten,
                 untouched + new_files,
                 prev["partition_by"],
-                self._carry(prev, None),
+                self._carry(prev, extra),
             ),
         )
         return v

@@ -378,3 +378,77 @@ def lake_table_sink(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def lake_upsert_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    keys: list[str],
+    order_col: str,
+    trigger_seconds: int = FLUSH_TRIGGER_S,
+    available_now: bool = False,
+):
+    """E2's foreachBatch-MERGE shape: checkpointed streaming UPSERT
+    into a versioned LakeTable — latest-wins per key, so a late update
+    REPLACES the stored row in place instead of appending a duplicate
+    (the silver-table semantics the reference approximates by
+    rewriting whole CSVs, process_silver.py:114-122).
+
+    Per micro-batch:
+      1. collapse the batch to one deterministic winner per key
+         (max ``order_col``, ties by arrival order within the window
+         dedup — operators/windows.latest_per_key);
+      2. drop batch rows NOT newer than the stored row for that key
+         (stat-pruned snapshot read on keys[0] + broadcast-able join —
+         the batch side is micro-batch-sized, so nothing at table
+         scale shuffles);
+      3. copy-on-write MERGE via LakeTable.upsert — only files whose
+         zone-map range intersects the incoming keys are rewritten.
+
+    Exactly-once: Spark's checkpoint dedups source offsets, and every
+    commit records its ``batch_id`` — a replayed batch id (<= the last
+    committed one) is skipped without writing, so restarts never
+    double-apply (same contract as lake_table_sink). Batches whose
+    rows are ALL stale skip the commit entirely; replaying them is a
+    cheap idempotent no-op.
+    """
+    from ..sources.metadata import LakeTable
+    from ..operators.windows import latest_per_key
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        winners = latest_per_key(batch_df, keys, order_col)
+        table = LakeTable(spark, table_path)
+        if not table.versions():
+            table.create(winners, extra={"batch_id": batch_id})
+            return
+        last = table.manifest().get("batch_id", -1)
+        if batch_id <= last:  # replay after restart: already committed
+            return
+        k0 = keys[0]
+        bounds = winners.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).collect()[0]
+        if bounds["lo"] is None:  # empty batch
+            return
+        current = table.read(stat_filter={k0: (bounds["lo"], bounds["hi"])}).select(
+            *keys, F.col(order_col).alias("__cur_ord")
+        )
+        newer = (
+            winners.join(current, on=keys, how="left")
+            .where(F.col("__cur_ord").isNull() | (F.col(order_col) > F.col("__cur_ord")))
+            .drop("__cur_ord")
+        )
+        if not newer.take(1):  # all stale: nothing to merge
+            return
+        table.upsert(newer, keys, extra={"batch_id": batch_id})
+
+    writer = (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
