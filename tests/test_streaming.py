@@ -317,9 +317,17 @@ def test_kafka_source_integration_smoke(spark):
     try:
         src = kafka_source(spark, broker or "localhost:9092", "opensky-smoke")
     except Exception as e:  # missing data source resolves at load()
-        pytest.skip(f"kafka connector unavailable: {type(e).__name__}")
+        pytest.skip(
+            "kafka connector unavailable "
+            f"({type(e).__name__}) — start Spark with "
+            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version> "
+            "(see README 'Kafka smoke test')"
+        )
     if not broker:
-        pytest.skip("kafka connector present but no KAFKA_SMOKE_BROKER to drive")
+        pytest.skip(
+            "kafka connector present but no broker to drive — set "
+            "KAFKA_SMOKE_BROKER=host:port (see README 'Kafka smoke test')"
+        )
 
     parsed = parse_state_vectors(src.selectExpr("CAST(value AS STRING) AS value"))
     q = (
