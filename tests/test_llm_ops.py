@@ -307,3 +307,35 @@ def test_audio_features_and_frame_energy(spark):
     by_doc1 = {r["frame_idx"]: r["rms"] for r in frames if r["doc_id"] == 1}
     assert len(by_doc1) == 4
     assert by_doc1[1] > 0.2 and by_doc1[0] == 0.0 and by_doc1[3] == 0.0
+
+
+def test_sample_frames_extracts_real_ppm_video_frames(spark):
+    """Concatenated-PPM (image2pipe) blobs must round-trip: every
+    sampled frame decodes back to the exact source image."""
+    import numpy as np
+
+    from big_data_data_lake_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    imgs = [rng.randint(0, 256, (6, 5, 3)).astype(np.uint8) for _ in range(10)]
+    stream = b"".join(mm.encode_ppm(im) for im in imgs)
+    assert len(mm.split_ppm_stream(stream)) == 10
+
+    df = spark.createDataFrame([(1, bytearray(stream))], "doc_id long, blob binary")
+    rows = sorted(
+        mm.sample_frames(df, n_frames=4).collect(), key=lambda r: r.frame_idx
+    )
+    assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
+    # equally spaced picks out of 10 frames: 0, 2, 5, 7
+    for row, src_idx in zip(rows, [0, 2, 5, 7]):
+        assert np.array_equal(mm.decode_image(bytes(row.frame)), imgs[src_idx])
+
+    # a "\r\n"-terminated header must not shift the raster (ADVICE r2)
+    crlf = b"P6\r\n5 6\r\n255\r\n" + imgs[0].tobytes()
+    assert np.array_equal(mm.decode_ppm(crlf), imgs[0])
+
+    # truncated streams fail loudly, never yield torn frames
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated"):
+        mm.split_ppm_stream(stream[:-10])
