@@ -200,36 +200,41 @@ def minhash_bands(sig_prefix: str = "s") -> Column:
     return F.array(*bands)
 
 
-def _widened_bit(h: Column, j: int) -> Column:
-    """Bit ``j`` of the 62-bit widened hash, computed directly from the
-    31-bit input (bits 0-30 come from the low affine rehash, 31-61 from
-    the high one) — no intermediate widened array to rebuild per bit."""
-    if j < 31:
-        src, shift = (F.lit(SIMHASH_W_A1) * h + SIMHASH_W_B1) % MERSENNE_P, j
-    else:
-        src, shift = (F.lit(SIMHASH_W_A2) * h + SIMHASH_W_B2) % MERSENNE_P, j - 31
-    return F.shiftright(src, shift).bitwiseAND(F.lit(1))
+def widen_hashes(hash_arr: Column) -> Column:
+    """Widen each 31-bit hash to 62 bits: low word = (A1*h+B1) mod p,
+    high word = (A2*h+B2) mod p, widened = high * 2^31 + low. Compute
+    this ONCE per row (materialize it in its own projection) and feed
+    the result to ``simhash`` — widening inside every per-bit vote
+    would redo the affine arithmetic ``bits`` times per token."""
+
+    def widen(h: Column) -> Column:
+        lo = (F.lit(SIMHASH_W_A1).cast("long") * h + SIMHASH_W_B1) % MERSENNE_P
+        hi = (F.lit(SIMHASH_W_A2).cast("long") * h + SIMHASH_W_B2) % MERSENNE_P
+        return hi * F.lit(1 << 31).cast("long") + lo
+
+    return F.transform(hash_arr, widen)
 
 
-def _bit_vote(j: int):
-    def apply(acc: Column, h: Column) -> Column:
-        return acc + (_widened_bit(h, j) * 2 - 1)
-
-    return apply
-
-
-def simhash(hash_arr: Column, bits: int = N_SIMHASH_BITS) -> Column:
-    """SimHash sketch over the widened hashes: bit j set iff the sum
-    over tokens of (2*bit_j(widen(h))-1) is non-negative. Row-local.
+def simhash(widened_arr: Column, bits: int = N_SIMHASH_BITS) -> Column:
+    """SimHash sketch over a PRE-WIDENED hash array (``widen_hashes``):
+    bit j set iff the sum over tokens of (2*bit_j(h)-1) is
+    non-negative. Row-local.
 
     An empty hash set sketches to 0 — matching the oracle SQL, where
     list_sum over an empty list is NULL so every CASE votes 0 (a
     fold-from-zero would instead set all bits via 0 >= 0)."""
+
+    def vote(j: int):
+        def apply(acc: Column, h: Column) -> Column:
+            return acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+
+        return apply
+
     out = F.lit(0).cast("long")
     for j in range(bits):
-        bit_sum = F.aggregate(hash_arr, F.lit(0).cast("long"), _bit_vote(j))
+        bit_sum = F.aggregate(widened_arr, F.lit(0).cast("long"), vote(j))
         out = out + F.when(bit_sum >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
-    return F.when(F.size(hash_arr) > 0, out).otherwise(F.lit(0).cast("long"))
+    return F.when(F.size(widened_arr) > 0, out).otherwise(F.lit(0).cast("long"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -341,27 +346,35 @@ def spark_minhash_sig_exprs(hs: str = "hs") -> list[str]:
     ]
 
 
-def _widened_bit_sql(h: str, j: int, spark: bool) -> str:
-    """SQL for bit ``j`` of the 62-bit widened hash (see simhash)."""
-    if j < 31:
-        a, b, shift = SIMHASH_W_A1, SIMHASH_W_B1, j
-    else:
-        a, b, shift = SIMHASH_W_A2, SIMHASH_W_B2, j - 31
-    if spark:
-        return f"(shiftright(({a}L * {h} + {b}) % {MERSENNE_P}, {shift}) & 1)"
-    return f"((({a} * {h} + {b}) % {MERSENNE_P}) >> {shift}) & 1"
+def spark_widened_hashes_expr(hs: str = "hs") -> str:
+    """Spark-SQL: widen each 31-bit hash to 62 bits (two independent
+    affine rehashes; see the constants block). Compute this ONCE per
+    row and feed the result to ``spark_simhash_expr`` — inlining the
+    widening into every per-bit vote would redo the affine arithmetic
+    ``bits`` times per token."""
+    lo = f"(({SIMHASH_W_A1}L * h + {SIMHASH_W_B1}) % {MERSENNE_P})"
+    hi = f"(({SIMHASH_W_A2}L * h + {SIMHASH_W_B2}) % {MERSENNE_P})"
+    return f"transform({hs}, h -> {hi} * 2147483648L + {lo})"
 
 
-def spark_simhash_expr(hs: str = "hs", bits: int = N_SIMHASH_BITS) -> str:
-    """Spark-SQL: the simhash sketch (same bit-majority votes over the
-    widened hashes, same empty-set => 0 definition as ``simhash``)."""
+def widened_hashes_sql(hs: str = "hs") -> str:
+    """DuckDB twin of ``spark_widened_hashes_expr``."""
+    lo = f"(({SIMHASH_W_A1} * h + {SIMHASH_W_B1}) % {MERSENNE_P})"
+    hi = f"(({SIMHASH_W_A2} * h + {SIMHASH_W_B2}) % {MERSENNE_P})"
+    return f"list_transform({hs}, h -> {hi} * 2147483648 + {lo})"
+
+
+def spark_simhash_expr(wh: str = "wh", bits: int = N_SIMHASH_BITS) -> str:
+    """Spark-SQL: the simhash sketch over a PRE-WIDENED hash array
+    (``spark_widened_hashes_expr``) — same bit-majority votes, same
+    empty-set => 0 definition as ``simhash``."""
     terms = [
-        f"CASE WHEN aggregate({hs}, 0L, (acc, h) -> "
-        f"acc + (CAST({_widened_bit_sql('h', j, spark=True)} AS BIGINT) * 2 - 1)) >= 0 "
+        f"CASE WHEN aggregate({wh}, 0L, (acc, h) -> "
+        f"acc + (CAST((shiftright(h, {j}) & 1) AS BIGINT) * 2 - 1)) >= 0 "
         f"THEN {1 << j}L ELSE 0L END"
         for j in range(bits)
     ]
-    return f"CASE WHEN size({hs}) > 0 THEN ({' + '.join(terms)}) ELSE 0L END"
+    return f"CASE WHEN size({wh}) > 0 THEN ({' + '.join(terms)}) ELSE 0L END"
 
 
 # ---------------------------------------------------------------------------
@@ -397,14 +410,15 @@ def minhash_est_sim_sql(left: str = "x", right: str = "y") -> str:
     return f"({terms}) / {float(N_MINHASH)}"
 
 
-def simhash_sql(bits: int = N_SIMHASH_BITS) -> str:
-    """Expression computing the simhash (over widened hashes) from a
-    hash list `hs`."""
+def simhash_sql(wh: str = "wh", bits: int = N_SIMHASH_BITS) -> str:
+    """Expression computing the simhash from a PRE-WIDENED hash list
+    (``widened_hashes_sql``). list_sum over an empty list is NULL, so
+    an empty document sketches to 0 — same definition as the Spark
+    side."""
     terms = []
     for j in range(bits):
-        bit = _widened_bit_sql("h", j, spark=False)
         terms.append(
-            f"CASE WHEN list_sum(list_transform(hs, h -> ({bit}) * 2 - 1)) >= 0 "
+            f"CASE WHEN list_sum(list_transform({wh}, h -> ((h >> {j}) & 1) * 2 - 1)) >= 0 "
             f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
         )
     return "(" + " + ".join(terms) + ")"

@@ -389,9 +389,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIMHASH_SIGNATURES_ORACLE = f"""
 WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM documents),
-hsh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS hs FROM tok)
+hsh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS hs FROM tok),
+wid AS (SELECT doc_id, {dd.widened_hashes_sql()} AS wh FROM hsh)
 SELECT doc_id, {dd.simhash_sql()} AS sketch
-FROM hsh
+FROM wid
 """
 
 
@@ -404,6 +405,8 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
         .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
+        # widen once per row; the 62 bit-votes read the widened array
+        .selectExpr("doc_id", dd.spark_widened_hashes_expr() + " AS wh")
         .selectExpr("doc_id", dd.spark_simhash_expr() + " AS sketch")
     )
 
@@ -411,7 +414,8 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_NEAR_DUPS_ORACLE = f"""
 WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM documents),
 hsh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS hs FROM tok),
-sig AS (SELECT doc_id, {dd.simhash_sql()} AS h FROM hsh)
+wid AS (SELECT doc_id, {dd.widened_hashes_sql()} AS wh FROM hsh),
+sig AS (SELECT doc_id, {dd.simhash_sql()} AS h FROM wid)
 SELECT a.doc_id AS d1, b.doc_id AS d2,
        CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -434,9 +438,11 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     slots degenerated quadratically; simhash_chunks now guards the
     width (dedup.py)."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    hs = docs.selectExpr(
-        "doc_id", dd.spark_token_hashes_expr() + " AS th"
-    ).selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
+    hs = (
+        docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
+        .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
+        .selectExpr("doc_id", dd.spark_widened_hashes_expr() + " AS wh")
+    )
     # Persist the sketches: the chunk self-join's two branches read
     # the cached 8-byte sketches instead of recomputing hash lineage.
     sig = scoped_persist(hs.selectExpr("doc_id", dd.spark_simhash_expr() + " AS h"))

@@ -38,6 +38,7 @@ def test_sketch_lineage_never_crashes_and_matches_duckdb(spark, texts):
     got = (
         sdf.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
         .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
+        .selectExpr("doc_id", "hs", dd.spark_widened_hashes_expr() + " AS wh")
         .selectExpr("doc_id", "hs", dd.spark_simhash_expr() + " AS sh")
         .toPandas()
         .set_index("doc_id")
@@ -48,8 +49,9 @@ def test_sketch_lineage_never_crashes_and_matches_duckdb(spark, texts):
     want = con.sql(
         f"""
         WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM docs),
-        hsh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS hs FROM tok)
-        SELECT doc_id, hs, {dd.simhash_sql()} AS sh FROM hsh ORDER BY doc_id
+        hsh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS hs FROM tok),
+        wid AS (SELECT doc_id, hs, {dd.widened_hashes_sql()} AS wh FROM hsh)
+        SELECT doc_id, hs, {dd.simhash_sql()} AS sh FROM wid ORDER BY doc_id
         """
     ).df().set_index("doc_id")
     for i in got.index:
