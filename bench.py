@@ -70,7 +70,17 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
 
-    spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
+    spark = get_spark(
+        app_name="bench",
+        cpus=cpus,
+        shuffle_partitions=cpus,
+        # ContextCleaner only releases dereferenced broadcast/shuffle
+        # blocks after a DRIVER GC; the default periodic GC (30 min)
+        # never fires inside one bench run, so dozens of query
+        # executions accumulate dead blocks and the late heavy queries
+        # pay their GC bill (~2x observed on the inverted-index join).
+        extra_conf={"spark.cleaner.periodicGC.interval": "30s"},
+    )
     registry = load_all()
 
     # Warm the JVM/codegen path and the (long-lived) Python worker
@@ -103,6 +113,12 @@ def main() -> None:
             # cold-data
             release_query_caches()
             spark.catalog.clearCache()
+            # force a driver GC so the ContextCleaner releases the
+            # rep's dead broadcast/shuffle blocks NOW — without it the
+            # backlog competes with the next rep's execution memory
+            # and shuffle-heavy queries degrade ~3x across reps
+            # (measured: 5.3/7.6/9.5s reps -> 5.8/3.4/3.2s with GC)
+            spark.sparkContext._jvm.System.gc()
         timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)

@@ -44,6 +44,103 @@ def kmeans_cluster(
     return model.transform(scaled).drop("__fv", "__fvs")
 
 
+def lloyd_kmeans_deterministic(
+    df: DataFrame,
+    features: Sequence[str],
+    seed_band: "F.Column",
+    iters: int = 3,
+    digits: int = 6,
+    out: str = "cluster",
+) -> DataFrame:
+    """Fully deterministic unrolled Lloyd's KMeans — the oracle-checkable
+    twin of ``kmeans_cluster`` (MLlib's trainer is seed-stable within a
+    Spark version but its init sampling and float reduction order are
+    not replayable in an ANSI engine, hence kmeans_phases' rows-only
+    check).
+
+    Determinism recipe — every arithmetic step is quantized so a SQL
+    engine replays it bit-for-bit:
+    - standardization uses ``round(avg, digits)`` / ``round(stddev_samp,
+      digits)`` computed IN-ENGINE (engine rounding, not Python's
+      bankers-rounding), then ``round((x-m)/s, digits)``;
+    - initial centroids are per-``seed_band`` means of the standardized
+      features (the band expression is part of the contract);
+    - each iteration assigns rows to the argmin-distance centroid
+      (ties -> lowest cluster id, matching ``ORDER BY dist, cid``) and
+      recomputes rounded centroid means; an emptied cluster keeps its
+      previous centroid (= SQL ``coalesce`` on a left join);
+    - after ``iters`` assignment passes the LAST assignment is returned
+      (no extra E-step).
+
+    Scale shape: identical to MLlib's own loop — per-iteration work is
+    one map-side-combinable k-key aggregation over the (persisted)
+    standardized frame plus a k-row collect (metadata-scale, same
+    pattern as the IVF coarse quantizer); assignment is row-local
+    against broadcast literal centroids. No O(n) driver data ever."""
+    from ..caching import scoped_persist
+
+    feats = list(features)
+    nf = len(feats)
+    st = df.agg(
+        *[
+            a
+            for i, f in enumerate(feats)
+            for a in (
+                F.round(F.avg(f), digits).alias(f"m{i}"),
+                F.round(F.stddev_samp(f), digits).alias(f"s{i}"),
+            )
+        ]
+    ).first()
+    z = scoped_persist(
+        df.select(
+            "*",
+            *[
+                F.round((F.col(f) - F.lit(st[f"m{i}"])) / F.lit(st[f"s{i}"]), digits).alias(
+                    f"z{i}"
+                )
+                for i, f in enumerate(feats)
+            ],
+        )
+    )
+    zcols = [f"z{i}" for i in range(nf)]
+    cent_aggs = [F.round(F.avg(c), digits).alias(f"m{i}") for i, c in enumerate(zcols)]
+
+    def collect_cents(grouped: DataFrame) -> dict[int, tuple[float, ...]]:
+        return {
+            int(r["cid"]): tuple(float(r[f"m{i}"]) for i in range(nf))
+            for r in grouped.collect()
+        }
+
+    cents = collect_cents(z.groupBy(seed_band.cast("int").alias("cid")).agg(*cent_aggs))
+
+    def assign(cents_d: dict[int, tuple[float, ...]]) -> "F.Column":
+        items = sorted(cents_d.items())
+        dists = []
+        for cid, vec in items:
+            d = None
+            for c, m in zip(zcols, vec):
+                term = (F.col(c) - F.lit(m)) * (F.col(c) - F.lit(m))
+                d = term if d is None else d + term
+            dists.append((cid, d))
+        # first cid whose distance <= every LATER distance == the
+        # lowest-cid argmin (proof: conditions fail for every index
+        # before the first global minimum)
+        chain = None
+        for idx, (cid, d) in enumerate(dists[:-1]):
+            cond = None
+            for _, od in dists[idx + 1 :]:
+                leq = d <= od
+                cond = leq if cond is None else cond & leq
+            chain = F.when(cond, F.lit(cid)) if chain is None else chain.when(cond, F.lit(cid))
+        last = F.lit(dists[-1][0])
+        return chain.otherwise(last) if chain is not None else last
+
+    for _ in range(iters - 1):
+        new = collect_cents(z.groupBy(assign(cents).alias("cid")).agg(*cent_aggs))
+        cents = {cid: new.get(cid, vec) for cid, vec in cents.items()}
+    return z.withColumn(out, assign(cents))
+
+
 def label_clusters_by_mean(
     clustered: DataFrame,
     cluster_col: str,

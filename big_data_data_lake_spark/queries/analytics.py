@@ -228,6 +228,130 @@ def kmeans_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic Lloyd twin of kmeans_phases: shared constants between
+# the Spark trainer (operators/ml.py::lloyd_kmeans_deterministic) and
+# the unrolled-CTE oracle below.
+KM_ITERS = 3
+KM_DIGITS = 6
+KM_SEED_HI = 7.0  # vrate band thresholds for centroid seeding
+KM_LABEL_T = 1.0  # per-cluster mean-vrate labeling threshold
+
+
+def _km_lloyd_oracle(iters: int = KM_ITERS, digits: int = KM_DIGITS) -> str:
+    """Unrolled Lloyd's as DuckDB CTEs — the bit-for-bit replay of
+    ``lloyd_kmeans_deterministic`` (same quantized standardization,
+    banded seeds, argmin with lowest-cid ties, coalesce-on-empty
+    centroid update, final labeling on the last assignment)."""
+    nf = 3
+    means = ", ".join(f"round(avg(z{i}), {digits}) AS m{i}" for i in range(nf))
+    dist = " + ".join(f"(z.z{i} - c.m{i}) * (z.z{i} - c.m{i})" for i in range(nf))
+    parts = [
+        f"""
+WITH feat AS (
+    SELECT event_id,
+           CAST(value AS DOUBLE) AS f0,
+           value * 0.5 + (user_id % 7) AS f1,
+           (event_id % 41) - 20.0 AS f2
+    FROM events WHERE value IS NOT NULL
+),
+stats AS (SELECT {", ".join(f"round(avg(f{i}), {digits}) AS m{i}, round(stddev_samp(f{i}), {digits}) AS s{i}" for i in range(nf))} FROM feat),
+z AS (SELECT event_id, f0, f2, {", ".join(f"round((f{i} - st.m{i}) / st.s{i}, {digits}) AS z{i}" for i in range(nf))}
+      FROM feat, stats st),
+c0 AS (
+    SELECT CASE WHEN f2 > {KM_SEED_HI} THEN 2 WHEN f2 < -{KM_SEED_HI} THEN 0 ELSE 1 END AS cid, {means}
+    FROM z GROUP BY 1
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+a{t} AS (
+    SELECT event_id, f0, f2, z0, z1, z2, cid FROM (
+        SELECT z.*, c.cid,
+               row_number() OVER (PARTITION BY z.event_id ORDER BY {dist}, c.cid) AS rn
+        FROM z CROSS JOIN c{t - 1} c) t
+    WHERE rn = 1
+)"""
+        )
+        if t < iters:
+            parts.append(
+                f""",
+c{t} AS (
+    SELECT p.cid, {", ".join(f"coalesce(n.m{i}, p.m{i}) AS m{i}" for i in range(nf))}
+    FROM c{t - 1} p LEFT JOIN (
+        SELECT cid, {means} FROM a{t} GROUP BY cid) n USING (cid)
+)"""
+            )
+    parts.append(
+        f""",
+lab AS (
+    SELECT cid, CASE WHEN round(avg(f2), {digits}) > {KM_LABEL_T} THEN 'Takeoff/Climb'
+                     WHEN round(avg(f2), {digits}) < -{KM_LABEL_T} THEN 'Descent/Approach'
+                     ELSE 'Cruise' END AS phase
+    FROM a{iters} GROUP BY cid
+)
+SELECT phase, CAST(count(*) AS BIGINT) AS n, round(avg(f0), 2) AS avg_altitude_like
+FROM a{iters} JOIN lab USING (cid)
+GROUP BY phase ORDER BY phase"""
+    )
+    return "".join(parts)
+
+
+@register("kmeans_lloyd_phases", _km_lloyd_oracle())
+def kmeans_lloyd_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M3 with a fully deterministic, oracle-checkable trainer —
+    the value-hash-verified twin of kmeans_phases (whose MLlib init
+    sampling and float reduction order aren't replayable in SQL,
+    hence its rows-only check). Quantized standardization (round 6),
+    vrate-banded seeding, 3 unrolled Lloyd iterations; every
+    arithmetic step replays bit-for-bit in the DuckDB oracle. Scale:
+    per-iteration cost is one map-side-combinable 3-key aggregation
+    over the persisted standardized frame plus a 3-row collect —
+    MLlib's own loop shape (app.py:57-95 semantics)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            F.col("value").cast("double").alias("altitude_like"),
+            (F.col("value") * 0.5 + (F.col("user_id") % 7)).alias("velocity_like"),
+            ((F.col("event_id") % 41) - 20.0).alias("vrate_like"),
+        )
+    )
+    seed = (
+        F.when(F.col("vrate_like") > KM_SEED_HI, 2)
+        .when(F.col("vrate_like") < -KM_SEED_HI, 0)
+        .otherwise(1)
+    )
+    clustered = ml.lloyd_kmeans_deterministic(
+        ev,
+        ["altitude_like", "velocity_like", "vrate_like"],
+        seed,
+        iters=KM_ITERS,
+        digits=KM_DIGITS,
+    )
+    lab = (
+        clustered.groupBy("cluster")
+        .agg(F.round(F.avg("vrate_like"), KM_DIGITS).alias("mv"))
+        .select(
+            "cluster",
+            F.when(F.col("mv") > KM_LABEL_T, "Takeoff/Climb")
+            .when(F.col("mv") < -KM_LABEL_T, "Descent/Approach")
+            .otherwise("Cruise")
+            .alias("phase"),
+        )
+    )
+    return (
+        clustered.join(F.broadcast(lab), "cluster")
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("altitude_like"), 2).alias("avg_altitude_like"),
+        )
+        .orderBy("phase")
+    )
+
+
 ASOF_LAST_ERROR_ORACLE = """
 WITH c AS (
     SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
