@@ -104,6 +104,44 @@ def fingerprint(text: Column | str, mod: int = FINGERPRINT_MOD) -> Column:
     )
 
 
+def token_bigrams(toks: Column) -> Column:
+    """Adjacent-token bigram strings (``"a b"``) from a token array.
+    Row-local; requires ``size(toks) >= 2`` (callers filter)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+
+
+def type_token_ratio(toks: Column) -> Column:
+    """distinct/total tokens — the classic lexical-diversity signal.
+    Integer-over-integer double division: bit-exact in any engine."""
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
+
+
+def dup_bigram_fraction(toks: Column) -> Column:
+    """Fraction of adjacent bigrams that are repeats of an earlier
+    bigram (1 - distinct/total) — the Gopher-style duplicate-n-gram
+    repetition signal (Rae et al. 2021, §A1.1)."""
+    bg = token_bigrams(toks)
+    return F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / F.size(bg).cast(
+        "double"
+    )
+
+
+def top_token_fraction(toks: Column) -> Column:
+    """Fraction of tokens taken by the single most frequent token.
+
+    Row-local O(U·T) scan (U = per-doc distinct tokens): for bounded
+    document lengths this beats the explode → (doc, token) groupBy
+    alternative at scale because it never shuffles — the per-row cost
+    is a constant, the shuffle's cost is the corpus."""
+    counts = F.transform(
+        F.array_distinct(toks), lambda t: F.size(F.filter(toks, lambda x: x == t))
+    )
+    return F.array_max(counts).cast("double") / F.size(toks).cast("double")
+
+
 # BPE-ish pre-tokenizer: word pieces = letter runs, digit runs, or a
 # single non-space symbol — the standard pre-split every BPE/GPT-style
 # tokenizer applies before merges. Same RE2/Java-compatible pattern on

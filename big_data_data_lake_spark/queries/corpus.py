@@ -81,6 +81,64 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary coverage
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_K = 20
+
+VOCAB_COVERAGE_ORACLE = f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS s FROM c),
+r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM c)
+SELECT CAST(rank AS INT) AS rank, token, n,
+       round(CAST(n AS DOUBLE) / s, 4) AS share,
+       round(CAST(sum(n) OVER (ORDER BY rank) AS DOUBLE) / s, 4) AS cum_share
+FROM r, tot
+WHERE rank <= {VOCAB_TOP_K}
+ORDER BY rank
+"""
+
+
+@register("vocab_coverage", VOCAB_COVERAGE_ORACLE)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-rank vocabulary coverage: the top-K corpus tokens
+    with their share and cumulative share of all token occurrences —
+    the curve tokenizer builders read before fixing a vocab size.
+
+    Scale shape: explode → one partial-aggregated shuffle to
+    vocab-sized counts; the top-K is TakeOrdered (per-partition heaps,
+    no global sort); the rank/cumulative window then runs over K rows
+    only — bounded by the LIMIT, not the vocabulary, so the
+    single-partition window exec is metadata-scale by construction.
+    The corpus total rides in as a broadcast scalar."""
+    from pyspark.sql import Window
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    tokens = docs.select(F.explode(tx.tokenize("text")).alias("token"))
+    # persisted because both the top-K and the corpus total read it;
+    # released at the query boundary by release_query_caches()
+    counts = scoped_persist(tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+    top = counts.orderBy(F.col("n").desc(), "token").limit(VOCAB_TOP_K)
+    tot = counts.agg(F.sum("n").alias("s"))
+    w = Window.orderBy(F.col("n").desc(), "token")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "token",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("s"), 4).alias("share"),
+            F.round(F.sum("n").over(cum).cast("double") / F.col("s"), 4).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Near-duplicate clustering (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
 

@@ -336,3 +336,75 @@ def exact_substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared_13grams"))
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-weighted sampling (Efraimidis-Spirakis)
+# --------------------------------------------------------------------------
+
+# Independent constants for the E-S uniform (same lattice-breaking
+# square mix as the split/sample hashes; different constants keep the
+# weighted sample independent of both).
+WS_A, WS_B, WS_C = 69_621, 23_459, 11_213
+WS_K = 100  # sample size
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang, source, string_split(text, ' ') AS toks,
+           (((doc_id % {P}) * {WS_A} + {WS_B}) % {P}) AS h
+    FROM documents
+),
+q AS (
+    SELECT doc_id, lang, source,
+           least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.5
+           + CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) * 0.5 AS w,
+           ((h * h + {WS_C}) % {P} + 1) AS h2
+    FROM t
+),
+k AS (
+    SELECT doc_id, lang, source, w,
+           round(round(ln(CAST(h2 AS DOUBLE) / {P + 1}), 6) / w, 6) AS es_key
+    FROM q
+)
+SELECT doc_id, lang, source, round(w, 4) AS weight, es_key
+FROM (SELECT *, row_number() OVER (ORDER BY es_key DESC, doc_id) AS rn FROM k)
+WHERE rn <= {WS_K}
+"""
+
+
+@register("weighted_sample_es", WEIGHTED_SAMPLE_ORACLE)
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): key = u^(1/w) per document, keep the top-K keys —
+    the standard one-pass distributed weighted reservoir, here with a
+    DETERMINISTIC uniform (hash of doc_id -> (0,1]) so the sample is
+    reproducible across engines, runs, and repartitioning, like every
+    other sampling path in this module. Selection uses the monotone-
+    equivalent ln(u)/w (same argmax set, no pow); ln is rounded to 6
+    before the divide so both engines' 1-ulp ln differences cannot
+    flip an ordering.
+
+    Scale shape: the key is a row-local projection (zero shuffle); the
+    top-K is TakeOrdered — per-partition heaps of K, then a K-sized
+    merge on the driver. Weighted corpus-mixing at 100 TB is exactly
+    this plan."""
+    from ..operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % P) * WS_A + WS_B
+    h = h % P
+    u = ((h * h + WS_C) % P + 1).cast("double") / F.lit(float(P + 1))
+    w = tx.quality_score("text")
+    key = F.round(F.round(F.log(u), 6) / w, 6)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.round(w, 4).alias("weight"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(WS_K)
+    )

@@ -187,6 +187,86 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Flag thresholds sit just inside the observed sf0.01 distribution
+# (ttr p05=0.31, dup-bigram p95=0.083, top-token p95=0.16) so the rule
+# flags a real minority rather than 0% or 100%. Every metric is an
+# integer-over-integer double division — IEEE-exact, so the threshold
+# comparisons agree bit-for-bit across engines with no rounding guard.
+REP_TTR_MIN = 0.35
+REP_DUP_BIGRAM_MAX = 0.05
+REP_TOP_TOKEN_MAX = 0.12
+
+REPETITION_FLAGS_ORACLE = f"""
+WITH t AS (
+    SELECT lang, source, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+    SELECT lang, source,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+           1.0 - CAST(len(list_distinct(list_transform(
+                     generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
+                 / (len(toks) - 1) AS dupbg,
+           CAST(list_max(list_transform(list_distinct(toks),
+                     t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+                 / len(toks) AS toptok
+    FROM t WHERE len(toks) >= 2
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE ttr < {REP_TTR_MIN}
+                                OR dupbg > {REP_DUP_BIGRAM_MAX}
+                                OR toptok > {REP_TOP_TOKEN_MAX}) AS BIGINT) AS n_flagged,
+       round(avg(ttr), 4) AS avg_ttr,
+       round(avg(dupbg), 4) AS avg_dup_bigram,
+       round(avg(toptok), 4) AS avg_top_token
+FROM m
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@register("repetition_quality_flags", REPETITION_FLAGS_ORACLE)
+def repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021,
+    §A1.1): type-token ratio, duplicate-bigram fraction, top-token
+    fraction, and the flag rule that gates documents out of a
+    pretraining mix — profiled per (lang, source) so curators see
+    which feeds are repetitive.
+
+    Scale shape: every metric is a row-local array HOF (zero shuffle
+    until the final bounded (lang, source) aggregation, which
+    partial-aggregates map-side). The O(U·T) top-token scan is a
+    per-row constant for bounded doc lengths — cheaper than the
+    explode + (doc, token) groupBy alternative, whose shuffle grows
+    with the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tx.tokenize("text")
+    m = docs.where(F.size(toks) >= 2).select(
+        "lang",
+        "source",
+        tx.type_token_ratio(toks).alias("ttr"),
+        tx.dup_bigram_fraction(toks).alias("dupbg"),
+        tx.top_token_fraction(toks).alias("toptok"),
+    )
+    flagged = (
+        (F.col("ttr") < REP_TTR_MIN)
+        | (F.col("dupbg") > REP_DUP_BIGRAM_MAX)
+        | (F.col("toptok") > REP_TOP_TOKEN_MAX)
+    )
+    return (
+        m.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(flagged).alias("n_flagged"),
+            F.round(F.avg("ttr"), 4).alias("avg_ttr"),
+            F.round(F.avg("dupbg"), 4).alias("avg_dup_bigram"),
+            F.round(F.avg("toptok"), 4).alias("avg_top_token"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 TOP_TERMS_ORACLE = """
 SELECT lang, token, n
 FROM (
@@ -851,4 +931,74 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 8 lists) against the exact brute-force baseline, per query."""
     return _recall_at_10(
         ann_cosine_topk(spark, sf_dir), ann_ivf_topk(spark, sf_dir)
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding quality audit
+# --------------------------------------------------------------------------
+
+_CS = sim.DOT_SQL.format(a="v", b="c") + " / (" + sim.NORM_SQL.format(a="v") + " * " + sim.NORM_SQL.format(a="c") + ")"
+
+EMB_LABEL_AUDIT_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+comp AS (
+    SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS x FROM e
+),
+cent AS (
+    SELECT label, pos, round(avg(x), 6) AS m FROM comp GROUP BY label, pos
+),
+ca AS (SELECT label, list(m ORDER BY pos) AS c FROM cent GROUP BY label),
+cs AS (
+    SELECT e.label, {_CS} AS cos FROM e JOIN ca USING (label)
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(cos), 4) AS avg_cos_to_centroid,
+       round(min(cos), 6) AS min_cos,
+       round(max(cos), 6) AS max_cos
+FROM cs GROUP BY label ORDER BY label
+"""
+
+
+@register("embedding_label_audit", EMB_LABEL_AUDIT_ORACLE)
+def embedding_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label cohesion audit: per-label centroid (mean
+    vector, components rounded to 6 so both engines share the exact
+    same literal centroid) and the distribution of member-to-centroid
+    cosines — the first diagnostic a curation pipeline runs on a new
+    embedding model (low min-cos = mislabeled or outlier members;
+    low avg-cos = the label isn't a cluster).
+
+    Scale shape: the centroid is posexplode -> (label, pos) avg — the
+    explode inflates rows x dim but partial-aggregates map-side down
+    to labels x dim rows before the one shuffle; centroid arrays
+    (labels x dim doubles, metadata-scale) broadcast back and the
+    cosine is a row-local fold. No driver-side data, nothing
+    quadratic, exactly the IVF coarse-quantizer shape."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", sim.to_double("embedding").alias("v")
+    )
+    comp = emb.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = comp.groupBy("label", "pos").agg(F.round(F.avg("x"), 6).alias("m"))
+    ca = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("c")
+    )
+    cos = sim.cosine(F.col("v"), F.col("c"))
+    return (
+        emb.join(F.broadcast(ca), "label")
+        .select("label", cos.alias("cos"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("cos"), 4).alias("avg_cos_to_centroid"),
+            F.round(F.min("cos"), 6).alias("min_cos"),
+            F.round(F.max("cos"), 6).alias("max_cos"),
+        )
+        .orderBy("label")
     )
