@@ -62,6 +62,12 @@ HEADLINE = [
     "large_volume_orders",
     "cheapest_supplier_per_part",
     "value_deciles",
+    "late_order_priority_counts",
+    "repetition_quality_flags",
+    "vocab_coverage",
+    "weighted_sample_es",
+    "embedding_label_audit",
+    "kmeans_lloyd_phases",
 ]
 
 

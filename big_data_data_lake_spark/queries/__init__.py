@@ -49,6 +49,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # prefix-biased sampler attests them; all pass the local DuckDB mirror
 # (tests/test_oracle_parity.py) regardless.
 SAMPLE_FIRST: tuple[str, ...] = (
+    # never sampled in r01/r02
     "event_gaps",
     "file_ts_parse",
     "lineitem_rollup",
@@ -59,6 +60,13 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "users_except",
     "users_intersect",
     "value_deciles",
+    # new in round 3 (no driver row yet)
+    "kmeans_lloyd_phases",
+    "repetition_quality_flags",
+    "vocab_coverage",
+    "weighted_sample_es",
+    "embedding_label_audit",
+    "late_order_priority_counts",
 )
 
 

@@ -1153,3 +1153,46 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("partkey", "supplier", "price")
     )
+
+
+LATE_ORDER_PRIORITY_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("late_order_priority_counts", LATE_ORDER_PRIORITY_ORACLE)
+def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — the correlated EXISTS: count orders per
+    priority that had at least one lineitem shipped more than 60 days
+    after the order date. The EXISTS decorrelates to a LEFT SEMI hash
+    join on l_orderkey with the lateness predicate as a join residual
+    — each order is emitted at most once no matter how many late
+    lineitems it has, nothing is re-scanned per group, and the only
+    data-scale shuffle is the semi join's key exchange (the date
+    filter prunes orders at the scan first). Reference parity: the
+    filter→group→count shape of app.py's priority breakdowns over the
+    medallion tables."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

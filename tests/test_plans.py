@@ -155,3 +155,52 @@ def test_multi_join_reports_broadcast_dims(spark, name):
     df = _q(spark, name)
     assert plans.broadcast_join_count(df) >= 2, plans.formatted_plan(df)
     assert plans.sort_merge_join_count(df) <= 1, plans.formatted_plan(df)
+
+
+def test_weighted_sample_is_shuffle_free_take_ordered(spark):
+    """E-S weighted sampling: the key is a row-local projection and
+    the top-K must be TakeOrdered (per-partition heaps) — zero
+    exchanges anywhere; a global sort here would shuffle the corpus."""
+    df = _q(spark, "weighted_sample_es")
+    plan = plans.formatted_plan(df)
+    assert plans.shuffle_count(df) == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_vocab_coverage_windows_only_k_rows(spark):
+    """The rank/cumulative window must run AFTER the top-K (bounded by
+    the LIMIT, not the vocabulary): TakeOrdered present, and no
+    sort-merge joins — the corpus total arrives as a 1-row broadcast
+    (its nested-loop join is 20 x 1, metadata-scale by construction)."""
+    df = _q(spark, "vocab_coverage")
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plans.sort_merge_join_count(df) == 0, plan
+
+
+def test_repetition_flags_aggregate_once(spark):
+    """Repetition metrics are row-local HOFs: exactly one aggregation
+    exchange (plus the final presentation sort) — any extra shuffle
+    means a metric leaked into a join or window."""
+    df = _q(spark, "repetition_quality_flags")
+    assert plans.shuffle_count(df) <= 2, plans.formatted_plan(df)
+
+
+def test_embedding_label_audit_broadcasts_centroids(spark):
+    """Label centroids (labels x dim, metadata-scale) must broadcast
+    back to members — never a sort-merge join of the embedding table
+    against itself."""
+    df = _q(spark, "embedding_label_audit")
+    assert plans.broadcast_join_count(df) >= 1, plans.formatted_plan(df)
+    assert plans.sort_merge_join_count(df) == 0, plans.formatted_plan(df)
+
+
+def test_late_order_priority_is_semi_join(spark):
+    """TPC-H Q4 shape: the correlated EXISTS must decorrelate to a
+    LEFT SEMI hash join (one emission per order, lateness predicate as
+    a join residual) with the date range pushed to the orders scan."""
+    df = _q(spark, "late_order_priority_counts")
+    plan = plans.formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert plans.sort_merge_join_count(df) == 0, plan
+    assert any("orderdate" in f.lower() for f in plans.pushed_filters(df)), plan
