@@ -68,6 +68,9 @@ HEADLINE = [
     "weighted_sample_es",
     "embedding_label_audit",
     "kmeans_lloyd_phases",
+    "customer_order_distribution",
+    "disjunctive_revenue",
+    "idle_rich_customers",
 ]
 
 

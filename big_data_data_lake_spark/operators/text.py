@@ -132,14 +132,36 @@ def dup_bigram_fraction(toks: Column) -> Column:
 def top_token_fraction(toks: Column) -> Column:
     """Fraction of tokens taken by the single most frequent token.
 
-    Row-local O(U·T) scan (U = per-doc distinct tokens): for bounded
-    document lengths this beats the explode → (doc, token) groupBy
-    alternative at scale because it never shuffles — the per-row cost
-    is a constant, the shuffle's cost is the corpus."""
-    counts = F.transform(
-        F.array_distinct(toks), lambda t: F.size(F.filter(toks, lambda x: x == t))
+    The most-frequent count equals the longest run of equal adjacent
+    elements in the SORTED token array, so this is one codegen'd
+    O(T log T) sort plus one O(T) interpreted fold — replacing the
+    original O(U·T) distinct×filter scan (U = per-doc distinct
+    tokens), which at ~200 distinct over ~300 tokens interpreted 60k
+    string compares per row and dominated the whole query's runtime.
+    Still row-local (never shuffles, unlike the explode → (doc, token)
+    groupBy alternative whose shuffle grows with the corpus); produces
+    the identical integer count, so oracles are unchanged."""
+    s = F.array_sort(toks)
+    n = F.size(toks)
+    best = F.aggregate(
+        F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        F.struct(
+            F.lit(1).cast("int").alias("best"), F.lit(1).cast("int").alias("cur")
+        ),
+        lambda acc, i: F.when(
+            F.element_at(s, i) == F.element_at(s, i - 1),
+            F.struct(
+                F.greatest(acc["best"], acc["cur"] + F.lit(1)).alias("best"),
+                (acc["cur"] + F.lit(1)).alias("cur"),
+            ),
+        ).otherwise(
+            F.struct(acc["best"].alias("best"), F.lit(1).cast("int").alias("cur"))
+        ),
+        lambda acc: acc["best"],
     )
-    return F.array_max(counts).cast("double") / F.size(toks).cast("double")
+    return F.when(n > 0, best.cast("double") / n.cast("double"))
 
 
 # BPE-ish pre-tokenizer: word pieces = letter runs, digit runs, or a

@@ -67,6 +67,9 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "weighted_sample_es",
     "embedding_label_audit",
     "late_order_priority_counts",
+    "customer_order_distribution",
+    "disjunctive_revenue",
+    "idle_rich_customers",
 )
 
 

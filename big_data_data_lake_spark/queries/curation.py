@@ -79,6 +79,9 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan -> project). Hash routing rather than rand() is what makes
     the split reproducible across engines, runs, and re-partitioned
     inputs."""
+    # NOT _spread: zero-exchange is this query's contract
+    # (test_curation pins shuffle_count == 0) and the projection is a
+    # cheap affine hash — nothing to parallelize at test SF.
     docs = _t(spark, sf_dir, "documents")
     return docs.selectExpr("doc_id", _split_case(_SPLIT_BUCKET) + " AS split")
 
@@ -145,7 +148,7 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample correlated with the split would bias val/test). Row-local
     keep decision + one partial-aggregated count; the kept-set filter
     itself never shuffles."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     kept = F.expr(f"{_SAMPLE_MILLE} < {_rate_case()}").cast("int")
     return (
         docs.groupBy("lang")
@@ -206,7 +209,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus through k separate filter-count jobs."""
     from ..operators import text as tx
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     staged = docs.select(
         "lang",
         tx.lang_id("text").alias("pred"),
@@ -391,6 +394,9 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     this plan."""
     from ..operators import text as tx
 
+    # NOT _spread: the zero-exchange plan is this query's contract
+    # (test_plans pins shuffle_count == 0) — at scale the scan arrives
+    # pre-split, and at test SF the single partition costs <0.5 s.
     docs = _t(spark, sf_dir, "documents")
     h = (F.col("doc_id") % P) * WS_A + WS_B
     h = h % P

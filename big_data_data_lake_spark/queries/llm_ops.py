@@ -63,7 +63,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     One hash shuffle on the text (at 100 TB: on a 64-bit content
     fingerprint instead, so the shuffle moves 8-byte keys, not bodies).
     """
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return win.first_per_key(docs, "text", "doc_id").select("doc_id", "lang", "source")
 
 
@@ -88,7 +88,9 @@ def fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-fingerprint dedup: rolling polynomial hash per document,
     survivors = lowest doc_id per fingerprint. This is the scale path
     for exact dedup — the shuffle key is 8 bytes instead of the body."""
-    docs = _t(spark, sf_dir, "documents").withColumn("fp", tx.fingerprint("text"))
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).withColumn(
+        "fp", tx.fingerprint("text")
+    )
     return win.first_per_key(docs, "fp", "doc_id").select("doc_id", "fp")
 
 
@@ -112,7 +114,7 @@ FROM documents
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace) + vocabulary stats per document —
     array higher-order functions, fully codegen'd, row-parallel."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         tx.token_count("text").alias("n_tokens"),
@@ -142,7 +144,9 @@ ORDER BY lang
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring (length saturation + stopword density),
     profiled per language."""
-    docs = _t(spark, sf_dir, "documents").withColumn("q", tx.quality_score("text"))
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).withColumn(
+        "q", tx.quality_score("text")
+    )
     return (
         docs.groupBy("lang")
         .agg(
@@ -179,7 +183,9 @@ ORDER BY lang, pred_lang
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (stopword-anchor argmax) cross-tabulated
     against the labeled language."""
-    docs = _t(spark, sf_dir, "documents").withColumn("pred_lang", tx.lang_id("text"))
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).withColumn(
+        "pred_lang", tx.lang_id("text")
+    )
     return (
         docs.groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -240,7 +246,7 @@ def repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row constant for bounded doc lengths — cheaper than the
     explode + (doc, token) groupBy alternative, whose shuffle grows
     with the corpus."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = tx.tokenize("text")
     m = docs.where(F.size(toks) >= 2).select(
         "lang",
@@ -284,7 +290,7 @@ def top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped top-terms (A1 over exploded tokens): explode → two-key
     count → top-5 per group. The explode keeps rows wide-partitioned;
     the count is partial-aggregated before its single shuffle."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     tokens = docs.select("lang", F.explode(tx.tokenize("text")).alias("token"))
     counts = tokens.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
     return win.topk_per_group(counts, ["lang"], "n", k=5, tiebreak="token").select(
@@ -789,7 +795,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbols — the pre-split every BPE tokenizer applies): the cost
     estimator for LLM training-data budgeting. Row-local codegen'd
     regexp on both engines."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     pieces = tx.bpe_ish_tokens("text")
     return docs.select(
         "doc_id",
@@ -979,7 +985,7 @@ def embedding_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (labels x dim doubles, metadata-scale) broadcast back and the
     cosine is a row-local fold. No driver-side data, nothing
     quadratic, exactly the IVF coarse-quantizer shape."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", sim.to_double("embedding").alias("v")
     )
     comp = emb.select("label", F.posexplode("v").alias("pos", "x"))

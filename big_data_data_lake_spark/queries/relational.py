@@ -1196,3 +1196,182 @@ def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_ORACLE = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey,
+           CAST(coalesce(o.cnt, 0) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, count(*) AS cnt
+        FROM orders
+        WHERE o_orderpriority <> '1-URGENT'
+        GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("customer_order_distribution", CUSTOMER_ORDER_DISTRIBUTION_ORACLE)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — the outer-join distribution: how many
+    customers placed exactly N (non-urgent) orders, INCLUDING the
+    zero-order customers an inner join would silently drop.
+
+    Scale shape: orders pre-aggregates to per-custkey counts BEFORE
+    the join (partial+final hash agg — the fact table collapses to at
+    most |customer| rows map-side), so the left join moves counts, not
+    orders. Both join sides exchange on custkey once; the second
+    aggregation's domain is the distinct order-count (tiny). The
+    priority filter must live BEFORE the pre-agg, never as a post-join
+    WHERE — a WHERE on the outer side would turn the left join back
+    into an inner one and drop the zero bucket.
+
+    Reference parity: the per-user activity histograms of app.py's
+    engagement panel, kept outer so silent users are counted."""
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+DISJUNCTIVE_REVENUE_ORACLE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS matched_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("disjunctive_revenue", DISJUNCTIVE_REVENUE_ORACLE)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — the disjunctive predicate: revenue over three
+    OR'd (brand x size x quantity) branches spanning both join sides.
+
+    The scale point is what Catalyst does with the OR: it cannot push
+    the whole disjunction to either scan, but it CAN push the
+    per-table weakenings — (qty in 1-11 OR 10-20 OR 20-30) prunes the
+    lineitem scan and (brand=12 AND size<=15 OR ...) prunes the part
+    scan — before the broadcast hash join evaluates the exact
+    cross-table residual. Writing the filter as one expression (not
+    three unioned scans) is what keeps it a single pass over lineitem.
+
+    Reference parity: app.py's multi-checkbox brand/size dashboards,
+    whose pandas mask is exactly this OR of conjunctions."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+
+    def branch(brand: str, max_size: int, qlo: int, qhi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, max_size)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+
+    cond = (
+        branch("Brand#12", 15, 1, 11)
+        | branch("Brand#23", 25, 10, 20)
+        | branch("Brand#34", 35, 20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("matched_lines"),
+        )
+    )
+
+
+IDLE_RICH_CUSTOMERS_ORACLE = """
+WITH pool AS (
+    SELECT c_custkey, c_mktsegment,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'HOUSEHOLD')
+),
+thr AS (
+    SELECT CAST(sum(bal_cents) AS BIGINT) AS total_cents,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pool WHERE bal_cents > 0
+)
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+FROM pool, thr
+WHERE bal_cents * n > total_cents
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = pool.c_custkey
+  )
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("idle_rich_customers", IDLE_RICH_CUSTOMERS_ORACLE)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar subquery + NOT EXISTS: customers in
+    three segments whose balance beats the positive-balance average
+    and who never placed an order.
+
+    Two decorrelations: the scalar average is a 1-row aggregate
+    broadcast back over the pool (no driver collect, no re-scan per
+    row), and the NOT EXISTS is a LEFT ANTI hash join on custkey. The
+    average threshold compares in EXACT integer cents via
+    cross-multiplication (bal*n > total) — no float average crosses
+    the engine boundary, so boundary rows can't flip on a ulp. Scale:
+    the anti join is the only data-scale shuffle; the 1-row threshold
+    is a broadcast nested loop over one row (metadata-scale).
+
+    Reference parity: app.py's dormant-account panel (balance filter +
+    "no activity" mask)."""
+    pool = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "HOUSEHOLD"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        )
+    )
+    thr = (
+        pool.where(F.col("bal_cents") > 0)
+        .agg(
+            F.sum("bal_cents").cast("bigint").alias("total_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        pool.join(F.broadcast(thr))
+        .where(F.col("bal_cents") * F.col("n") > F.col("total_cents"))
+        .join(orders, pool.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").cast("bigint").alias("total_bal_cents"),
+        )
+        .orderBy("segment")
+    )

@@ -179,11 +179,12 @@ def test_vocab_coverage_windows_only_k_rows(spark):
 
 
 def test_repetition_flags_aggregate_once(spark):
-    """Repetition metrics are row-local HOFs: exactly one aggregation
-    exchange (plus the final presentation sort) — any extra shuffle
-    means a metric leaked into a join or window."""
+    """Repetition metrics are row-local HOFs: one aggregation exchange
+    plus the final presentation sort and (at test SF only) the gated
+    _spread repartition of the single-file scan — any more means a
+    metric leaked into a join or window."""
     df = _q(spark, "repetition_quality_flags")
-    assert plans.shuffle_count(df) <= 2, plans.formatted_plan(df)
+    assert plans.shuffle_count(df) <= 3, plans.formatted_plan(df)
 
 
 def test_embedding_label_audit_broadcasts_centroids(spark):
@@ -204,3 +205,35 @@ def test_late_order_priority_is_semi_join(spark):
     assert "LeftSemi" in plan, plan
     assert plans.sort_merge_join_count(df) == 0, plan
     assert any("orderdate" in f.lower() for f in plans.pushed_filters(df)), plan
+
+
+def test_customer_order_distribution_preaggregates(spark):
+    """TPC-H Q13 shape: orders must collapse to per-custkey counts
+    BEFORE the outer join (two hash aggregates in the plan — pre-agg
+    and distribution), and the join must stay a real outer join (the
+    zero bucket depends on it)."""
+    df = _q(spark, "customer_order_distribution")
+    plan = plans.formatted_plan(df)
+    assert plan.count("HashAggregate") >= 4, plan  # 2 aggs x partial+final
+    assert "LeftOuter" in plan or "RightOuter" in plan, plan
+
+
+def test_disjunctive_revenue_pushes_weakened_predicates(spark):
+    """TPC-H Q19 shape: the OR of conjunctions cannot push whole, but
+    its per-table weakenings must — the lineitem scan takes a quantity
+    disjunction and the part side stays a broadcast join (single pass
+    over lineitem, no union-of-scans)."""
+    df = _q(spark, "disjunctive_revenue")
+    plan = plans.formatted_plan(df)
+    assert plans.broadcast_join_count(df) >= 1, plan
+    assert any("l_quantity" in f for f in plans.pushed_filters(df)), plan
+
+
+def test_idle_rich_customers_anti_join_no_collect(spark):
+    """TPC-H Q22 shape: the NOT EXISTS must be a LEFT ANTI hash join
+    and the scalar average a broadcast 1-row join — no sort-merge
+    anywhere, threshold never touches the driver."""
+    df = _q(spark, "idle_rich_customers")
+    plan = plans.formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert plans.sort_merge_join_count(df) == 0, plan
