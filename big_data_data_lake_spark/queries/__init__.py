@@ -70,6 +70,15 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "customer_order_distribution",
     "disjunctive_revenue",
     "idle_rich_customers",
+    "nation_trade_flows",
+    "market_share_by_year",
+    "nation_product_profit",
+    "priority_line_counts",
+    "promo_revenue_share",
+    "top_revenue_supplier",
+    "supplier_part_variety",
+    "small_qty_avg_revenue",
+    "waiting_supplier_ranking",
 )
 
 

@@ -1375,3 +1375,563 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+NATION_TRADE_FLOWS_ORACLE = """
+SELECT supp_nation, cust_nation, ship_year,
+       round(sum(volume), 2) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+)
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+@register("nation_trade_flows", NATION_TRADE_FLOWS_ORACLE)
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume: revenue shipped between
+    a pair of nations, split by direction and ship year.
+
+    The scale move is pushing the nation-pair filter into BOTH dims
+    before any fact join: supplier and customer are each pre-joined to
+    the 2-row filtered nation dim (broadcast), shrinking them to ~8 %
+    before lineitem sees them — so the only data-scale exchange is the
+    lineitem<->orders orderkey join. The cross-table pair disjunction
+    stays a residual AFTER the joins (it spans both sides, so it
+    cannot push further than the per-side IN filters already did).
+
+    Reference parity: app.py's origin/destination flow matrix panels.
+    """
+    pair = ("NATION_3", "NATION_8")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey", "cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .where(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+MARKET_SHARE_BY_YEAR_ORACLE = """
+SELECT ship_year,
+       round(round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END), 2)
+             / round(sum(volume), 2), 6) AS mkt_share,
+       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END), 2) AS nation_volume,
+       round(sum(volume), 2) AS total_volume
+FROM (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS ship_year,
+           n1.n_name AS supp_nation,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region    ON n2.n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+)
+GROUP BY ship_year
+ORDER BY ship_year
+"""
+
+
+@register("market_share_by_year", MARKET_SHARE_BY_YEAR_ORACLE)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — market share: one nation's fraction of ECONOMY
+    part revenue sold into ASIA customers, by order year. The
+    conditional-numerator / unconditional-denominator pattern computes
+    both in ONE aggregation pass (sum(CASE) + sum), never two jobs.
+
+    The share divides the two ROUNDED sums (then rounds the quotient):
+    dividing pre-rounded doubles makes the ratio a pure function of
+    values both engines already agree on, so no ulp of summation order
+    can flip the 6th decimal. Scale: part/supplier/nation/region all
+    broadcast (part pre-filtered by type); customer pre-joined to the
+    ASIA nation subset; the orderkey join is the one data exchange.
+
+    Reference parity: app.py's share-of-segment trend chart."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    asia = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(asia), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_vol = F.round(
+        F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))), 2
+    )
+    tot_vol = F.round(F.sum(vol), 2)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.round(nat_vol / tot_vol, 6).alias("mkt_share"),
+            nat_vol.alias("nation_volume"),
+            tot_vol.alias("total_volume"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+NATION_PRODUCT_PROFIT_ORACLE = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * l_quantity * 0.10), 2) AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("nation_product_profit", NATION_PRODUCT_PROFIT_ORACLE)
+def nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-line profit by supplier nation and
+    order year, with a substring filter on part name. Cost is proxied
+    as 10 % of retail price x quantity (this schema carries no
+    partsupp table / ps_supplycost; documented deviation).
+
+    The LIKE '%gear%' is a non-prefix substring, so it cannot become a
+    parquet pushed filter — but it DOES prune the broadcast-side part
+    dim before the join, which is where it matters: the fact rows that
+    survive are those whose join key finds a partner. part, supplier,
+    nation broadcast; the orderkey join is the one shuffle; one
+    partial+final agg on a (25 x years) domain.
+
+    Reference parity: app.py's per-origin margin breakdown."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.10)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+PRIORITY_LINE_COUNTS_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("priority_line_counts", PRIORITY_LINE_COUNTS_ORACLE)
+def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional bucket counting: per return flag,
+    how many 1997-shipped lines belong to urgent/high- vs lower-
+    priority orders. The CASE-sum pair turns what would be two
+    filtered jobs into one aggregation pass.
+
+    The shipdate range is a real parquet pushed filter on the fact
+    scan (min/max row-group pruning at scale); the orderkey equi-join
+    carries only (o_orderkey, o_orderpriority) from orders — the
+    projection prunes the rest at the scan. One partial+final agg on
+    a 3-row domain.
+
+    Reference parity: app.py's priority-mix stacked bars."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PROMO_REVENUE_SHARE_ORACLE = """
+SELECT round(100.0 * round(sum(CASE WHEN p_type = 'PROMO' THEN volume ELSE 0 END), 2)
+             / round(sum(volume), 2), 4) AS promo_share_pct,
+       round(sum(CASE WHEN p_type = 'PROMO' THEN volume ELSE 0 END), 2) AS promo_revenue,
+       round(sum(volume), 2) AS total_revenue
+FROM (
+    SELECT p_type, l_extendedprice * (1 - l_discount) AS volume
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+)
+"""
+
+
+@register("promo_revenue_share", PROMO_REVENUE_SHARE_ORACLE)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion effect: the percentage of one
+    month's revenue that came from PROMO-typed parts. Single
+    conditional-ratio aggregate over a month-bounded fact scan.
+
+    Same determinism rule as market_share_by_year: the percentage
+    divides the two already-rounded sums so both engines divide
+    identical doubles. The month predicate is a pushed parquet filter
+    (at scale: partition pruning if the lake is shipdate-partitioned);
+    part broadcasts pre-projected to (key, type).
+
+    Reference parity: app.py's campaign-lift KPI tile."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.round(
+        F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))), 2
+    )
+    total = F.round(F.sum(vol), 2)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * promo / total, 4).alias("promo_share_pct"),
+            promo.alias("promo_revenue"),
+            total.alias("total_revenue"),
+        )
+    )
+
+
+TOP_REVENUE_SUPPLIER_ORACLE = """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, rev_cents AS total_revenue_cents
+FROM rev
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+@register("top_revenue_supplier", TOP_REVENUE_SUPPLIER_ORACLE)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — max-of-aggregate: the supplier(s) whose
+    quarterly revenue equals the maximum quarterly revenue, ties kept.
+
+    Decorrelation: the per-supplier revenue aggregates once; the max
+    is a 1-row aggregate of THAT result broadcast back (a broadcast
+    nested loop over one row, metadata-scale) — never a driver
+    collect, never a second scan of lineitem. Revenue compares in
+    exact integer cents (per-line round to cents, then bigint sum):
+    both engines round the identical IEEE product, so the max and the
+    equality are exact — no float max boundary to straddle.
+
+    Reference parity: app.py's "top seller of the quarter" callout."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    mx = rev.agg(F.max("rev_cents").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("rev_cents") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("rev_cents").alias("total_revenue_cents"))
+        .orderBy("s_suppkey")
+    )
+
+
+SUPPLIER_PART_VARIETY_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("supplier_part_variety", SUPPLIER_PART_VARIETY_ORACLE)
+def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — supplier variety per part profile, with
+    negative predicates (brand <>, type <>, size IN) and a NOT IN
+    subquery excluding distrusted suppliers (acctbal < 0 stands in for
+    Q16's complaint-comment scan; this schema has no comments).
+
+    The NOT IN decorrelates to a LEFT ANTI broadcast join (the
+    excluded set is a handful of rows; s_suppkey is non-null by
+    construction so NOT IN == anti-join here). The count(DISTINCT)
+    shuffles once on the (brand, type, size) group keys with the
+    suppkey riding along for the distinct — Spark plans it as the
+    standard two-phase expand+agg, which partial-aggregates map-side.
+
+    Reference parity: app.py's assortment-breadth table."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+SMALL_QTY_AVG_REVENUE_ORACLE = """
+WITH pq AS (
+    SELECT l_partkey AS pk,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_weekly_revenue,
+       CAST(count(*) AS BIGINT) AS matched_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pq   ON pk = l_partkey
+WHERE p_brand = 'Brand#13' AND p_type = 'SMALL'
+  AND CAST(l_quantity AS BIGINT) * 5 * n < qty_sum
+"""
+
+
+@register("small_qty_avg_revenue", SMALL_QTY_AVG_REVENUE_ORACLE)
+def small_qty_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated-average subquery: revenue from
+    lines whose quantity is below 20 % of their part's average
+    quantity, for one brand+type band.
+
+    Decorrelation + pushdown: the per-part average only matters for
+    parts in the band, so the brand-filtered part dim broadcasts FIRST
+    and the per-part (sum, count) aggregates over just those parts'
+    lines — the oracle computes the same stats over all parts and
+    joins, identical per-part values, but the Spark plan never
+    aggregates the full fact table. The "below 20 % of average"
+    comparison cross-multiplies in exact bigints (qty*5*n < sum):
+    quantities are integral, so no float average crosses the engine
+    boundary and boundary lines cannot flip on a ulp.
+
+    Reference parity: app.py's small-order leakage KPI."""
+    band = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#13") & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    band_lines = li.join(F.broadcast(band), li.l_partkey == band.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pq = band_lines.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        band_lines.join(F.broadcast(pq), F.col("l_partkey") == F.col("pk"))
+        .where(F.col("l_quantity").cast("bigint") * 5 * F.col("n") < F.col("qty_sum"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_weekly_revenue"),
+            F.count(F.lit(1)).alias("matched_lines"),
+        )
+    )
+
+
+WAITING_SUPPLIER_RANKING_ORACLE = """
+WITH li AS (
+    SELECT l_orderkey, l_suppkey, l_shipdate
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F'
+),
+g AS (
+    SELECT l_orderkey, max(l_shipdate) AS mx,
+           count(DISTINCT l_suppkey) AS nsup
+    FROM li GROUP BY l_orderkey
+),
+lastx AS (
+    SELECT li.l_orderkey, li.l_suppkey
+    FROM li JOIN g ON li.l_orderkey = g.l_orderkey AND li.l_shipdate = g.mx
+    WHERE g.nsup >= 2
+    GROUP BY li.l_orderkey, li.l_suppkey
+),
+u AS (
+    SELECT l_orderkey, max(l_suppkey) AS blamed
+    FROM lastx GROUP BY l_orderkey HAVING count(*) = 1
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM u JOIN supplier ON s_suppkey = blamed
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+@register("waiting_supplier_ranking", WAITING_SUPPLIER_RANKING_ORACLE)
+def waiting_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the blame ranking: in finished multi-supplier
+    orders, the supplier who UNIQUELY shipped last (Q21's
+    EXISTS-other-supplier AND NOT-EXISTS-other-late-supplier pair,
+    re-expressed over l_shipdate — this schema has no
+    commit/receipt dates).
+
+    Both correlated EXISTS decorrelate into ONE per-order aggregate
+    (max shipdate + distinct-supplier count) joined back to the fact —
+    a self-join against a rollup that is strictly smaller than the
+    fact, keyed on the same orderkey the fact already hash-partitions
+    on, so the join-back reuses the aggregation's exchange rather than
+    adding one. "Uniquely last" is a second tiny group-by on the
+    surviving (order, supplier) pairs with HAVING count(*)=1. The
+    final ranking aggregates a per-supplier domain and top-10s on a
+    total order (numwait DESC, s_name).
+
+    Reference parity: app.py's slowest-vendor leaderboard."""
+    fo = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
+    g = li.groupBy(F.col("l_orderkey").alias("gk")).agg(
+        F.max("l_shipdate").alias("mx"),
+        F.countDistinct("l_suppkey").alias("nsup"),
+    )
+    lastx = (
+        li.join(
+            g,
+            (F.col("l_orderkey") == F.col("gk"))
+            & (F.col("l_shipdate") == F.col("mx"))
+            & (F.col("nsup") >= 2),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    u = (
+        lastx.groupBy("l_orderkey")
+        .agg(F.max("l_suppkey").alias("blamed"), F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") == 1)
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        u.join(F.broadcast(s), F.col("blamed") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )

@@ -237,3 +237,71 @@ def test_idle_rich_customers_anti_join_no_collect(spark):
     plan = plans.formatted_plan(df)
     assert "LeftAnti" in plan, plan
     assert plans.sort_merge_join_count(df) == 0, plan
+
+
+def test_nation_trade_flows_prunes_dims_before_fact(spark):
+    """TPC-H Q7 shape: the nation-pair filter must shrink supplier and
+    customer via broadcast joins BEFORE the fact sees them, and the
+    shipdate range must reach the lineitem scan."""
+    df = _q(spark, "nation_trade_flows")
+    plan = plans.formatted_plan(df)
+    assert plans.broadcast_join_count(df) >= 3, plan
+    assert any("l_shipdate" in f for f in plans.pushed_filters(df)), plan
+
+
+def test_market_share_single_pass_ratio(spark):
+    """TPC-H Q8 shape: numerator and denominator come from ONE
+    aggregation pass (a single final HashAggregate over the join),
+    with part/supplier/nation/region/customer all broadcast."""
+    df = _q(spark, "market_share_by_year")
+    plan = plans.formatted_plan(df)
+    assert plans.broadcast_join_count(df) >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_priority_line_counts_pushes_shipdate(spark):
+    """TPC-H Q12 shape: the year range is a parquet pushed filter and
+    the CASE-bucket counts are one aggregation, not two jobs."""
+    df = _q(spark, "priority_line_counts")
+    plan = plans.formatted_plan(df)
+    assert any("l_shipdate" in f for f in plans.pushed_filters(df)), plan
+
+
+def test_top_revenue_supplier_broadcasts_scalar_max(spark):
+    """TPC-H Q15 shape: the max-of-aggregate is a 1-row broadcast back
+    over the per-supplier rollup — no sort-merge join, no driver-side
+    threshold."""
+    df = _q(spark, "top_revenue_supplier")
+    plan = plans.formatted_plan(df)
+    assert plans.sort_merge_join_count(df) == 0, plan
+    assert plans.broadcast_join_count(df) >= 1, plan
+
+
+def test_supplier_part_variety_anti_join(spark):
+    """TPC-H Q16 shape: the NOT IN exclusion must be a broadcast LEFT
+    ANTI join; the size/brand/type predicates prune the broadcast part
+    dim."""
+    df = _q(spark, "supplier_part_variety")
+    plan = plans.formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert plans.broadcast_join_count(df) >= 2, plan
+
+
+def test_small_qty_avg_revenue_aggregates_band_only(spark):
+    """TPC-H Q17 shape: the per-part average must aggregate only the
+    brand-band's lines (part filter broadcast-joined BEFORE the
+    rollup), never the full fact table — pinned by requiring the
+    p_brand predicate to prune the part scan."""
+    df = _q(spark, "small_qty_avg_revenue")
+    plan = plans.formatted_plan(df)
+    assert plans.broadcast_join_count(df) >= 2, plan
+    assert any("p_brand" in f for f in plans.pushed_filters(df)), plan
+
+
+def test_waiting_supplier_ranking_no_nested_loop(spark):
+    """TPC-H Q21 shape: both correlated EXISTS decorrelate into a
+    per-order rollup self-join — equi-joins only, nothing quadratic."""
+    df = _q(spark, "waiting_supplier_ranking")
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
