@@ -80,6 +80,10 @@ HEADLINE = [
     "supplier_part_variety",
     "small_qty_avg_revenue",
     "waiting_supplier_ranking",
+    "source_mixing_weights",
+    "prefix_dup_fraction",
+    "budget_pack_selection",
+    "value_distribution_ranks",
 ]
 
 

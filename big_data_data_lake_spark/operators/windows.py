@@ -147,6 +147,70 @@ def global_rank(
     return ranked, total, lambda: ranged.unpersist()
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int, Callable[[], None]]:
+    """Exact global running sum of integral ``value_col`` over the
+    total order ``order_cols`` (must include a unique tiebreak) —
+    the prefix-sum twin of :func:`global_rank`, and the same
+    scale posture: a parallel ``repartitionByRange`` exchange,
+    per-partition running sums under a window PARTITIONED by the
+    physical partition id, and one metadata-scale job (one row per
+    partition) whose totals become broadcast prefix offsets. No
+    single-partition window anywhere.
+
+    Restricted to integral values (summed as long) so the
+    per-partition reordering cannot perturb the total the way float
+    association would.
+
+    Returns ``(df_with_cumsum, grand_total, release)``; call
+    ``release`` after materializing downstream results.
+    """
+    spark = df.sparkSession
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = {
+        int(r["__pid"]): int(r["__s"])
+        for r in (
+            ranged.groupBy("__pid")
+            .agg(F.sum(F.col(value_col).cast("long")).alias("__s"))
+            .collect()
+        )
+    }
+    offsets: dict[int, int] = {}
+    total = 0
+    for pid in sorted(sums):
+        offsets[pid] = total
+        total += sums[pid]
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+        )
+        offset = F.coalesce(
+            F.try_element_at(off_map, F.col("__pid")).cast("long"), F.lit(0).cast("long")
+        )
+    else:
+        offset = F.lit(0).cast("long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ranged.withColumn(
+        out_col, F.sum(F.col(value_col).cast("long")).over(w) + offset
+    ).drop("__pid")
+    return out, total, lambda: ranged.unpersist()
+
+
 def exact_ntile(rank: F.Column, total: int, buckets: int) -> F.Column:
     """Row-local ntile bucket (1-based) from an exact global rank —
     reproduces SQL ``ntile(buckets)`` semantics (first ``total %

@@ -79,6 +79,10 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "supplier_part_variety",
     "small_qty_avg_revenue",
     "waiting_supplier_ranking",
+    "source_mixing_weights",
+    "prefix_dup_fraction",
+    "budget_pack_selection",
+    "value_distribution_ranks",
 )
 
 

@@ -793,3 +793,37 @@ def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_of_approx.select(
         "exact_p95", within.alias("approx_within_rank_tolerance")
     )
+
+
+VALUE_DISTRIBUTION_RANKS_ORACLE = """
+SELECT event_id, event_type,
+       round(cume_dist() OVER w, 6) AS cd,
+       round(percent_rank() OVER w, 6) AS pr
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value)
+"""
+
+
+@register("value_distribution_ranks", VALUE_DISTRIBUTION_RANKS_ORACLE)
+def value_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution position per event within its type: cume_dist
+    (fraction of rows with value <= this one) and percent_rank
+    ((rank-1)/(n-1)) in one window pass — the per-row normalization
+    step feature pipelines use to turn raw magnitudes into ranks.
+
+    One shuffle, PARTITIONED by event_type (never the unpartitioned
+    global window), both functions share the same sort. Both engines
+    define the two statistics identically as exact small-integer
+    ratios, and ties need no tiebreak: cume_dist and percent_rank are
+    functions of the VALUE's rank, not the row's arrival order, so the
+    6-decimal round is deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )

@@ -414,3 +414,208 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(WS_K)
     )
+
+
+SOURCE_MIXING_ORACLE = """
+WITH s AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+t AS (
+    SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS n_sources
+    FROM s
+)
+SELECT source, n_docs, n_tokens,
+       round(least(1.0, CAST(total_tokens AS DOUBLE)
+                        / (CAST(n_sources AS DOUBLE) * CAST(n_tokens AS DOUBLE))), 6)
+           AS sample_weight,
+       CAST(floor(least(1.0, CAST(total_tokens AS DOUBLE)
+                        / (CAST(n_sources AS DOUBLE) * CAST(n_tokens AS DOUBLE)))
+                  * n_tokens) AS BIGINT) AS expected_tokens
+FROM s, t
+ORDER BY source
+"""
+
+
+@register("source_mixing_weights", SOURCE_MIXING_ORACLE)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights: per-source sampling rates that rebalance
+    the corpus toward an equal-token budget per source (the knob every
+    pretraining mix sweeps). weight = min(1, per-source-target /
+    source-tokens); over-represented sources downsample, small ones
+    keep everything.
+
+    Scale shape: one partial-aggregated groupBy(source) over the
+    corpus (domain = #sources, tiny), a 1-row totals aggregate of THAT
+    result broadcast back, then row-local arithmetic — the corpus is
+    scanned once and nothing data-scale shuffles twice. The weight
+    divides exact bigint token counts cast to double identically on
+    both engines, so the 6-decimal round cannot straddle a ulp.
+
+    Reference parity: the per-source routing weights implied by
+    processor.py's source-tagged medallion writes."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("n_tokens"),
+    )
+    t = s.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    w = F.least(
+        F.lit(1.0),
+        F.col("total_tokens").cast("double")
+        / (F.col("n_sources").cast("double") * F.col("n_tokens").cast("double")),
+    )
+    return (
+        s.join(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(w, 6).alias("sample_weight"),
+            F.floor(w * F.col("n_tokens")).cast("bigint").alias("expected_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+PREFIX_DUP_ORACLE = """
+WITH p AS (
+    SELECT doc_id, source, substr(text, 1, 32) AS pre FROM documents
+),
+d AS (
+    SELECT pre, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY pre
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_prefix_docs,
+       round(CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+FROM p JOIN d ON p.pre = d.pre
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("prefix_dup_fraction", PREFIX_DUP_ORACLE)
+def prefix_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix audit: per source, the fraction of documents
+    whose leading 32 characters are shared with at least one other
+    document corpus-wide — the cheap signal crawl pipelines use to
+    catch template/boilerplate families before full near-dup sketches.
+
+    One shuffle total: the per-prefix multiplicity is a COUNT window
+    partitioned by the prefix (not a groupBy + join-back, which would
+    exchange the corpus twice on the same key), then the per-source
+    rollup partial-aggregates to a #sources-row domain. At 100 TB the
+    32-byte window key is the only wide exchange and is uniformly
+    distributed by construction (synthetic prefixes) — a skewed real
+    corpus would salt exactly like salted_event_rollup.
+
+    Reference parity: the dedupe-on-title heuristic of app.py's feed
+    triage, generalized to prefixes."""
+    from pyspark.sql import Window
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    p = docs.select("doc_id", "source", F.substring("text", 1, 32).alias("pre"))
+    c = F.count(F.lit(1)).over(Window.partitionBy("pre"))
+    flagged = p.select("source", (c >= 2).cast("int").alias("is_dup"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("dup_prefix_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "dup_prefix_docs",
+            F.round(
+                F.col("dup_prefix_docs").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+        .orderBy("source")
+    )
+
+
+BUDGET_PACK_ORACLE = """
+WITH d AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+    FROM documents
+),
+t AS (
+    SELECT CAST(sum(nt) AS BIGINT) // 2 AS budget FROM d
+),
+c AS (
+    SELECT doc_id, source, nt,
+           sum(nt) OVER (ORDER BY nt DESC, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM d
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs_selected,
+       CAST(sum(nt) AS BIGINT) AS tokens_selected
+FROM c, t
+WHERE cum <= budget
+GROUP BY source
+ORDER BY source
+"""
+
+
+def _budget_pack_plan(spark: SparkSession, sf_dir: str):
+    """The lazy packing plan (exposed for plan tests): returns
+    ``(df, release)``; caller must materialize before ``release``."""
+    from ..operators import windows as win
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("nt"),
+    ).withColumn("neg_nt", -F.col("nt"))
+    cum, total, release = win.global_cumsum(d, ["neg_nt", "doc_id"], "nt", out_col="cum")
+    budget = total // 2
+    df = (
+        cum.where(F.col("cum") <= F.lit(budget))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_selected"),
+            F.sum("nt").cast("bigint").alias("tokens_selected"),
+        )
+        .orderBy("source")
+    )
+    return df, release
+
+
+@register("budget_pack_selection", BUDGET_PACK_ORACLE)
+def budget_pack_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: greedily keep the longest documents (ties
+    by doc_id) until half the corpus's tokens are spent — the
+    "assemble exactly N tokens of training data" selection step,
+    profiled per source.
+
+    The greedy prefix is a global running sum over a total order — the
+    same shape whose naive form (an unpartitioned window) was round
+    2's one scale-killer. It uses ``windows.global_cumsum``: a range
+    exchange + per-partition running sums + broadcast prefix offsets,
+    so the plan has NO single-partition window and the only wide
+    exchange is the parallel range partitioning. Token counts are
+    exact bigints end-to-end; the half-total budget is integer floor
+    division on both engines. The tiny per-source result materializes
+    eagerly so the range-bound cache releases deterministically.
+
+    Reference parity: app.py's "top stories until the fold is full"
+    pagination, reframed as token budgeting."""
+    df, release = _budget_pack_plan(spark, sf_dir)
+    try:
+        rows = df.collect()
+    finally:
+        release()
+    return spark.createDataFrame(rows, df.schema).orderBy("source")

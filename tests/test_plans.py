@@ -305,3 +305,49 @@ def test_waiting_supplier_ranking_no_nested_loop(spark):
     plan = plans.formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_source_mixing_weights_broadcasts_totals(spark):
+    """Mixing weights: the corpus aggregates once to a #sources
+    domain; the totals row joins back as a broadcast — never a second
+    corpus scan or a sort-merge."""
+    df = _q(spark, "source_mixing_weights")
+    plan = plans.formatted_plan(df)
+    assert plans.broadcast_join_count(df) >= 1, plan
+    assert plans.sort_merge_join_count(df) == 0, plan
+
+
+def test_prefix_dup_fraction_single_wide_exchange(spark):
+    """Prefix audit: per-prefix multiplicity is a window over ONE
+    exchange on the prefix (no groupBy + join-back double exchange);
+    the source rollup partial-aggregates. Budget: window + agg + the
+    presentation sort + (test SF only) the gated _spread repartition
+    of the single-file scan."""
+    df = _q(spark, "prefix_dup_fraction")
+    plan = plans.formatted_plan(df)
+    assert plans.sort_merge_join_count(df) == 0, plan
+    assert plans.shuffle_count(df) <= 4, plan
+
+
+def test_budget_pack_no_single_partition_window(spark):
+    """Budget packing: the global running sum must be the range
+    exchange + pid-partitioned window + broadcast offsets pattern —
+    never `Exchange SinglePartition` (round 2's scale-killer shape)."""
+    from big_data_data_lake_spark.queries.curation import _budget_pack_plan
+
+    df, release = _budget_pack_plan(spark, SF)
+    try:
+        plan = plans.formatted_plan(df)
+        assert "SinglePartition" not in plan, plan
+        assert "Window" in plan, plan
+    finally:
+        release()
+
+
+def test_value_distribution_ranks_partitioned_window(spark):
+    """cume_dist/percent_rank share one PARTITIONED window pass — one
+    shuffle on event_type, no single-partition exchange."""
+    df = _q(spark, "value_distribution_ranks")
+    plan = plans.formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Window") >= 1, plan
