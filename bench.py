@@ -84,6 +84,8 @@ HEADLINE = [
     "prefix_dup_fraction",
     "budget_pack_selection",
     "value_distribution_ranks",
+    "token_pagerank",
+    "pricing_measures_melt",
 ]
 
 

@@ -83,6 +83,8 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "prefix_dup_fraction",
     "budget_pack_selection",
     "value_distribution_ranks",
+    "token_pagerank",
+    "pricing_measures_melt",
 )
 
 

@@ -450,3 +450,115 @@ def minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(err), 4).alias("max_abs_err"),
         )
     )
+
+
+PR_ITERS = 3
+PR_DAMP = 0.85
+
+
+def _pagerank_oracle(iters: int = PR_ITERS) -> str:
+    """Unrolled PageRank oracle — one CTE pair per iteration, every
+    arithmetic step quantized exactly as the Spark plan quantizes it
+    (same recipe as ``_km_lloyd_oracle``)."""
+    sql = """
+WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+pairs AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                       i -> {'src': t[i], 'dst': t[i+1]})) AS p
+          FROM tok),
+e AS (SELECT p.src AS src, p.dst AS dst, CAST(count(*) AS BIGINT) AS w
+      FROM pairs GROUP BY p.src, p.dst),
+o AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src),
+es AS (SELECT e.src, e.dst, round(CAST(e.w AS DOUBLE) / o.outw, 9) AS s
+       FROM e JOIN o ON e.src = o.src),
+nodes AS (SELECT src AS tok FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS (SELECT tok, round(1.0 / nn.n, 9) AS r FROM nodes CROSS JOIN nn),
+"""
+    for k in range(iters):
+        sql += f"""c{k} AS (SELECT es.dst AS tok, sum(round(r{k}.r * es.s, 12)) AS m
+      FROM es JOIN r{k} ON es.src = r{k}.tok GROUP BY es.dst),
+r{k + 1} AS (SELECT nodes.tok,
+             round(0.15 / nn.n + 0.85 * coalesce(c{k}.m, 0.0), 9) AS r
+      FROM nodes CROSS JOIN nn LEFT JOIN c{k} ON nodes.tok = c{k}.tok),
+"""
+    sql = sql.rstrip().rstrip(",")
+    sql += f"""
+SELECT tok, round(r, 6) AS pr
+FROM r{iters}
+ORDER BY pr DESC, tok
+LIMIT 20
+"""
+    return sql
+
+
+@register("token_pagerank", _pagerank_oracle())
+def token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by PageRank over the adjacent-token digraph —
+    the iterative-graph-algorithm family (alongside dedup_clusters'
+    label propagation), fully oracle-checkable via the same
+    quantize-every-phase recipe as ``kmeans_lloyd_phases``: edge
+    shares round to 9, per-edge contributions to 12, each iteration's
+    rank to 9, so both engines replay the float chain inside the
+    rounding guard. Simplified model (no dangling-mass
+    redistribution; a last-position token with no out-edges simply
+    leaks its mass — identical on both sides).
+
+    Scale shape: the corpus-scale work is ONE bigram count
+    aggregation; everything after is vocabulary-sized — the edge list
+    is bounded by vocab², each of the 3 unrolled iterations is a
+    broadcast equi-join plus a partial-aggregated sum over in-edges,
+    and the node count is a one-scalar metadata job. This is the
+    Pregel shape with the vertex state small enough to broadcast,
+    which a token vocabulary always is (the vocabulary fits in memory
+    even when the corpus doesn't).
+
+    Reference parity: app.py's "most central entities" panel,
+    re-grounded on token transitions."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = docs.selectExpr("split(text, ' ') AS t")
+    pairs = toks.selectExpr(
+        "explode(CASE WHEN size(t) >= 2 "
+        "THEN transform(sequence(1, size(t) - 1), "
+        "i -> struct(element_at(t, i) AS src, element_at(t, CAST(i + 1 AS int)) AS dst)) "
+        "ELSE CAST(array() AS array<struct<src:string,dst:string>>) END) AS p"
+    ).select("p.src", "p.dst")
+    e = scoped_persist(
+        pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    )
+    o = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    es = scoped_persist(
+        e.join(o.select(F.col("src").alias("osrc"), "outw"), F.col("src") == F.col("osrc"))
+        .select(
+            "src",
+            "dst",
+            F.round(F.col("w").cast("double") / F.col("outw"), 9).alias("s"),
+        )
+    )
+    nodes = scoped_persist(
+        es.select(F.col("src").alias("tok")).union(es.select("dst")).distinct()
+    )
+    n = nodes.count()
+    base = F.lit(1.0) / F.lit(float(n))
+    teleport = F.lit(0.15) / F.lit(float(n))
+    r = nodes.select("tok", F.round(base, 9).alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            es.join(F.broadcast(r.select(F.col("tok").alias("rtok"), "r")),
+                    F.col("src") == F.col("rtok"))
+            .groupBy(F.col("dst").alias("ctok"))
+            .agg(F.sum(F.round(F.col("r") * F.col("s"), 12)).alias("m"))
+        )
+        r = (
+            nodes.join(F.broadcast(contrib), F.col("tok") == F.col("ctok"), "left")
+            .select(
+                "tok",
+                F.round(
+                    teleport + F.lit(PR_DAMP) * F.coalesce(F.col("m"), F.lit(0.0)), 9
+                ).alias("r"),
+            )
+        )
+    return (
+        r.select("tok", F.round("r", 6).alias("pr"))
+        .orderBy(F.desc("pr"), "tok")
+        .limit(20)
+    )

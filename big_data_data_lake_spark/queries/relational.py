@@ -1935,3 +1935,43 @@ def waiting_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+PRICING_MEASURES_MELT_ORACLE = """
+WITH s AS (
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM s
+UNION ALL
+SELECT l_returnflag, 'n_lines' AS measure, n_lines AS value FROM s
+ORDER BY l_returnflag, measure
+"""
+
+
+@register("pricing_measures_melt", PRICING_MEASURES_MELT_ORACLE)
+def pricing_measures_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping (melt / UNPIVOT) — the inverse of
+    order_priority_pivot: the per-flag measures aggregate once, then
+    ``DataFrame.unpivot`` turns the measure columns into (measure,
+    value) rows. The unpivot is a row-local Expand over the ALREADY
+    AGGREGATED 3-row frame — the reshape costs nothing at any scale
+    because it happens after the reduction, never on the fact table
+    (the oracle's UNION ALL re-reads the CTE; Spark's Expand is the
+    single-pass equivalent).
+
+    Reference parity: app.py's long-format frames for its plotting
+    library (pandas .melt before px.bar)."""
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return s.unpivot(
+        ["l_returnflag"], ["sum_qty", "n_lines"], "measure", "value"
+    ).orderBy("l_returnflag", "measure")

@@ -351,3 +351,24 @@ def test_value_distribution_ranks_partitioned_window(spark):
     plan = plans.formatted_plan(df)
     assert "SinglePartition" not in plan, plan
     assert plan.count("Window") >= 1, plan
+
+
+def test_token_pagerank_iterations_broadcast(spark):
+    """PageRank: the corpus-scale work is ONE bigram aggregation; every
+    iteration joins the vocab-sized rank state as a broadcast — no
+    sort-merge join, nothing quadratic."""
+    df = _q(spark, "token_pagerank")
+    plan = plans.formatted_plan(df)
+    assert plans.broadcast_join_count(df) >= 3, plan
+    assert plans.sort_merge_join_count(df) == 0, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pricing_measures_melt_expands_after_aggregate(spark):
+    """Melt: the unpivot Expand must sit ABOVE the aggregate (reshape
+    the 3-row result, never the fact table) — one aggregation exchange
+    plus the presentation sort."""
+    df = _q(spark, "pricing_measures_melt")
+    plan = plans.formatted_plan(df)
+    assert "Expand" in plan, plan
+    assert plans.shuffle_count(df) <= 2, plan
