@@ -85,6 +85,12 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "value_distribution_ranks",
     "token_pagerank",
     "pricing_measures_melt",
+    "discount_revenue_forecast",
+    "concentrated_part_value",
+    "dominant_part_suppliers",
+    "unigram_surprisal",
+    "tokenizer_fertility",
+    "source_overlap_matrix",
 )
 
 

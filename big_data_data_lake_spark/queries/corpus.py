@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caching import scoped_persist
+from ..operators import dedup as dd
 from ..operators import text as tx
 from . import register
 from .llm_ops import _ngram_jaccard_oracle, _ngram_jaccard_pairs, _spread, _t
@@ -561,4 +562,152 @@ def token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.select("tok", F.round("r", 6).alias("pr"))
         .orderBy(F.desc("pr"), "tok")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM surprisal — perplexity-proxy quality scoring
+# ---------------------------------------------------------------------------
+
+# Same ulp-safety rule as TFIDF_ORACLE above: ln() can differ by one
+# ulp between engines, so the per-token surprisal rounds to 6 decimals
+# BEFORE the count-weighted average.
+UNIGRAM_SURPRISAL_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+dt AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+    FROM tok GROUP BY doc_id, token
+),
+v AS (SELECT token, CAST(sum(c) AS BIGINT) AS n FROM dt GROUP BY token),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS s FROM v)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(sum(c * round(-ln(CAST(n AS DOUBLE) / s), 6)) / sum(c), 4)
+           AS avg_surprisal_nats
+FROM dt JOIN v USING (token) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@register("unigram_surprisal", UNIGRAM_SURPRISAL_ORACLE)
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: each document's mean negative
+    log-probability under the corpus's own unigram language model —
+    the cheap stand-in for model-based perplexity filtering that
+    production pipelines (CCNet-style) run before the expensive one.
+    Low surprisal = repetitive/templated text; high = rare-token soup;
+    both tails are curation targets.
+
+    Shape: the (doc, token) counts aggregate once and serve both
+    sides — the vocabulary is a re-aggregate of THAT result (never a
+    second corpus scan), the corpus token total is a 1-row broadcast,
+    and the score join runs vocabulary-vs-doc-terms on the token key.
+    Everything is partial-aggregated before its shuffle; the model
+    "training" and the scoring are the same two hash aggregates, so
+    the whole query is ~3 shuffles at any corpus size. The surprisal
+    weights by the already-computed counts instead of re-exploding
+    tokens, so the join input is |distinct (doc, token)|, not corpus
+    token volume."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    dt = scoped_persist(
+        docs.select("doc_id", F.explode(tx.tokenize("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    v = dt.groupBy("token").agg(F.sum("c").cast("bigint").alias("n"))
+    tot = v.agg(F.sum("n").cast("bigint").alias("s"))
+    surprisal = F.round(-F.log(F.col("n").cast("double") / F.col("s")), 6)
+    return (
+        dt.join(v, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * surprisal) / F.sum("c"), 4).alias(
+                "avg_surprisal_nats"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix
+# ---------------------------------------------------------------------------
+
+SOURCE_OVERLAP_MATRIX_ORACLE = f"""
+WITH tok AS (SELECT source, {{th}} AS th FROM documents),
+sh AS (SELECT source, {{sg}} AS s FROM tok),
+ex AS (SELECT DISTINCT source, g
+       FROM (SELECT source, unnest(s) AS g FROM sh)),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM ex GROUP BY source),
+common AS (
+    SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS n_shared
+    FROM ex a JOIN ex b ON a.g = b.g AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT s1, s2, n_shared,
+       round(CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared), 4) AS jaccard
+FROM common
+JOIN sizes sa ON s1 = sa.source
+JOIN sizes sb ON s2 = sb.source
+ORDER BY s1, s2
+""".format(
+    th=dd.TOKEN_HASHES_SQL.format(text="text"), sg=dd.shingle_hashes_sql(2)
+)
+
+
+@register("source_overlap_matrix", SOURCE_OVERLAP_MATRIX_ORACLE)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between corpus SOURCES — the Jaccard of
+    each source pair's distinct-shingle sets. The mix-design companion
+    to the per-document dedup family: before weighting sources
+    (source_mixing_weights) a pipeline wants to know which of them are
+    near-copies of each other (mirror dumps, re-crawls) versus
+    genuinely complementary.
+
+    Shape: the shingle work is the same hashed-shingle pipeline the
+    dedup queries share, collapsed to DISTINCT (source, shingle) —
+    after which every join key (a shingle hash) appears in at most
+    |sources| rows, so the pair join's per-key fan-out is bounded by
+    C(|sources|, 2) regardless of corpus size. The output is a
+    |sources|²-bounded matrix — metadata-scale — and the set sizes
+    broadcast back. This is why it aggregates shingle SETS, never doc
+    pairs: corpus growth adds rows to the distinct-collapse shuffle,
+    not to the join fan-out."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    sh = scoped_persist(
+        docs.selectExpr("source", dd.spark_token_hashes_expr() + " AS th")
+        .selectExpr("source", dd.spark_shingle_hashes_expr(2) + " AS s")
+    )
+    ex = scoped_persist(
+        sh.select("source", F.explode("s").alias("g")).distinct()
+    )
+    sizes = ex.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    common = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("s1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("source").alias("s2"), F.col("sz").alias("sz2"))
+    return (
+        common.join(F.broadcast(sa), "s1")
+        .join(F.broadcast(sb), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("s1", "s2")
     )

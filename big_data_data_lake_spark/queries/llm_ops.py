@@ -1008,3 +1008,52 @@ def embedding_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language
+# ---------------------------------------------------------------------------
+
+TOKENIZER_FERTILITY_ORACLE = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(len(regexp_extract_all(text, '{tx.BPE_SPLIT_REGEX}')) AS BIGINT)) AS DOUBLE)
+             / sum(CAST(len(string_split(text, ' ')) AS BIGINT)), 4) AS pieces_per_word,
+       round(CAST(sum(CAST(len(text) AS BIGINT)) AS DOUBLE)
+             / sum(CAST(len(regexp_extract_all(text, '{tx.BPE_SPLIT_REGEX}')) AS BIGINT)), 4)
+           AS chars_per_piece
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("tokenizer_fertility", TOKENIZER_FERTILITY_ORACLE)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE-ish pieces per whitespace
+    word and characters per piece, the standard diagnostic for how
+    expensive each language is to tokenize (high fertility = the token
+    budget buys less text; drives per-language sampling weights next
+    to source_mixing_weights).
+
+    Shape: all three counts are row-local array lengths folded into
+    ONE partial+final aggregation on the ~5-value lang key — no
+    explode, no join, no second scan. At 100 TB this is a single
+    map-side-combined pass over documents."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    pieces = F.size(tx.bpe_ish_tokens(F.col("text"))).cast("bigint")
+    words = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    chars = F.length("text").cast("bigint")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(pieces).cast("double") / F.sum(words), 4
+            ).alias("pieces_per_word"),
+            F.round(
+                F.sum(chars).cast("double") / F.sum(pieces), 4
+            ).alias("chars_per_piece"),
+        )
+        .orderBy("lang")
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..functions.geo import infer_continent
 from ..operators import aggregations as agg
 from ..operators import filters as flt
@@ -1975,3 +1976,206 @@ def pricing_measures_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.unpivot(
         ["l_returnflag"], ["sum_qty", "n_lines"], "measure", "value"
     ).orderBy("l_returnflag", "measure")
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6 / Q11 / Q20 shapes — completes the 22-query sweep
+# --------------------------------------------------------------------------
+
+DISCOUNT_REVENUE_FORECAST_ORACLE = """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS revenue_increase_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("discount_revenue_forecast", DISCOUNT_REVENUE_FORECAST_ORACLE)
+def discount_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — revenue-change forecast: how much extra revenue
+    would have been booked in 1997 had small-quantity discounts in the
+    [5%, 7%] band been eliminated. A single conjunctive-filter scan
+    feeding one global aggregate — no join, no group keys.
+
+    This is the purest pushdown test in the sweep: all three
+    predicates (shipdate range, discount band, quantity cap) land in
+    PushedFilters on the parquet scan, so at scale row groups outside
+    the year are never read, and the aggregate is one partial+final
+    pair over whatever survives. Revenue sums in exact integer cents
+    (per-line round, bigint sum) so both engines add identical
+    integers regardless of reduction order.
+
+    Reference parity: app.py's what-if KPI tiles (global scalar aggs,
+    app.py:234-239) with a compound filter mask (app.py:215-226)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_increase_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+CONCENTRATED_PART_VALUE_ORACLE = """
+WITH nv AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS value_cents
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_7'
+    GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, value_cents
+FROM nv
+WHERE CAST(value_cents AS DOUBLE) >
+      (SELECT CAST(sum(value_cents) AS DOUBLE) FROM nv) / 250
+ORDER BY value_cents DESC, p_partkey
+"""
+
+
+@register("concentrated_part_value", CONCENTRATED_PART_VALUE_ORACLE)
+def concentrated_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — value concentration: parts whose revenue from
+    one nation's suppliers exceeds a fixed fraction (1/250) of that
+    nation's total, i.e. a HAVING against a scalar subquery over the
+    SAME aggregate. (The reference lake has no partsupp table, so
+    shipped revenue stands in for stock value — the plan shape is
+    identical.)
+
+    Decorrelation: the per-part aggregate materializes once; the
+    nation total is a 1-row re-aggregate of THAT result broadcast back
+    (metadata-scale nested-loop over one row) — lineitem is scanned
+    exactly once, matching the oracle's CTE-reuse. The nation filter
+    reaches lineitem as a broadcast semi-structured join on the
+    filtered supplier keys, so the fact scan drops ~24/25 of rows
+    before the aggregate. Integer-cents sums make the threshold
+    comparison exact in both engines (values < 2^53 stay
+    double-exact).
+
+    Reference parity: the dashboard's "top contributors above x% of
+    total" callouts (dashboard.py:173-183 normalized by A5 totals)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name") == "NATION_7")
+        .select("n_nationkey")
+    )
+    nation_suppliers = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey")
+    nv = scoped_persist(
+        li.join(F.broadcast(nation_suppliers), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("value_cents")
+        )
+    )
+    threshold = nv.agg(
+        (F.sum("value_cents").cast("double") / F.lit(250)).alias("__thr")
+    )
+    return (
+        nv.join(F.broadcast(threshold))
+        .where(F.col("value_cents").cast("double") > F.col("__thr"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+        .orderBy(F.col("value_cents").desc(), "p_partkey")
+    )
+
+
+DOMINANT_PART_SUPPLIERS_ORACLE = """
+WITH sp AS (
+    SELECT l_suppkey, l_partkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sp
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND p_name LIKE 'red %'
+    GROUP BY l_suppkey, l_partkey
+),
+pt AS (
+    SELECT l_partkey, CAST(sum(qty_sp) AS BIGINT) AS qty_part
+    FROM sp GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM sp JOIN pt USING (l_partkey)
+    WHERE 2 * qty_sp > qty_part
+)
+ORDER BY s_suppkey
+"""
+
+
+@register("dominant_part_suppliers", DOMINANT_PART_SUPPLIERS_ORACLE)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — nested aggregate semi-join: suppliers who
+    dominate some red part (shipped more than half of that part's 1997
+    volume), i.e. a per-(supplier, part) aggregate compared against a
+    per-part re-aggregate, reduced to a DISTINCT supplier set that
+    semi-joins the supplier dimension. (No partsupp table in this
+    lake, so "dominates shipped volume" stands in for Q20's excess
+    availqty — same two-level-aggregate + semi-join plan.)
+
+    Scan once: the part-name filter broadcasts ~1/8 of the part keys
+    into the fact scan (with the shipdate range pushed), the
+    (suppkey, partkey) aggregate reduces before anything wide, and
+    the per-part total re-aggregates THAT result — never a second
+    lineitem pass, matching the oracle's CTE reuse. Quantities are
+    integral by generation, so bigint sums compare exactly; the
+    dominance test ``2*qty_sp > qty_part`` stays in integers. The
+    distinct supplier set (bounded by the supplier dim) broadcasts
+    into the dimension join.
+
+    Reference parity: app.py's dominant-operator watchlist (the
+    "which operator owns this route" drill-down)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    red_parts = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red %"))
+        .select("p_partkey")
+    )
+    sp = scoped_persist(
+        li.join(F.broadcast(red_parts), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty_sp"))
+    )
+    pt = sp.groupBy("l_partkey").agg(
+        F.sum("qty_sp").cast("bigint").alias("qty_part")
+    )
+    dominant = (
+        sp.join(pt, "l_partkey")
+        .where(2 * F.col("qty_sp") > F.col("qty_part"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sup.join(F.broadcast(dominant), sup.s_suppkey == F.col("l_suppkey"), "semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_suppkey")
+    )

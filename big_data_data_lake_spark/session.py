@@ -50,6 +50,12 @@ def get_spark(
         # them as raw nanos; the catalog re-types to microsecond
         # timestamps (sources/catalog.py) — same truncation DuckDB does.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Testdata parquet carries naive timestamp[us] (isAdjustedToUTC
+        # = false). Spark 4 would infer TIMESTAMP_NTZ, which breaks
+        # epoch functions (unix_micros & co. take LTZ only). With the
+        # session timezone pinned UTC above, reading them as plain
+        # TIMESTAMP is bit-identical to DuckDB's naive semantics.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # The reference's enrichment dimension is ~100 MB
         # (docker-compose.yml:182) — above Spark's 10 MB default, so raise
         # the auto-broadcast threshold; explicit broadcast() hints are still

@@ -40,12 +40,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` it scans as a raw nanos
     long, re-typed here to a microsecond timestamp (integer ``div`` so
     no double round-trip) — byte-identical to DuckDB's ns→us read.
+
+    Naive parquet timestamps (``isAdjustedToUTC=false`` — how the
+    current testdata is written) infer as TIMESTAMP_NTZ under Spark 4
+    defaults, which epoch functions (``unix_micros`` & co.) reject.
+    Normalize NTZ → TIMESTAMP here: under a UTC session timezone the
+    cast is bit-identical to DuckDB's naive-timestamp semantics, and it
+    keeps the engine independent of the caller's
+    ``inferTimestampNTZ`` setting.
     """
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

@@ -86,6 +86,7 @@ def test_range_band_join_broadcasts_band_dim(spark):
         "minhash_lsh_pairs",
         "simhash_near_dups",
         "embedding_topk_pairs",
+        "source_overlap_matrix",
     ],
 )
 def test_pair_generation_never_plans_quadratic_join(spark, name):
@@ -372,3 +373,55 @@ def test_pricing_measures_melt_expands_after_aggregate(spark):
     plan = plans.formatted_plan(df)
     assert "Expand" in plan, plan
     assert plans.shuffle_count(df) <= 2, plan
+
+
+def test_discount_forecast_pushes_all_three_predicates(spark):
+    """TPC-H Q6 shape: shipdate range, discount band, and quantity cap
+    must ALL reach PushedFilters — the whole query is one filtered
+    scan plus a global aggregate, with no exchange other than the
+    partial/final agg pair."""
+    df = _q(spark, "discount_revenue_forecast")
+    pushed = " ".join(plans.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, plans.formatted_plan(df)
+    assert plans.shuffle_count(df) <= 1, plans.formatted_plan(df)
+
+
+def test_concentrated_part_value_single_fact_scan(spark):
+    """TPC-H Q11 shape: the scalar-subquery HAVING must reuse the
+    per-part aggregate (one lineitem scan; the threshold is a 1-row
+    broadcast back), and the nation's supplier keys must broadcast
+    into the fact scan."""
+    df = _q(spark, "concentrated_part_value")
+    plan = plans.formatted_plan(df)
+    # both the threshold row and the filtered output read the pinned
+    # per-part aggregate (explain expands the cached child under each
+    # InMemoryTableScan, so count cache reads, not scan text)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert plans.broadcast_join_count(df) >= 2, plan
+    assert plans.sort_merge_join_count(df) == 0, plan
+
+
+def test_dominant_part_suppliers_two_level_aggregate(spark):
+    """TPC-H Q20 shape: the per-part total re-aggregates the
+    (supplier, part) rollup — lineitem scans once — and the dominant
+    supplier set semi-joins the dimension; nothing quadratic."""
+    df = _q(spark, "dominant_part_suppliers")
+    plan = plans.formatted_plan(df)
+    # the per-part total re-aggregates the pinned (supplier, part)
+    # rollup — both references are cache reads, lineitem scans once
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_unigram_surprisal_reuses_doc_term_counts(spark):
+    """Surprisal: vocabulary and scores both derive from the one
+    (doc, token) aggregate — the corpus token-explode happens once,
+    the corpus total is a 1-row broadcast, and the score join is an
+    equi-join on the token key."""
+    df = _q(spark, "unigram_surprisal")
+    plan = plans.formatted_plan(df)
+    assert plan.count("Generate explode") <= 1, plan
+    assert "CartesianProduct" not in plan, plan

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from big_data_data_lake_spark.schemas import STATE_VECTOR_SCHEMA
+from big_data_data_lake_spark.sources.catalog import load_table
 from big_data_data_lake_spark.streaming import (
     bronze_to_silver,
     latest_wins_dedup,
@@ -168,9 +169,7 @@ def test_bronze_to_silver_enrichment(spark, tmpdir):
 
 def test_windowed_counts_match_batch(spark, tmpdir):
     """T8: streaming tumbling-hour counts == batch groupBy(window)."""
-    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
     # Append mode only emits a window once the watermark passes it, so
     # the stream gets one sentinel event 2 h past the end to flush the
     # real windows; the sentinel's own window stays in state.
@@ -424,9 +423,7 @@ def test_session_windows_match_batch_and_sessionize(spark, tmpdir):
     lag/cumsum sessionization query."""
     from big_data_data_lake_spark.streaming.ingest import session_windowed_counts
 
-    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    ).select("user_id", "ts")
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select("user_id", "ts")
     # sentinel far past the end flushes all real sessions through the
     # watermark (its own session stays in state)
     max_ts = events.agg(F.max("ts")).collect()[0][0]
