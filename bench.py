@@ -86,6 +86,13 @@ HEADLINE = [
     "value_distribution_ranks",
     "token_pagerank",
     "pricing_measures_melt",
+    "discount_revenue_forecast",
+    "concentrated_part_value",
+    "dominant_part_suppliers",
+    "unigram_surprisal",
+    "tokenizer_fertility",
+    "source_overlap_matrix",
+    "props_json_stats",
 ]
 
 

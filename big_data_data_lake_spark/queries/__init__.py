@@ -91,6 +91,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "unigram_surprisal",
     "tokenizer_fertility",
     "source_overlap_matrix",
+    "props_json_stats",
 )
 
 

@@ -827,3 +827,49 @@ def value_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction
+# ---------------------------------------------------------------------------
+
+PROPS_JSON_STATS_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INT) AS max_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+           AS distinct_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("props_json_stats", PROPS_JSON_STATS_ORACLE)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction: events carry a free-form
+    JSON ``props`` payload; pull out the ``k`` field and profile it per
+    event type. The lake pattern for attributes that never earned a
+    real column — parse at query time, aggregate as if typed.
+
+    ``get_json_object`` is a JVM-side path expression (no UDF, stays
+    inside codegen); at 100 TB the right evolution is parsing once
+    into a struct column at silver time, but the query-time shape here
+    is the same single pass: extract → cast → one partial+final agg on
+    the small event_type domain. avg is the only double and rounds on
+    both sides; min/max/distinct are exact ints."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.countDistinct(k).alias("distinct_k"),
+        )
+        .orderBy("event_type")
+    )
