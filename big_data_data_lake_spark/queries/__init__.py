@@ -92,6 +92,8 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "tokenizer_fertility",
     "source_overlap_matrix",
     "props_json_stats",
+    "events_grouping_sets",
+    "freq_items_audit",
 )
 
 

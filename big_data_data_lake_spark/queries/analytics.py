@@ -873,3 +873,52 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent-items sketch audit
+# ---------------------------------------------------------------------------
+
+FREQ_ITEMS_AUDIT_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM events), 4) AS share,
+       TRUE AS in_sketch
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("freq_items_audit", FREQ_ITEMS_AUDIT_ORACLE)
+def freq_items_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters sketch audit, same pattern as the
+    approx_distinct/quantile audits: run the single-pass approximate
+    frequent-items sketch (``df.stat.freqItems``, Karp-Papadimitriou-
+    Shenker counting) alongside the exact groupBy, and verify the
+    sketch's guarantee — every item with frequency above the support
+    threshold MUST appear in the sketch result. The event_type domain
+    sits far above support=0.05, so ``in_sketch`` is deterministically
+    true for every row and the oracle checks the exact counts, shares,
+    AND the containment claim by value.
+
+    Scale: freqItems is one pass with a bounded (1/support)-entry map
+    per partition plus a driver merge — the shape for "top domains /
+    hot keys" first-look profiling at 100 TB where an exact groupBy on
+    a high-cardinality key would shuffle everything. The audit's exact
+    side is the verification harness, not the production path."""
+    ev = _t(spark, sf_dir, "events")
+    sketch = set(ev.stat.freqItems(["event_type"], 0.05).collect()[0][0])
+    total = ev.count()
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.lit(total), 4).alias("share"),
+            F.col("event_type").isin(list(sketch)).alias("in_sketch"),
+        )
+        .orderBy("event_type")
+    )

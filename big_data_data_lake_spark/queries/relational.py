@@ -2179,3 +2179,59 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_suppkey")
     )
+
+
+EVENTS_GROUPING_SETS_ORACLE = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       CAST(coalesce(CAST(hour(ts) AS BIGINT), -1) AS BIGINT) AS hr,
+       CAST(grouping(event_type) * 2 + grouping(hour(ts)) AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (hour(ts)), (event_type, hour(ts)))
+ORDER BY gid, event_type, hr
+"""
+
+
+@register("events_grouping_sets", EVENTS_GROUPING_SETS_ORACLE)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form cube/rollup sugar over):
+    per-type totals, per-hour totals, and the full (type, hour) matrix
+    in ONE aggregation pass, disambiguated by grouping_id — the report
+    shape dashboards compute as three separate queries and the
+    reference computes as three pandas groupbys (dashboard.py:
+    173-252).
+
+    Spark plans grouping sets as a single Expand (3 rows per input
+    row, row-local) feeding one partial+final hash aggregate — one
+    shuffle of grouped partials for all three granularities, versus
+    three scans for the naive version. At 100 TB the Expand multiplies
+    map-side rows BEFORE the partial aggregate collapses them, so the
+    shuffle still carries only group cardinalities.
+
+    NULL group keys coalesce to sentinels ('ALL' / -1) because the
+    driver hash treats NULL != NULL across engines; grouping_id
+    disambiguates a real NULL key from a rolled-up one."""
+    ev = _t(spark, sf_dir, "events")
+    hr = F.hour("ts")
+    gid = (F.grouping("event_type") * 2 + F.grouping(hr)).cast("int")
+    return (
+        ev.groupingSets(
+            [["event_type"], [hr], ["event_type", hr]],
+            "event_type",
+            hr,
+        )
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("hour(ts)").cast("bigint"), F.lit(-1)).alias("hr"),
+            "gid",
+            "n",
+            "total_value",
+        )
+        .orderBy("gid", "event_type", "hr")
+    )
