@@ -94,6 +94,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "props_json_stats",
     "events_grouping_sets",
     "freq_items_audit",
+    "incremental_dedup_novelty",
 )
 
 

@@ -619,3 +619,98 @@ def budget_pack_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         release()
     return spark.createDataFrame(rows, df.schema).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: incoming batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+INCREMENTAL_NOVELTY_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {{th}} AS th FROM documents),
+sh AS (SELECT doc_id, {{sg}} AS s FROM tok),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ex GROUP BY doc_id),
+inc AS (SELECT * FROM ex WHERE doc_id % 5 = 0),
+old AS (SELECT * FROM ex WHERE doc_id % 5 <> 0),
+common AS (
+    SELECT i.doc_id AS new_id, o.doc_id AS old_id, CAST(count(*) AS BIGINT) AS c
+    FROM inc i JOIN old o ON i.g = o.g
+    GROUP BY 1, 2
+),
+hits AS (
+    SELECT new_id,
+           round(max(CAST(c AS DOUBLE) / (si.sz + so.sz - c)), 4) AS max_jaccard
+    FROM common
+    JOIN sizes si ON new_id = si.doc_id
+    JOIN sizes so ON old_id = so.doc_id
+    GROUP BY new_id
+)
+SELECT d.doc_id,
+       coalesce(h.max_jaccard, 0.0) AS max_jaccard,
+       coalesce(h.max_jaccard, 0.0) < 0.3 AS is_novel
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN hits h ON d.doc_id = h.new_id
+ORDER BY d.doc_id
+""".format(
+    th=dd.TOKEN_HASHES_SQL.format(text="text"), sg=dd.shingle_hashes_sql(2)
+)
+
+
+@register("incremental_dedup_novelty", INCREMENTAL_NOVELTY_ORACLE)
+def incremental_dedup_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the shape a production corpus actually
+    runs: a small INCOMING batch (here the doc_id % 5 == 0 slice,
+    standing in for today's crawl) checked against the large EXISTING
+    corpus, emitting each incoming doc's maximum Jaccard against the
+    existing side and a novelty verdict. Unlike the all-pairs dedup
+    queries, the candidate join is incoming × existing only — the
+    existing corpus never self-joins, so daily cost scales with the
+    batch, not the archive.
+
+    Shape: one shingle pipeline over all docs (the existing side's
+    shingles would be a precomputed index table in production — the
+    plan is identical), split row-locally by id hash; the inverted-
+    index equi-join on shingle hashes carries the small side's keys;
+    per-pair intersection counts aggregate before the jaccard math;
+    the max collapses to one row per incoming doc. The final LEFT
+    JOIN back to the incoming id list pins docs with zero candidates
+    as novel."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    sh = scoped_persist(
+        docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
+        .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS s")
+    )
+    ex = scoped_persist(sh.select("doc_id", F.explode("s").alias("g")))
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    incoming = ex.where(F.col("doc_id") % 5 == 0)
+    existing = ex.where(F.col("doc_id") % 5 != 0)
+    common = (
+        incoming.alias("i")
+        .join(existing.alias("o"), F.col("i.g") == F.col("o.g"))
+        .groupBy(
+            F.col("i.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    si = sizes.select(F.col("doc_id").alias("new_id"), F.col("sz").alias("sz_new"))
+    so = sizes.select(F.col("doc_id").alias("old_id"), F.col("sz").alias("sz_old"))
+    jac = F.col("c").cast("double") / (F.col("sz_new") + F.col("sz_old") - F.col("c"))
+    # no broadcast hint on the sizes: per-doc cardinality grows with
+    # the corpus; AQE broadcasts when (and only when) it actually fits
+    hits = (
+        common.join(si, "new_id")
+        .join(so, "old_id")
+        .groupBy("new_id")
+        .agg(F.round(F.max(jac), 4).alias("max_jaccard"))
+    )
+    inc_ids = docs.where(F.col("doc_id") % 5 == 0).select("doc_id").distinct()
+    mj = F.coalesce(F.col("max_jaccard"), F.lit(0.0))
+    return (
+        inc_ids.join(hits, inc_ids.doc_id == hits.new_id, "left")
+        .select(
+            "doc_id",
+            mj.alias("max_jaccard"),
+            (mj < 0.3).alias("is_novel"),
+        )
+        .orderBy("doc_id")
+    )

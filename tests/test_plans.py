@@ -87,6 +87,7 @@ def test_range_band_join_broadcasts_band_dim(spark):
         "simhash_near_dups",
         "embedding_topk_pairs",
         "source_overlap_matrix",
+        "incremental_dedup_novelty",
     ],
 )
 def test_pair_generation_never_plans_quadratic_join(spark, name):
