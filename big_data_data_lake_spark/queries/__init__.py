@@ -95,6 +95,8 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "events_grouping_sets",
     "freq_items_audit",
     "incremental_dedup_novelty",
+    "referential_integrity_audit",
+    "bigram_surprisal",
 )
 
 

@@ -711,3 +711,82 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s1", "s2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM surprisal — the conditional companion to unigram_surprisal
+# ---------------------------------------------------------------------------
+
+BIGRAM_SURPRISAL_ORACLE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1])) AS bigram
+       FROM tok WHERE len(t) >= 2),
+db AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS c
+       FROM bg GROUP BY 1, 2),
+bc AS (SELECT bigram, CAST(sum(c) AS BIGINT) AS n12 FROM db GROUP BY bigram),
+pc AS (SELECT split_part(bigram, ' ', 1) AS w1, CAST(sum(n12) AS BIGINT) AS n1
+       FROM bc GROUP BY 1)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       round(sum(c * round(-ln(CAST(n12 AS DOUBLE) / n1), 6)) / sum(c), 4)
+           AS avg_surprisal_nats
+FROM db
+JOIN bc USING (bigram)
+JOIN pc ON split_part(bigram, ' ', 1) = pc.w1
+GROUP BY doc_id
+"""
+
+
+@register("bigram_surprisal", BIGRAM_SURPRISAL_ORACLE)
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (bigram) LM surprisal: each document's mean
+    -ln P(w_i | w_{i-1}) under the corpus's own MLE bigram model —
+    the one-step-better perplexity proxy next to unigram_surprisal.
+    Template/boilerplate text scores near zero (its transitions are
+    corpus-frequent) even when its unigram mix looks normal, which is
+    exactly the boilerplate signature unigram scoring misses.
+
+    Every observed document bigram exists in the model by
+    construction, so MLE probabilities are never zero and no smoothing
+    constant has to be pinned across engines. The per-bigram surprisal
+    rounds to 6 decimals before count-weighting (the same ulp rule as
+    the idf/unigram queries).
+
+    Shape: one bigram explode (corpus-scale, row-local transform) →
+    (doc, bigram) counts; the model's numerator (bigram totals) and
+    denominator (prefix totals) are BOTH re-aggregates of those
+    counts — never a second corpus pass; scoring is two equi-joins on
+    bigram/prefix keys against vocabulary-sized sides."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = docs.selectExpr("doc_id", "split(text, ' ') AS t").where(
+        F.size("t") >= 2
+    )
+    bg = toks.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, size(t) - 1), "
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, CAST(i + 1 AS int))))) "
+        "AS bigram",
+    )
+    db = scoped_persist(
+        bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    bc = scoped_persist(
+        db.groupBy("bigram").agg(F.sum("c").cast("bigint").alias("n12"))
+    )
+    pc = bc.groupBy(F.substring_index("bigram", " ", 1).alias("w1")).agg(
+        F.sum("n12").cast("bigint").alias("n1")
+    )
+    surprisal = F.round(-F.log(F.col("n12").cast("double") / F.col("n1")), 6)
+    return (
+        db.join(bc, "bigram")
+        .join(pc, F.substring_index("bigram", " ", 1) == F.col("w1"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * surprisal) / F.sum("c"), 4).alias(
+                "avg_surprisal_nats"
+            ),
+        )
+    )

@@ -2235,3 +2235,71 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "event_type", "hr")
     )
+
+
+REFERENTIAL_INTEGRITY_ORACLE = """
+SELECT 'customer->nation' AS fk, CAST(count(*) AS BIGINT) AS n_orphans
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+WHERE n_nationkey IS NULL
+UNION ALL
+SELECT 'lineitem->orders', CAST(count(*) AS BIGINT)
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderkey IS NULL
+UNION ALL
+SELECT 'lineitem->part', CAST(count(*) AS BIGINT)
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+WHERE p_partkey IS NULL
+UNION ALL
+SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT)
+FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_suppkey IS NULL
+UNION ALL
+SELECT 'orders->customer', CAST(count(*) AS BIGINT)
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+WHERE c_custkey IS NULL
+ORDER BY fk
+"""
+
+
+@register("referential_integrity_audit", REFERENTIAL_INTEGRITY_ORACLE)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign-key
+    relationship in the lake, in one result — the write-expectation
+    check (sources/metadata.py's expectations) run retrospectively as
+    a query. A healthy lake reports zeros; any nonzero row names the
+    broken edge.
+
+    Each relationship is a LEFT ANTI join reduced to a count before
+    the union — the anti side carries only the join key (projection-
+    pruned scan), dims broadcast, and the one fact-fact edge
+    (lineitem->orders) is an equi-join AQE handles (bucketed tables
+    co-locate it at 100 TB, tests/test_bucketing.py). The 5-row union
+    is metadata-scale."""
+    def orphans(fact, key, dim, dkey, label, bcast):
+        d = dim.select(dkey)
+        if bcast:
+            d = F.broadcast(d)
+        return (
+            fact.select(key)
+            .join(d, F.col(key) == F.col(dkey), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    checks = [
+        orphans(c, "c_nationkey", _t(spark, sf_dir, "nation"), "n_nationkey",
+                "customer->nation", True),
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders", False),
+        orphans(li, "l_partkey", _t(spark, sf_dir, "part"), "p_partkey",
+                "lineitem->part", True),
+        orphans(li, "l_suppkey", _t(spark, sf_dir, "supplier"), "s_suppkey",
+                "lineitem->supplier", True),
+        orphans(o, "o_custkey", c, "c_custkey", "orders->customer", True),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionByName(chk)
+    return out.orderBy("fk")
