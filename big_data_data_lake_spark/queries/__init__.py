@@ -97,6 +97,8 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "incremental_dedup_novelty",
     "referential_integrity_audit",
     "bigram_surprisal",
+    "retention_cohorts",
+    "view_purchase_conversion",
 )
 
 

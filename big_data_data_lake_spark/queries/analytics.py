@@ -930,3 +930,143 @@ def freq_items_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts
+# ---------------------------------------------------------------------------
+
+RETENTION_COHORTS_ORACLE = """
+WITH act AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+    FROM events
+),
+coh AS (SELECT user_id, min(d) AS cohort_day FROM act GROUP BY user_id)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', cohort_day, d) AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act JOIN coh USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("retention_cohorts", RETENTION_COHORTS_ORACLE)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention triangle: users grouped by first-activity day
+    (cohort), counted on each subsequent day-offset they return — the
+    standard product-analytics matrix behind every retention curve.
+
+    Shape: raw events collapse row-count-wise FIRST (distinct
+    (user, day) — a partial-aggregated shuffle on the user key);
+    cohort assignment is a re-aggregate of that small activity set;
+    and the activity×cohort join re-uses the user-key partitioning
+    both sides already have, so no extra exchange. The final matrix
+    is |days|² rows — metadata-scale. Raw event volume only ever
+    passes through the first distinct; everything after operates on
+    (users × active days).
+
+    Timestamps leave as formatted strings per the registry
+    determinism rules."""
+    ev = _t(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    coh = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        act.join(coh, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion (view -> purchase within a horizon)
+# ---------------------------------------------------------------------------
+
+CONVERSION_HORIZON_S = 600
+
+VIEW_PURCHASE_CONVERSION_ORACLE = f"""
+WITH tagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'purchase' THEN ts END AS purchase_ts,
+           event_type
+    FROM events WHERE event_type IN ('view', 'purchase')
+),
+nxt AS (
+    SELECT user_id, ts, event_type,
+           min(purchase_ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+           ) AS next_purchase_ts
+    FROM tagged
+)
+SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_views,
+       CAST(count(*) FILTER (
+           WHERE next_purchase_ts <= ts + INTERVAL {CONVERSION_HORIZON_S} SECOND
+       ) AS BIGINT) AS n_converted,
+       round(CAST(count(*) FILTER (
+           WHERE next_purchase_ts <= ts + INTERVAL {CONVERSION_HORIZON_S} SECOND
+       ) AS DOUBLE) / count(*), 4) AS conversion_rate
+FROM nxt
+WHERE event_type = 'view'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("view_purchase_conversion", VIEW_PURCHASE_CONVERSION_ORACLE)
+def view_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel conversion: of each day's product views, how
+    many were followed by a purchase from the same user within 10
+    minutes. The event-sequence shape (A then B within t) that naive
+    implementations write as a per-user self-join — quadratic in a
+    power user's event count.
+
+    Here it is the merge formulation the as-of join uses: one window
+    over (user, time) where each view reads the MINIMUM later
+    purchase timestamp (running min from the right, rows-between
+    1-following/unbounded) — per-key cost linear in that user's
+    events, one shuffle on user_id total, no join at all. The
+    (ts, event_id) compound order makes the frame deterministic under
+    timestamp ties."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    from pyspark.sql import Window
+
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("purchase_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = tagged.withColumn("next_purchase_ts", F.min("purchase_ts").over(w))
+    converted = F.col("next_purchase_ts") <= F.col("ts") + F.expr(
+        f"INTERVAL {CONVERSION_HORIZON_S} SECONDS"
+    )
+    return (
+        nxt.where(F.col("event_type") == "view")
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_views"),
+            F.count_if(converted).cast("bigint").alias("n_converted"),
+            F.round(
+                F.count_if(converted).cast("double") / F.count(F.lit(1)), 4
+            ).alias("conversion_rate"),
+        )
+        .orderBy("day")
+    )
