@@ -99,6 +99,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "bigram_surprisal",
     "retention_cohorts",
     "view_purchase_conversion",
+    "incremental_dedup_novelty_capped",
 )
 
 

@@ -625,16 +625,29 @@ def budget_pack_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental dedup: incoming batch vs existing corpus
 # ---------------------------------------------------------------------------
 
-INCREMENTAL_NOVELTY_ORACLE = f"""
-WITH tok AS (SELECT doc_id, {{th}} AS th FROM documents),
-sh AS (SELECT doc_id, {{sg}} AS s FROM tok),
+def _incremental_novelty_oracle(max_df: int | None) -> str:
+    cap = (
+        f""",
+hot AS (SELECT g FROM old GROUP BY g HAVING count(*) > {max_df}),
+incx AS (SELECT * FROM inc WHERE g NOT IN (SELECT g FROM hot)),
+oldx AS (SELECT * FROM old WHERE g NOT IN (SELECT g FROM hot)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+          FROM (SELECT * FROM incx UNION ALL SELECT * FROM oldx) GROUP BY doc_id)"""
+        if max_df is not None
+        else """,
+incx AS (SELECT * FROM inc),
+oldx AS (SELECT * FROM old),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ex GROUP BY doc_id)"""
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM documents),
+sh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS s FROM tok),
 ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ex GROUP BY doc_id),
 inc AS (SELECT * FROM ex WHERE doc_id % 5 = 0),
-old AS (SELECT * FROM ex WHERE doc_id % 5 <> 0),
+old AS (SELECT * FROM ex WHERE doc_id % 5 <> 0){cap},
 common AS (
     SELECT i.doc_id AS new_id, o.doc_id AS old_id, CAST(count(*) AS BIGINT) AS c
-    FROM inc i JOIN old o ON i.g = o.g
+    FROM incx i JOIN oldx o ON i.g = o.g
     GROUP BY 1, 2
 ),
 hits AS (
@@ -651,39 +664,48 @@ SELECT d.doc_id,
 FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 5 = 0) d
 LEFT JOIN hits h ON d.doc_id = h.new_id
 ORDER BY d.doc_id
-""".format(
-    th=dd.TOKEN_HASHES_SQL.format(text="text"), sg=dd.shingle_hashes_sql(2)
-)
+"""
 
 
-@register("incremental_dedup_novelty", INCREMENTAL_NOVELTY_ORACLE)
-def incremental_dedup_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup — the shape a production corpus actually
-    runs: a small INCOMING batch (here the doc_id % 5 == 0 slice,
-    standing in for today's crawl) checked against the large EXISTING
-    corpus, emitting each incoming doc's maximum Jaccard against the
-    existing side and a novelty verdict. Unlike the all-pairs dedup
-    queries, the candidate join is incoming × existing only — the
-    existing corpus never self-joins, so daily cost scales with the
-    batch, not the archive.
+INCREMENTAL_CAPPED_MAX_DF = 40
 
-    Shape: one shingle pipeline over all docs (the existing side's
-    shingles would be a precomputed index table in production — the
-    plan is identical), split row-locally by id hash; the inverted-
-    index equi-join on shingle hashes carries the small side's keys;
-    per-pair intersection counts aggregate before the jaccard math;
-    the max collapses to one row per incoming doc. The final LEFT
-    JOIN back to the incoming id list pins docs with zero candidates
-    as novel."""
+
+def _incremental_novelty(
+    spark: SparkSession, sf_dir: str, max_df: int | None
+) -> DataFrame:
+    """Shared core of the exact and df-capped incremental novelty
+    queries (see the registered wrappers for semantics)."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     sh = scoped_persist(
         docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
         .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS s")
     )
     ex = scoped_persist(sh.select("doc_id", F.explode("s").alias("g")))
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
     incoming = ex.where(F.col("doc_id") % 5 == 0)
     existing = ex.where(F.col("doc_id") % 5 != 0)
+    if max_df is not None:
+        # hot set measured on the EXISTING side (the side whose df is
+        # unbounded in production); tiny by construction -> broadcast
+        # anti-join strips it from both sides, and sizes recompute on
+        # the stripped index so the capped jaccard stays internally
+        # consistent (same recipe as ngram_jaccard_pairs_capped)
+        hot = (
+            existing.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("g")
+        )
+        incoming = incoming.join(F.broadcast(hot), "g", "left_anti")
+        existing = scoped_persist(existing.join(F.broadcast(hot), "g", "left_anti"))
+        sizes = (
+            incoming.unionByName(existing)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+        )
+    else:
+        sizes = ex.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("sz")
+        )
     common = (
         incoming.alias("i")
         .join(existing.alias("o"), F.col("i.g") == F.col("o.g"))
@@ -714,3 +736,45 @@ def incremental_dedup_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register("incremental_dedup_novelty", _incremental_novelty_oracle(None))
+def incremental_dedup_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the shape a production corpus actually
+    runs: a small INCOMING batch (here the doc_id % 5 == 0 slice,
+    standing in for today's crawl) checked against the large EXISTING
+    corpus, emitting each incoming doc's maximum Jaccard against the
+    existing side and a novelty verdict. Unlike the all-pairs dedup
+    queries, the candidate join is incoming × existing only — the
+    existing corpus never self-joins, so daily cost scales with the
+    batch, not the archive.
+
+    Shape: one shingle pipeline over all docs (the existing side's
+    shingles would be a precomputed index table in production — the
+    plan is identical), split row-locally by id hash; the inverted-
+    index equi-join on shingle hashes carries the small side's keys;
+    per-pair intersection counts aggregate before the jaccard math;
+    the max collapses to one row per incoming doc. The final LEFT
+    JOIN back to the incoming id list pins docs with zero candidates
+    as novel. This exact variant is the oracle twin; the capped
+    variant below is the production path whose per-key fan-out is
+    bounded."""
+    return _incremental_novelty(spark, sf_dir, None)
+
+
+@register(
+    "incremental_dedup_novelty_capped",
+    _incremental_novelty_oracle(INCREMENTAL_CAPPED_MAX_DF),
+)
+def incremental_dedup_novelty_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of incremental_dedup_novelty with the hot-
+    shingle df cap: shingles appearing in more than max_df EXISTING
+    docs (stop-phrases, boilerplate) are stripped by a broadcast
+    anti-join before the candidate join, bounding every join key's
+    fan-out at max_df x batch-occurrences — without the cap a single
+    ubiquitous shingle joins the whole archive against the whole
+    batch. Set sizes recompute on the stripped index so the reported
+    jaccard stays internally consistent; like the capped pair query,
+    this trades recall on boilerplate-only overlap (which dedup does
+    not want anyway) for a hard fan-out bound."""
+    return _incremental_novelty(spark, sf_dir, INCREMENTAL_CAPPED_MAX_DF)

@@ -426,3 +426,23 @@ def test_unigram_surprisal_reuses_doc_term_counts(spark):
     plan = plans.formatted_plan(df)
     assert plan.count("Generate explode") <= 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_retention_cohorts_collapses_before_join(spark):
+    """Retention: the cohort join must run on the distinct (user, day)
+    activity set, re-using its user-key partitioning — no sort-merge
+    join, no extra exchange beyond the distinct + final ordering."""
+    df = _q(spark, "retention_cohorts")
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plans.shuffle_count(df) <= 4, plan
+
+
+def test_view_purchase_conversion_has_no_join(spark):
+    """Funnel conversion: the A-then-B-within-t semantics must be the
+    windowed merge formulation — no join operator at all, one user-key
+    shuffle plus the final day ordering."""
+    df = _q(spark, "view_purchase_conversion")
+    plan = plans.formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert plans.shuffle_count(df) <= 3, plan
