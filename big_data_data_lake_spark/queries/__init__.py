@@ -100,6 +100,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "retention_cohorts",
     "view_purchase_conversion",
     "incremental_dedup_novelty_capped",
+    "rolling_distinct_users_audit",
 )
 
 

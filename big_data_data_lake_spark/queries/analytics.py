@@ -1070,3 +1070,83 @@ def view_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct users via mergeable HLL sketches (audited)
+# ---------------------------------------------------------------------------
+
+ROLLING_WINDOW_DAYS = 7
+HLL_REL_ERROR_MAX = 0.05
+
+ROLLING_DISTINCT_AUDIT_ORACLE = f"""
+WITH act AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM act),
+win AS (
+    SELECT w.d AS win_end, CAST(count(DISTINCT a.user_id) AS BIGINT) AS exact_users
+    FROM days w
+    JOIN act a ON a.d > w.d - INTERVAL {ROLLING_WINDOW_DAYS} DAY AND a.d <= w.d
+    GROUP BY w.d
+)
+SELECT strftime(win_end, '%Y-%m-%d') AS win_end, exact_users,
+       TRUE AS sketch_within_tolerance
+FROM win
+ORDER BY win_end
+"""
+
+
+@register("rolling_distinct_users_audit", ROLLING_DISTINCT_AUDIT_ORACLE)
+def rolling_distinct_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users, computed BOTH ways: exactly, and
+    by unioning per-day HyperLogLog sketches (``hll_sketch_agg`` /
+    ``hll_union_agg``) — the mergeable-sketch pattern that makes
+    range-distinct queries tractable at 100 TB, where you precompute
+    one small sketch per (day) partition and answer ANY date range by
+    unioning sketches instead of re-scanning raw events. The audit
+    column asserts the estimate lands within {HLL_REL_ERROR_MAX:.0%}
+    of exact (HLL at default lgConfigK=12 is ~1.6% rse), value-checked
+    by the oracle as a literal — the same pattern as the
+    approx_distinct/quantile/minhash/freq-items audits.
+
+    Scale shape: raw events collapse once to per-day sketches (tiny:
+    one ~4 KB binary per day) and once to distinct (user, day) for the
+    exact side; the 7-day windows assemble from a days×days range join
+    that is |days|²-bounded — metadata-scale — so raw volume is
+    touched exactly twice regardless of window count. In production
+    only the sketch side runs; the exact side here is the harness."""
+    ev = _t(spark, sf_dir, "events")
+    act = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+    ).distinct()
+    sketches = act.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    days = sketches.select(F.col("d").alias("win_end"))
+    horizon = F.date_sub(F.col("win_end"), ROLLING_WINDOW_DAYS - 1)
+    in_window = (F.col("d") >= horizon) & (F.col("d") <= F.col("win_end"))
+    # days is ALWAYS the broadcast side: sketches are days-sized, but
+    # the exact side's (user, day) set grows with the user base — the
+    # range join must replicate the |days| rows, never the activity
+    est = (
+        sketches.join(F.broadcast(days), in_window)
+        .groupBy("win_end")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"))
+    )
+    exact = (
+        act.join(F.broadcast(days), in_window)
+        .groupBy("win_end")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    tol = (
+        F.abs(F.col("est_users") - F.col("exact_users"))
+        <= F.col("exact_users") * HLL_REL_ERROR_MAX
+    )
+    return (
+        exact.join(est, "win_end")
+        .select(
+            F.date_format("win_end", "yyyy-MM-dd").alias("win_end"),
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+            tol.alias("sketch_within_tolerance"),
+        )
+        .orderBy("win_end")
+    )
