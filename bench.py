@@ -93,6 +93,14 @@ HEADLINE = [
     "tokenizer_fertility",
     "source_overlap_matrix",
     "props_json_stats",
+    "events_grouping_sets",
+    "freq_items_audit",
+    "referential_integrity_audit",
+    "incremental_dedup_novelty_capped",
+    "bigram_surprisal",
+    "retention_cohorts",
+    "view_purchase_conversion",
+    "rolling_distinct_users_audit",
 ]
 
 
