@@ -101,6 +101,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "view_purchase_conversion",
     "incremental_dedup_novelty_capped",
     "rolling_distinct_users_audit",
+    "join_key_skew_profile",
 )
 
 

@@ -2303,3 +2303,73 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for chk in checks[1:]:
         out = out.unionByName(chk)
     return out.orderBy("fk")
+
+
+JOIN_KEY_SKEW_ORACLE = """
+WITH k AS (
+    SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS c
+    FROM lineitem GROUP BY l_orderkey
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_rows,
+           round(avg(c), 4) AS avg_rows
+    FROM k
+),
+top AS (
+    SELECT CAST(sum(c) AS BIGINT) AS top10_rows
+    FROM (SELECT c FROM k ORDER BY c DESC, key LIMIT 10)
+)
+SELECT n_keys, n_rows, max_rows, avg_rows,
+       round(CAST(max_rows AS DOUBLE) / avg_rows, 4) AS skew_factor,
+       round(CAST(top10_rows AS DOUBLE) / n_rows, 6) AS top10_share
+FROM s, top
+"""
+
+
+@register("join_key_skew_profile", JOIN_KEY_SKEW_ORACLE)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: the distribution profile of the
+    lineitem→orders join key — max/avg rows per key (the skew factor
+    that predicts straggler tasks) and the row share of the 10
+    heaviest keys. This is the query an operator runs BEFORE choosing
+    between a plain shuffle join, AQE skew splitting, or the salted
+    twin (`operators/skew.py`): a skew factor near 1 means shuffle
+    joins balance; a heavy top-10 share names the keys to salt.
+
+    Shape: one partial-aggregated count per key, then two
+    metadata-scale reductions of that result (a 1-row stats aggregate
+    and a TakeOrdered top-10) joined back as 1-row broadcasts — raw
+    rows are touched once."""
+    k = scoped_persist(
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    s = k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_rows"),
+        F.round(F.avg("c"), 4).alias("avg_rows"),
+    )
+    top = (
+        k.orderBy(F.col("c").desc(), "key")
+        .limit(10)
+        .agg(F.sum("c").cast("bigint").alias("top10_rows"))
+    )
+    return (
+        s.crossJoin(F.broadcast(top))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_rows",
+            "avg_rows",
+            F.round(F.col("max_rows").cast("double") / F.col("avg_rows"), 4).alias(
+                "skew_factor"
+            ),
+            F.round(F.col("top10_rows").cast("double") / F.col("n_rows"), 6).alias(
+                "top10_share"
+            ),
+        )
+    )
