@@ -102,6 +102,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "incremental_dedup_novelty_capped",
     "rolling_distinct_users_audit",
     "join_key_skew_profile",
+    "int8_quant_audit",
 )
 
 

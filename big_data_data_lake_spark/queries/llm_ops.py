@@ -1057,3 +1057,91 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Int8 embedding quantization audit
+# --------------------------------------------------------------------------
+
+QUANT_COS_ERR_MAX = 0.01
+
+_QCOS = (
+    sim.DOT_SQL.format(a="v", b="dq")
+    + " / (" + sim.NORM_SQL.format(a="v") + " * " + sim.NORM_SQL.format(a="dq") + ")"
+)
+
+INT8_QUANT_AUDIT_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id, label, v,
+           greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127 AS sc,
+           list_transform(v, x ->
+               greatest(-127.0, least(127.0,
+                   floor(x / (greatest(list_max(list_transform(v, y -> abs(y))), 1e-12) / 127) + 0.5)))
+               * (greatest(list_max(list_transform(v, y -> abs(y))), 1e-12) / 127)) AS dq
+    FROM e
+),
+err AS (SELECT label, 1.0 - ({_QCOS}) AS ce FROM q)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(ce), 6) AS avg_cos_err,
+       round(max(ce), 6) AS max_cos_err,
+       max(ce) < {QUANT_COS_ERR_MAX} AS all_within_tolerance
+FROM err GROUP BY label ORDER BY label
+"""
+
+
+@register("int8_quant_audit", INT8_QUANT_AUDIT_ORACLE)
+def int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization audit: symmetric per-vector int8
+    compression (scale = max|x|/127, 4x smaller than float32) scored
+    by the cosine error it introduces, per label — the go/no-go check
+    before a pipeline stores quantized vectors for its ANN index.
+    Embedding storage dominates multimodal lake footprints; this is
+    the query that justifies (or vetoes) the 4x cut.
+
+    Determinism: rounding is pinned as ``floor(x/scale + 0.5)`` on
+    BOTH engines (identical IEEE ops; half-up vs banker's conventions
+    never enter), the fold-based dot/norm sums run in array order on
+    both sides, and the verdict column compares against a literal
+    threshold far from the observed error scale.
+
+    Shape: everything before the (label) aggregation is row-local
+    array math — no explode, no join, one partial-aggregated shuffle
+    on the label domain."""
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", sim.to_double("embedding").alias("v")
+    )
+    scale = (
+        F.greatest(
+            F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(1e-12)
+        )
+        / 127
+    )
+    q = emb.withColumn("sc", scale).withColumn(
+        "dq",
+        F.transform(
+            "v",
+            lambda x: F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.floor(x / F.col("sc") + 0.5)),
+            )
+            * F.col("sc"),
+        ),
+    )
+    ce = 1.0 - sim.cosine(F.col("v"), F.col("dq"))
+    return (
+        q.select("label", ce.alias("ce"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("ce"), 6).alias("avg_cos_err"),
+            F.round(F.max("ce"), 6).alias("max_cos_err"),
+            (F.max("ce") < QUANT_COS_ERR_MAX).alias("all_within_tolerance"),
+        )
+        .orderBy("label")
+    )
