@@ -103,6 +103,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "rolling_distinct_users_audit",
     "join_key_skew_profile",
     "int8_quant_audit",
+    "user_value_ewma",
 )
 
 

@@ -1150,3 +1150,59 @@ def rolling_distinct_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_end")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user EWMA (ordered aggregation fold)
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.3
+
+USER_VALUE_EWMA_ORACLE = f"""
+WITH s AS (
+    SELECT user_id,
+           list(value ORDER BY ts, event_id) AS vs
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vs) AS BIGINT) AS n_events,
+       round(list_reduce(vs, (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc), 4)
+           AS ewma_value,
+       round(vs[-1], 4) AS last_value
+FROM s
+ORDER BY user_id
+"""
+
+
+@register("user_value_ewma", USER_VALUE_EWMA_ORACLE)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values —
+    the streaming-style smoother (alpha=0.3) batch pipelines recompute
+    for drift/anomaly baselines. EWMA is inherently sequential, which
+    tempts a driver loop; here it is an ordered-aggregation FOLD: each
+    user's values collect into one time-ordered array (deterministic
+    (ts, event_id) order) and ``aggregate`` folds the recurrence
+    row-locally. Both engines fold left-to-right over identical
+    arrays, so the result hash-matches exactly.
+
+    Shape: one shuffle (the user-key collect), then row-local math.
+    The fold assumes a user's history fits one row (~KBs for years of
+    events); unbounded keys would chunk by time windows first."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda r: r["value"],
+        ).alias("vs")
+    )
+    fold = F.aggregate(
+        F.slice("vs", 2, F.size("vs") - 1),
+        F.element_at("vs", 1),
+        lambda acc, x: EWMA_ALPHA * x + (1 - EWMA_ALPHA) * acc,
+    )
+    return s.select(
+        "user_id",
+        F.size("vs").cast("bigint").alias("n_events"),
+        F.round(fold, 4).alias("ewma_value"),
+        F.round(F.element_at("vs", -1), 4).alias("last_value"),
+    ).orderBy("user_id")
