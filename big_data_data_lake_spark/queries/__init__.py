@@ -104,6 +104,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "join_key_skew_profile",
     "int8_quant_audit",
     "user_value_ewma",
+    "value_trend_by_type",
 )
 
 

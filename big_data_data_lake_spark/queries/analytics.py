@@ -1206,3 +1206,49 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fold, 4).alias("ewma_value"),
         F.round(F.element_at("vs", -1), 4).alias("last_value"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Regression aggregates (trend per event type)
+# ---------------------------------------------------------------------------
+
+VALUE_TREND_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(value, (epoch(ts) - 1704067200) / 3600.0), 6) AS slope_per_hour,
+       round(regr_intercept(value, (epoch(ts) - 1704067200) / 3600.0), 4) AS value_at_t0,
+       round(corr(value, (epoch(ts) - 1704067200) / 3600.0), 6) AS r
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("value_trend_by_type", VALUE_TREND_ORACLE)
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear trend per event type: OLS slope/intercept of value over
+    time (hours) plus the correlation coefficient, via the SQL-
+    standard regression aggregates (``regr_slope`` & co.) — drift
+    detection as one aggregation pass instead of a model-fitting job.
+
+    The regression aggregates are algebraic (sums of x, y, xy, x²):
+    they partial-aggregate map-side and merge exactly like sum/count,
+    so the query is one shuffle on the small event_type domain at any
+    scale. Both engines compute time as epoch-seconds/3600 doubles;
+    results round (6/4/6) to absorb reduction-order ulps."""
+    ev = _t(spark, sf_dir, "events")
+    # hours since 2024-01-01, not since 1970: the intercept is an
+    # extrapolation to x=0, so an uncentered epoch multiplies slope
+    # ulps by ~473k hours and the last rounded digit diverges between
+    # engines — centering makes the intercept local and ulp-stable
+    x = (F.unix_timestamp("ts").cast("double") - 1704067200) / 3600.0
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_hour"),
+            F.round(F.regr_intercept(F.col("value"), x), 4).alias("value_at_t0"),
+            F.round(F.corr(F.col("value"), x), 6).alias("r"),
+        )
+        .orderBy("event_type")
+    )
