@@ -446,3 +446,41 @@ def test_view_purchase_conversion_has_no_join(spark):
     plan = plans.formatted_plan(df)
     assert "Join" not in plan, plan
     assert plans.shuffle_count(df) <= 3, plan
+
+
+def test_user_value_ewma_single_shuffle_fold(spark):
+    """EWMA: the sequential recurrence must be a row-local fold over
+    one user-key collect — no window, no join, one aggregation
+    exchange plus the presentation sort."""
+    df = _q(spark, "user_value_ewma")
+    plan = plans.formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert plans.shuffle_count(df) <= 2, plan
+
+
+def test_int8_quant_audit_no_explode_no_join(spark):
+    """Quantization audit: all vector math row-local — no Generate, no
+    join; one label-domain aggregation (plus the test-SF _spread)."""
+    df = _q(spark, "int8_quant_audit")
+    plan = plans.formatted_plan(df)
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_join_key_skew_profile_reduces_once(spark):
+    """Skew profiler: per-key counts aggregate once (pinned cache read
+    by both reductions); the stats and top-10 sides are 1-row
+    broadcasts — no sort-merge join anywhere."""
+    df = _q(spark, "join_key_skew_profile")
+    plan = plans.formatted_plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert plans.sort_merge_join_count(df) == 0, plan
+
+
+def test_value_trend_is_one_hash_aggregate(spark):
+    """Regression aggregates are algebraic: one partial+final hash
+    aggregate pair, no window, no join."""
+    df = _q(spark, "value_trend_by_type")
+    plan = plans.formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert plans.shuffle_count(df) <= 2, plan
