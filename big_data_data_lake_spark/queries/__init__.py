@@ -105,6 +105,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "int8_quant_audit",
     "user_value_ewma",
     "value_trend_by_type",
+    "lsh_pr_audit",
 )
 
 

@@ -803,3 +803,69 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH retrieval quality audit (precision/recall vs exact pairs)
+# ---------------------------------------------------------------------------
+
+LSH_PR_THRESHOLD = 0.5
+
+from .llm_ops import MINHASH_LSH_ORACLE  # noqa: E402
+
+LSH_PR_AUDIT_ORACLE = f"""
+WITH lsh AS ({MINHASH_LSH_ORACLE.strip()}),
+ex_all AS ({_ngram_jaccard_oracle(None).strip()}),
+truth AS (SELECT d1, d2 FROM ex_all WHERE jaccard >= {LSH_PR_THRESHOLD}),
+tp AS (
+    SELECT CAST(count(*) AS BIGINT) AS c
+    FROM lsh JOIN truth ON lsh.d1 = truth.d1 AND lsh.d2 = truth.d2
+),
+n AS (
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_detected
+)
+SELECT n_truth, n_detected, tp.c AS true_positives,
+       round(CAST(tp.c AS DOUBLE) / n_detected, 4) AS precision,
+       round(CAST(tp.c AS DOUBLE) / n_truth, 4) AS recall
+FROM n, tp
+"""
+
+
+@register("lsh_pr_audit", LSH_PR_AUDIT_ORACLE)
+def lsh_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality audit for the MinHash-LSH dedup path:
+    precision and recall of the banded candidate pairs (estimated
+    similarity >= 0.5) against the EXACT inverted-index pairs at the
+    same Jaccard threshold — the number a pipeline owner actually
+    wants before trusting the sketch path at a scale where the exact
+    twin is unaffordable. Complements minhash_accuracy_audit (which
+    bounds the similarity ESTIMATE error; this bounds the retrieval
+    SET error).
+
+    Both sides reuse the registered queries' own plans (the same
+    composition trick as semantic_dedup_crosscheck), so the audit
+    tests the production code paths, not reimplementations; the
+    set-level join and counts are pair-bounded — metadata-scale."""
+    from .llm_ops import minhash_lsh_pairs
+
+    lsh = minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    truth = (
+        _ngram_jaccard_pairs(spark, sf_dir, None)
+        .where(F.col("jaccard") >= LSH_PR_THRESHOLD)
+        .select("d1", "d2")
+    )
+    tp = lsh.join(truth, ["d1", "d2"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = (
+        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_detected")))
+    )
+    return n.crossJoin(F.broadcast(tp)).select(
+        "n_truth",
+        "n_detected",
+        F.col("c").alias("true_positives"),
+        F.round(F.col("c").cast("double") / F.col("n_detected"), 4).alias("precision"),
+        F.round(F.col("c").cast("double") / F.col("n_truth"), 4).alias("recall"),
+    )
