@@ -452,3 +452,69 @@ def lake_upsert_sink(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def lake_aggregate_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    count_col: str = "n",
+    trigger_seconds: int = FLUSH_TRIGGER_S,
+    available_now: bool = False,
+):
+    """Incrementally maintained aggregate (a streaming materialized
+    view): each micro-batch's per-key counts ADD into a versioned
+    LakeTable instead of replacing rows — the counts twin of
+    ``lake_upsert_sink``'s latest-wins merge, and the streaming
+    equivalent of re-running a batch groupBy over all history without
+    ever re-reading history.
+
+    Per micro-batch:
+      1. the batch reduces to per-key delta counts (micro-batch-sized);
+      2. the stored counts for ONLY the touched keys come back via a
+         batch-keyed join against the stat-pruned snapshot;
+      3. stored + delta sum per key and copy-on-write MERGE in place
+         (untouched files carry over by reference).
+
+    Exactly-once: checkpointed source offsets plus the recorded
+    ``batch_id`` high-water mark — a replayed batch is skipped before
+    any arithmetic, so counts can never double-apply (the failure
+    mode that makes naive foreachBatch aggregation wrong)."""
+    from ..sources.metadata import LakeTable
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = batch_df.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).cast("bigint").alias(count_col)
+        )
+        if not delta.take(1):  # empty batch: nothing to add
+            return
+        table = LakeTable(spark, table_path)
+        if not table.versions():
+            table.create(delta, extra={"batch_id": batch_id})
+            return
+        if batch_id <= table.manifest().get("batch_id", -1):
+            return  # replay after restart: already committed
+        k0 = key_cols[0]
+        bounds = delta.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).collect()[0]
+        current = table.read(stat_filter={k0: (bounds["lo"], bounds["hi"])}).join(
+            F.broadcast(delta.select(*key_cols)), key_cols, "semi"
+        )
+        merged = (
+            current.unionByName(delta)
+            .groupBy(*key_cols)
+            .agg(F.sum(count_col).cast("bigint").alias(count_col))
+        )
+        table.upsert(merged, key_cols, extra={"batch_id": batch_id})
+
+    writer = (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -510,3 +510,55 @@ def test_lake_upsert_sink_latest_wins_and_replay_safe(spark, tmpdir):
     assert table.latest_version() == v_before
     got = sorted((r.k, r.ts, r.v) for r in table.read().collect())
     assert got == [("a", 200, "a2"), ("b", 100, "b0")]
+
+
+def test_lake_aggregate_sink_accumulates_and_replay_safe(spark, tmpdir):
+    """Streaming materialized view: per-key counts ADD across batches
+    (never replace), and a replayed / restarted stream does not
+    double-count any batch."""
+    import os
+
+    from big_data_data_lake_spark.sources.metadata import LakeTable
+    from big_data_data_lake_spark.streaming.ingest import lake_aggregate_sink
+
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    with open(f"{src}/b0.jsonl", "w") as fh:
+        fh.write(json.dumps({"k": "a"}) + "\n")
+        fh.write(json.dumps({"k": "a"}) + "\n")
+        fh.write(json.dumps({"k": "b"}) + "\n")
+
+    schema = "k string"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(src)
+        q = lake_aggregate_sink(
+            stream,
+            f"{tmpdir}/table",
+            f"{tmpdir}/ckpt",
+            key_cols=["k"],
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    table = LakeTable(spark, f"{tmpdir}/table")
+    got = sorted((r.k, r.n) for r in table.read().collect())
+    assert got == [("a", 2), ("b", 1)]
+
+    # second batch: existing key accumulates, new key appears
+    with open(f"{src}/b1.jsonl", "w") as fh:
+        fh.write(json.dumps({"k": "a"}) + "\n")
+        fh.write(json.dumps({"k": "c"}) + "\n")
+    run_once()
+    got = sorted((r.k, r.n) for r in table.read().collect())
+    assert got == [("a", 3), ("b", 1), ("c", 1)]
+
+    # restart with the same checkpoint and NO new data: no new version,
+    # counts unchanged (no double-apply)
+    v_before = table.latest_version()
+    run_once()
+    table = LakeTable(spark, f"{tmpdir}/table")
+    assert table.latest_version() == v_before
+    got = sorted((r.k, r.n) for r in table.read().collect())
+    assert got == [("a", 3), ("b", 1), ("c", 1)]
