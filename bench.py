@@ -101,6 +101,11 @@ HEADLINE = [
     "retention_cohorts",
     "view_purchase_conversion",
     "rolling_distinct_users_audit",
+    "join_key_skew_profile",
+    "int8_quant_audit",
+    "user_value_ewma",
+    "value_trend_by_type",
+    "lsh_pr_audit",
 ]
 
 
