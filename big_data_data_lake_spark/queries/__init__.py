@@ -49,63 +49,18 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # prefix-biased sampler attests them; all pass the local DuckDB mirror
 # (tests/test_oracle_parity.py) regardless.
 SAMPLE_FIRST: tuple[str, ...] = (
-    # never sampled in r01/r02
-    "event_gaps",
-    "file_ts_parse",
-    "lineitem_rollup",
-    "local_supplier_volume",
-    "orders_cube",
-    "returned_item_report",
-    "shipping_priority",
-    "users_except",
-    "users_intersect",
-    "value_deciles",
-    # new in round 3 (no driver row yet)
-    "kmeans_lloyd_phases",
-    "repetition_quality_flags",
-    "vocab_coverage",
-    "weighted_sample_es",
-    "embedding_label_audit",
-    "late_order_priority_counts",
-    "customer_order_distribution",
-    "disjunctive_revenue",
-    "idle_rich_customers",
-    "nation_trade_flows",
-    "market_share_by_year",
-    "nation_product_profit",
-    "priority_line_counts",
-    "promo_revenue_share",
-    "top_revenue_supplier",
-    "supplier_part_variety",
-    "small_qty_avg_revenue",
-    "waiting_supplier_ranking",
-    "source_mixing_weights",
-    "prefix_dup_fraction",
-    "budget_pack_selection",
-    "value_distribution_ranks",
-    "token_pagerank",
-    "pricing_measures_melt",
-    "discount_revenue_forecast",
-    "concentrated_part_value",
-    "dominant_part_suppliers",
-    "unigram_surprisal",
-    "tokenizer_fertility",
-    "source_overlap_matrix",
-    "props_json_stats",
-    "events_grouping_sets",
-    "freq_items_audit",
-    "incremental_dedup_novelty",
-    "referential_integrity_audit",
-    "bigram_surprisal",
-    "retention_cohorts",
-    "view_purchase_conversion",
-    "incremental_dedup_novelty_capped",
-    "rolling_distinct_users_audit",
-    "join_key_skew_profile",
+    # the only 8 registry entries without a driver CORRECTNESS row after
+    # rounds 1-3 (122/130 attested; zero failures ever) — pruned per the
+    # round-3 verdict so they enumerate at positions 1-8
+    "cheapest_supplier_per_part",
+    "exact_substring_decontamination",
     "int8_quant_audit",
+    "join_key_skew_profile",
+    "large_volume_orders",
+    "lsh_pr_audit",
     "user_value_ewma",
     "value_trend_by_type",
-    "lsh_pr_audit",
+    # new in round 4 (no driver row yet)
 )
 
 

@@ -833,13 +833,16 @@ def value_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # JSON property extraction
 # ---------------------------------------------------------------------------
 
+# TRY_CAST (not CAST) mirrors Spark's null-on-failure cast('int'): a
+# malformed / non-numeric props.k must yield NULL in both engines, not
+# raise only in the oracle.
 PROPS_JSON_STATS_ORACLE = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INT) AS min_k,
-       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INT) AS max_k,
-       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
-       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+       CAST(min(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INT) AS min_k,
+       CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INT) AS max_k,
+       round(avg(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       CAST(count(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
            AS distinct_k
 FROM events
 GROUP BY event_type
@@ -1234,14 +1237,19 @@ def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     The regression aggregates are algebraic (sums of x, y, xy, x²):
     they partial-aggregate map-side and merge exactly like sum/count,
     so the query is one shuffle on the small event_type domain at any
-    scale. Both engines compute time as epoch-seconds/3600 doubles;
-    results round (6/4/6) to absorb reduction-order ulps."""
+    scale. Both engines compute x from the full microsecond-precision
+    epoch (``unix_micros``/1e6 here, ``epoch(ts)`` in DuckDB), so the
+    inputs are bit-identical; results round (6/4/6) only to absorb
+    reduction-order ulps."""
     ev = _t(spark, sf_dir, "events")
     # hours since 2024-01-01, not since 1970: the intercept is an
     # extrapolation to x=0, so an uncentered epoch multiplies slope
     # ulps by ~473k hours and the last rounded digit diverges between
-    # engines — centering makes the intercept local and ulp-stable
-    x = (F.unix_timestamp("ts").cast("double") - 1704067200) / 3600.0
+    # engines — centering makes the intercept local and ulp-stable.
+    # unix_micros (not unix_timestamp, which truncates to whole
+    # seconds) so Spark sees the same fractional seconds as the
+    # oracle's epoch(ts).
+    x = (F.unix_micros("ts") / F.lit(1e6) - 1704067200) / 3600.0
     return (
         ev.groupBy("event_type")
         .agg(

@@ -665,13 +665,27 @@ class LakeTable:
         by reference, which is what keeps a point-update cheap on a
         100 TB table. Exactness comes from the anti-join; the stats
         pruning is a strict superset of the files that contain
-        matches."""
+        matches.
+
+        NULL keys are matched null-safely (``<=>``): parquet footer
+        min/max excludes nulls, so when the incoming batch carries a
+        NULL key the zone-map cannot prove any file null-free and
+        pruning is disabled for that commit — correctness over
+        pruning; a plain equi anti-join would leave the stored
+        NULL-key row in place and duplicate it on every upsert."""
         prev = self.manifest()
         k0 = keys[0]
-        bounds = df.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).collect()[0]
+        bounds = df.agg(
+            F.min(k0).alias("lo"),
+            F.max(k0).alias("hi"),
+            F.max(F.col(k0).isNull()).alias("has_null"),
+        ).collect()[0]
         lo, hi = bounds["lo"], bounds["hi"]
+        null_key_present = bool(bounds["has_null"])
 
         def may_contain(f: dict) -> bool:
+            if null_key_present:
+                return True  # footer stats exclude nulls: cannot prune
             st = f.get("stats", {}).get(k0)
             if st is None or lo is None:
                 return True  # no stats -> must assume a match
@@ -688,7 +702,9 @@ class LakeTable:
             # may pre-date added columns (a plain parquet read of them
             # would fail the declared-schema select)
             old = self._read_files(schema, touched)
-            base = old.join(df.select(*keys), on=keys, how="left_anti")
+            incoming = df.select(*keys)
+            cond = [old[k].eqNullSafe(incoming[k]) for k in keys]
+            base = old.join(incoming, on=cond, how="left_anti")
         else:
             base = self.spark.createDataFrame([], schema)
         # columns df lacks null-fill from the declared schema; new df

@@ -497,9 +497,25 @@ def lake_aggregate_sink(
         if batch_id <= table.manifest().get("batch_id", -1):
             return  # replay after restart: already committed
         k0 = key_cols[0]
-        bounds = delta.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).collect()[0]
-        current = table.read(stat_filter={k0: (bounds["lo"], bounds["hi"])}).join(
-            F.broadcast(delta.select(*key_cols)), key_cols, "semi"
+        bounds = delta.agg(
+            F.min(k0).alias("lo"),
+            F.max(k0).alias("hi"),
+            F.max(F.col(k0).isNull()).alias("has_null"),
+        ).collect()[0]
+        # NULL keys: footer min/max excludes nulls, so zone-map pruning
+        # can't prove a file free of stored NULL-key rows — read the
+        # full snapshot for that batch; and the semi join must be
+        # null-safe (<=>) or the stored NULL-key count never matches
+        # and the key re-inserts fresh every batch (silent divergence).
+        stat_filter = (
+            None if bounds["has_null"] else {k0: (bounds["lo"], bounds["hi"])}
+        )
+        stored = table.read(stat_filter=stat_filter)
+        batch_keys = F.broadcast(delta.select(*key_cols))
+        current = stored.join(
+            batch_keys,
+            on=[stored[k].eqNullSafe(batch_keys[k]) for k in key_cols],
+            how="semi",
         )
         merged = (
             current.unionByName(delta)

@@ -145,6 +145,28 @@ def test_upsert_rewrites_only_matching_files(spark, tmp_path):
     assert old[105] == "v105" and 200 not in old
 
 
+def test_upsert_null_keys_replace_not_duplicate(spark, tmp_path):
+    """A NULL key must REPLACE the stored NULL-key row, not append a
+    duplicate: the anti-join is null-safe (<=>) and zone-map pruning
+    is disabled when the incoming batch carries a NULL key (footer
+    min/max excludes nulls, so no file can be proven null-free)."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a"), (None, "old_null")], "id long, val string"
+        ).coalesce(1)
+    )
+    t.upsert(
+        spark.createDataFrame([(None, "new_null"), (2, "b")], "id long, val string"),
+        keys=["id"],
+    )
+    got = sorted(
+        ((r.id, r.val) for r in t.read().collect()),
+        key=lambda p: (p[0] is None, p[0] or 0),
+    )
+    assert got == [(1, "a"), (2, "b"), (None, "new_null")]
+
+
 def test_append_with_schema_evolution(spark, tmp_path):
     t = LakeTable(spark, str(tmp_path / "t"))
     t.create(spark.createDataFrame([(1, "a")], "id long, k string"))

@@ -562,3 +562,44 @@ def test_lake_aggregate_sink_accumulates_and_replay_safe(spark, tmpdir):
     assert table.latest_version() == v_before
     got = sorted((r.k, r.n) for r in table.read().collect())
     assert got == [("a", 3), ("b", 1), ("c", 1)]
+
+
+def test_lake_aggregate_sink_null_keys_accumulate(spark, tmpdir):
+    """A NULL group key must ACCUMULATE like any other key, not
+    re-insert as a fresh row each batch: plain equi joins (semi fetch
+    + upsert anti-join) never match NULL = NULL, so without null-safe
+    handling the null-key count silently diverges."""
+    import os
+
+    from big_data_data_lake_spark.sources.metadata import LakeTable
+    from big_data_data_lake_spark.streaming.ingest import lake_aggregate_sink
+
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    with open(f"{src}/b0.jsonl", "w") as fh:
+        fh.write(json.dumps({"k": None}) + "\n")
+        fh.write(json.dumps({"k": "a"}) + "\n")
+
+    def run_once():
+        stream = spark.readStream.schema("k string").json(src)
+        q = lake_aggregate_sink(
+            stream,
+            f"{tmpdir}/table",
+            f"{tmpdir}/ckpt",
+            key_cols=["k"],
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    with open(f"{src}/b1.jsonl", "w") as fh:
+        fh.write(json.dumps({"k": None}) + "\n")
+        fh.write(json.dumps({"k": None}) + "\n")
+        fh.write(json.dumps({"k": "a"}) + "\n")
+    run_once()
+    table = LakeTable(spark, f"{tmpdir}/table")
+    rows = table.read().collect()
+    got = sorted(
+        ((r.k, r.n) for r in rows), key=lambda t: (t[0] is None, t[0] or "")
+    )
+    assert got == [("a", 2), (None, 3)]
