@@ -23,6 +23,7 @@ from ..caching import scoped_persist
 from ..operators import dedup as dd
 from ..operators import text as tx
 from . import register
+from .curation import SAMPLE_A, SAMPLE_B, SAMPLE_C, _mix
 from .llm_ops import _ngram_jaccard_oracle, _ngram_jaccard_pairs, _spread, _t
 
 # ---------------------------------------------------------------------------
@@ -811,11 +812,25 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LSH_PR_THRESHOLD = 0.5
 
-from .llm_ops import MINHASH_LSH_ORACLE  # noqa: E402
+from .llm_ops import _minhash_lsh_oracle, _minhash_lsh_pairs_impl  # noqa: E402
+
+# Deterministic 50% doc hash-sample gating BOTH sides of the audit:
+# the exact inverted-index truth side is quadratic in per-shingle doc
+# frequency, so on a skewed corpus the ungated audit is the one query
+# in the registry whose cost is unbounded. Sampling docs (not pairs)
+# keeps the audit honest — a pair survives iff both endpoints survive,
+# identically on both sides, so precision/recall are computed over the
+# exact pair population of the sampled sub-corpus.
+LSH_PR_SAMPLE_MOD = 1000
+LSH_PR_SAMPLE_KEEP = 500  # 50%
+_LSH_PR_DOC_FILTER = (
+    _mix("doc_id", SAMPLE_A, SAMPLE_B, SAMPLE_C, LSH_PR_SAMPLE_MOD)
+    + f" < {LSH_PR_SAMPLE_KEEP}"
+)
 
 LSH_PR_AUDIT_ORACLE = f"""
-WITH lsh AS ({MINHASH_LSH_ORACLE.strip()}),
-ex_all AS ({_ngram_jaccard_oracle(None).strip()}),
+WITH lsh AS ({_minhash_lsh_oracle(_LSH_PR_DOC_FILTER).strip()}),
+ex_all AS ({_ngram_jaccard_oracle(None, _LSH_PR_DOC_FILTER).strip()}),
 truth AS (SELECT d1, d2 FROM ex_all WHERE jaccard >= {LSH_PR_THRESHOLD}),
 tp AS (
     SELECT CAST(count(*) AS BIGINT) AS c
@@ -843,15 +858,32 @@ def lsh_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the similarity ESTIMATE error; this bounds the retrieval
     SET error).
 
-    Both sides reuse the registered queries' own plans (the same
+    SAMPLE-GATED: both sides run over the same deterministic 50% doc
+    hash-sample (pmod-style quadratic mix of doc_id — identical
+    expression in Spark and the oracle), applied BEFORE shingling so
+    the exact side's per-shingle fan-out is bounded by the sample,
+    not the corpus. Precision/recall are therefore estimates over the
+    sampled sub-corpus's exact pair population: with n observed truth
+    pairs the binomial 95% CI on recall is ±1.96·sqrt(r(1-r)/n)
+    (~±0.1 at n=100, tightening as 1/sqrt(n)); doc-sampling keeps
+    within-pair similarity exact, so the estimates are unbiased for
+    pairs of sampled docs. Audit-grade: tune LSH_PR_SAMPLE_KEEP down
+    for bigger corpora — cost scales ~quadratically in the keep rate
+    while CI widens only as its inverse square root.
+
+    Both sides reuse the registered queries' own plan cores (the same
     composition trick as semantic_dedup_crosscheck), so the audit
     tests the production code paths, not reimplementations; the
     set-level join and counts are pair-bounded — metadata-scale."""
-    from .llm_ops import minhash_lsh_pairs
+    from .llm_ops import _shingle_hashes
 
-    lsh = minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    # one persisted shingle-hash fold feeds BOTH sketch paths — the
+    # per-char token fold is the dominant row-local cost and would
+    # otherwise be paid twice
+    sh = _shingle_hashes(spark, sf_dir, _LSH_PR_DOC_FILTER)
+    lsh = _minhash_lsh_pairs_impl(spark, sf_dir, shingles=sh).select("d1", "d2")
     truth = (
-        _ngram_jaccard_pairs(spark, sf_dir, None)
+        _ngram_jaccard_pairs(spark, sf_dir, None, shingles=sh)
         .where(F.col("jaccard") >= LSH_PR_THRESHOLD)
         .select("d1", "d2")
     )

@@ -302,7 +302,7 @@ def top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-duplicate detection (n-gram Jaccard / MinHash LSH / SimHash)
 # --------------------------------------------------------------------------
 
-def _ngram_jaccard_oracle(max_df: int | None) -> str:
+def _ngram_jaccard_oracle(max_df: int | None, doc_filter: str | None = None) -> str:
     cap = (
         f""",
 hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) > {max_df}),
@@ -310,8 +310,9 @@ exc AS (SELECT * FROM ex WHERE g NOT IN (SELECT g FROM hot))"""
         if max_df is not None
         else ",\nexc AS (SELECT * FROM ex)"
     )
+    src = f"documents WHERE {doc_filter}" if doc_filter else "documents"
     return f"""
-WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM documents),
+WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM {src}),
 sh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS s FROM tok),
 ex AS (SELECT doc_id, unnest(s) AS g FROM sh){cap},
 sizes AS (SELECT doc_id, count(*) AS sz FROM exc GROUP BY doc_id),
@@ -332,8 +333,29 @@ WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.3
 NGRAM_CAPPED_MAX_DF = 40
 
 
+def _shingle_hashes(
+    spark: SparkSession, sf_dir: str, doc_filter: str | None = None
+) -> DataFrame:
+    """(doc_id, hs) bigram-shingle hash arrays, persisted — the shared
+    per-char token-fold lineage every dedup/sketch path starts from.
+    Audits that run two sketch paths over the same corpus (e.g.
+    lsh_pr_audit) compute this ONCE and hand it to both, instead of
+    paying the fold per path."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    if doc_filter:
+        docs = docs.where(F.expr(doc_filter))
+    return scoped_persist(
+        docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
+        .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
+    )
+
+
 def _ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, max_df: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_df: int | None = None,
+    doc_filter: str | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Shared core of the exact and df-capped Jaccard queries.
 
@@ -343,16 +365,22 @@ def _ngram_jaccard_pairs(
     ~20-byte strings with string comparators — measured 2.8× faster
     cold at sf0.1 with identical output (an intra-doc hash collision
     would perturb a set size, but both engines share the hash, so
-    parity holds by construction and none occur at test SF)."""
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    # Persist the shingle arrays BEFORE the explode: Generate
-    # re-evaluates an unmaterialized input expression once per output
-    # row (~|shingles|x the work); from cache it is a plain attribute.
-    sh = scoped_persist(
-        docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
-        .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS s")
+    parity holds by construction and none occur at test SF).
+
+    ``doc_filter`` (a portable SQL predicate on the documents scan)
+    restricts the corpus BEFORE shingling, so the inverted index —
+    and its quadratic per-key fan-out — is built only over the
+    filtered doc set; ``shingles`` supplies a precomputed (doc_id, hs)
+    frame (see _shingle_hashes) so composed audits share one fold.
+    The shingle arrays are persisted BEFORE the explode: Generate
+    re-evaluates an unmaterialized input expression once per output
+    row (~|shingles|x the work); from cache it is a plain attribute."""
+    sh = (
+        shingles
+        if shingles is not None
+        else _shingle_hashes(spark, sf_dir, doc_filter)
     )
-    ex = scoped_persist(sh.select("doc_id", F.explode("s").alias("g")))
+    ex = scoped_persist(sh.select("doc_id", F.explode("hs").alias("g")))
     if max_df is not None:
         # The hot set (shingles in more than max_df docs) is tiny by
         # construction — broadcast anti-join strips it from the index,
@@ -403,8 +431,10 @@ def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_jaccard_pairs(spark, sf_dir, max_df=NGRAM_CAPPED_MAX_DF)
 
 
-MINHASH_LSH_ORACLE = f"""
-WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM documents),
+def _minhash_lsh_oracle(doc_filter: str | None = None) -> str:
+    src = f"documents WHERE {doc_filter}" if doc_filter else "documents"
+    return f"""
+WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM {src}),
 hsh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS hs FROM tok),
 sig AS (SELECT doc_id,
            {dd.minhash_sig_sql_columns()}
@@ -425,52 +455,76 @@ WHERE {dd.minhash_est_sim_sql("x", "y")} >= 0.5
 """
 
 
-@register("minhash_lsh_pairs", MINHASH_LSH_ORACLE)
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: 32 portable affine min-hashes
-    over bigram shingles (row-local), 16x2 LSH banding, band-bucket
-    self-join for candidates, signature-agreement filter >= 0.5.
+MINHASH_LSH_ORACLE = _minhash_lsh_oracle()
 
-    The scale shape: the only shuffles are the equi-join on
-    (band, bkey) — fan-out governed by band width — and a dedup of the
-    (already agreement-filtered, tiny) survivor set. Signatures ride
-    along through the band join (32 longs next to each band key), so
-    no join back to the signature table is ever needed: agreement is
-    checked inline on the join output. Pairs colliding in k bands are
-    scored k times (32 integer compares — cheap) and deduped after the
-    filter, where the set is smallest. Constants are shared verbatim
-    with the oracle SQL (dedup.py)."""
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    hs = docs.selectExpr(
-        "doc_id", dd.spark_token_hashes_expr() + " AS th"
-    ).selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
-    # Signatures are the expensive row-local lineage; persist so the
-    # band self-join's two branches compute them exactly once.
-    sig = scoped_persist(hs.selectExpr("doc_id", *dd.spark_minhash_sig_exprs()))
-    bands = sig.select("*", F.explode(dd.minhash_bands()).alias("bk")).select(
-        "*", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+
+def _minhash_lsh_pairs_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    doc_filter: str | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Core of minhash_lsh_pairs; ``doc_filter`` restricts the docs
+    scan before sketching, ``shingles`` supplies a precomputed
+    (doc_id, hs) frame (see _ngram_jaccard_pairs)."""
+    hs = (
+        shingles
+        if shingles is not None
+        else _shingle_hashes(spark, sf_dir, doc_filter)
     )
-    a = bands.select(
+    # Signatures are the expensive row-local lineage; persist so the
+    # band explode and both post-candidate joins read them from cache.
+    sig = scoped_persist(hs.selectExpr("doc_id", *dd.spark_minhash_sig_exprs()))
+    # NARROW band join + join-back for agreement (the MLlib MinHashLSH
+    # shape): the band self-join shuffles only (doc_id, band, bkey)
+    # rows (~24 B/band-row), then the deduped candidate set fetches
+    # signatures via two equi-joins on doc_id. The ride-along
+    # alternative (32 sig longs copied into every band row) shuffles
+    # ~16x more bytes per doc through the band join and re-scores each
+    # pair once per colliding band — measured 2x slower at sf0.1 and
+    # strictly more shuffle at any scale. AQE broadcasts the sig side
+    # when it is small; on a 1000-executor corpus both joins are plain
+    # doc_id equi-joins, candidate-set-bounded.
+    bands = sig.select("doc_id", F.explode(dd.minhash_bands()).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    a = bands.select(F.col("doc_id").alias("d1"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("d2"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .dropDuplicates(["d1", "d2"])
+    )
+    x = sig.select(
         F.col("doc_id").alias("d1"),
         *[F.col(f"s{k}").alias(f"x{k}") for k in range(dd.N_MINHASH)],
-        "band",
-        "bkey",
     )
-    b = bands.select(
+    y = sig.select(
         F.col("doc_id").alias("d2"),
         *[F.col(f"s{k}").alias(f"y{k}") for k in range(dd.N_MINHASH)],
-        "band",
-        "bkey",
     )
     est = sum(
         (F.col(f"x{k}") == F.col(f"y{k}")).cast("int") for k in range(dd.N_MINHASH)
     ) / float(dd.N_MINHASH)
     return (
-        a.join(b, ["band", "bkey"])
-        .where((F.col("d1") < F.col("d2")) & (est >= 0.5))
+        cand.join(x, "d1")
+        .join(y, "d2")
+        .where(est >= 0.5)
         .select("d1", "d2", F.round(est, 4).alias("est_sim"))
-        .dropDuplicates(["d1", "d2"])
     )
+
+
+@register("minhash_lsh_pairs", MINHASH_LSH_ORACLE)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 32 portable affine min-hashes
+    over bigram shingles (row-local), 16x2 LSH banding, NARROW
+    band-bucket self-join for candidate pairs, then a join back to the
+    persisted signature table for the agreement filter >= 0.5 (see
+    _minhash_lsh_pairs_impl for the shuffle-byte accounting vs the
+    ride-along alternative). Constants are shared verbatim with the
+    oracle SQL (dedup.py)."""
+    return _minhash_lsh_pairs_impl(spark, sf_dir)
 
 
 SIMHASH_SIGNATURES_ORACLE = f"""
