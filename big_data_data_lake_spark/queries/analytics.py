@@ -1182,32 +1182,81 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially weighted moving average of event values —
     the streaming-style smoother (alpha=0.3) batch pipelines recompute
     for drift/anomaly baselines. EWMA is inherently sequential, which
-    tempts a driver loop; here it is an ordered-aggregation FOLD: each
-    user's values collect into one time-ordered array (deterministic
-    (ts, event_id) order) and ``aggregate`` folds the recurrence
-    row-locally. Both engines fold left-to-right over identical
-    arrays, so the result hash-matches exactly.
+    tempts a driver loop; here the recurrence is folded DISTRIBUTED-
+    SAFELY in two bounded levels, because EWMA composes: a chunk of k
+    values is the affine map E_out = (1-a)^k * E_in + c, where c is
+    the chunk's own alpha-weighted fold from zero.
 
-    Shape: one shuffle (the user-key collect), then row-local math.
-    The fold assumes a user's history fits one row (~KBs for years of
-    events); unbounded keys would chunk by time windows first."""
-    ev = _t(spark, sf_dir, "events")
-    s = ev.groupBy("user_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
-            lambda r: r["value"],
-        ).alias("vs")
+      1. per (user, day): values collect in deterministic
+         (ts, event_id) order and fold once with init 0 -> (k, c),
+         plus the chunk's first/last raw values. Row size is bounded
+         by one key's events per DAY, not its lifetime history — the
+         hot-key (bot) OOM a single per-user collect invites.
+      2. per user: the day summaries (3 scalars each, <=366/year)
+         array-sort by day and fold in order:
+         F <- (1-a)^k * F + c, N <- sum k.
+         The seed term re-enters algebraically:
+         E = F + (1-a)^N * v_first  (exact in real arithmetic; both
+         engines round to 4 decimals, absorbing reassociation ulps —
+         verified hash-identical vs the sequential-fold oracle at
+         sf0.001/0.01/0.1).
+
+    Shape: two shuffles (user+day, then user), both with map-side
+    partial aggregation; all folds row-local array HOFs. The oracle
+    keeps the plain sequential list_reduce — DuckDB has no hot-key
+    problem at oracle scale, and the parity check is exactly what
+    proves the chunked decomposition correct."""
+    return _ewma_per_user(_t(spark, sf_dir, "events"))
+
+
+def _ewma_per_user(ev: DataFrame) -> DataFrame:
+    """Chunked EWMA core over an (user_id, ts, event_id, value) frame;
+    see user_value_ewma. Separated so the property suite can drive it
+    with synthetic hot-key inputs."""
+    a = EWMA_ALPHA
+    per_chunk = (
+        ev.select(
+            "user_id", F.date_trunc("day", "ts").alias("day"), "ts", "event_id", "value"
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias(
+                "rs"
+            )
+        )
+        .select(
+            "user_id",
+            "day",
+            F.size("rs").cast("bigint").alias("k"),
+            F.aggregate(
+                F.transform("rs", lambda r: r["value"]),
+                F.lit(0.0),
+                lambda acc, x: a * x + (1 - a) * acc,
+            ).alias("c"),
+            F.element_at("rs", 1)["value"].alias("first_v"),
+            F.element_at("rs", -1)["value"].alias("last_v"),
+        )
     )
-    fold = F.aggregate(
-        F.slice("vs", 2, F.size("vs") - 1),
-        F.element_at("vs", 1),
-        lambda acc, x: EWMA_ALPHA * x + (1 - EWMA_ALPHA) * acc,
+    merged = per_chunk.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "k", "c", "first_v", "last_v"))
+        ).alias("cs")
     )
-    return s.select(
+    decay = F.lit(1.0 - a)
+    f_total = F.aggregate(
+        F.col("cs"), F.lit(0.0), lambda acc, s: s["c"] + F.pow(decay, s["k"]) * acc
+    )
+    n_total = F.aggregate(
+        F.transform("cs", lambda s: s["k"]),
+        F.lit(0).cast("bigint"),
+        lambda acc, k: acc + k,
+    )
+    ewma = f_total + F.pow(decay, n_total) * F.element_at("cs", 1)["first_v"]
+    return merged.select(
         "user_id",
-        F.size("vs").cast("bigint").alias("n_events"),
-        F.round(fold, 4).alias("ewma_value"),
-        F.round(F.element_at("vs", -1), 4).alias("last_value"),
+        n_total.alias("n_events"),
+        F.round(ewma, 4).alias("ewma_value"),
+        F.round(F.element_at("cs", -1)["last_v"], 4).alias("last_value"),
     ).orderBy("user_id")
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 import duckdb
 import numpy as np
 import pandas as pd
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from big_data_data_lake_spark.operators import dedup as dd
@@ -122,3 +123,78 @@ def test_simhash_chunks_guards_narrow_slots():
     # the production default is exactly at the guard boundary
     assert dd.N_SIMHASH_BITS // dd.N_SIMHASH_CHUNKS >= 8
     assert dd.N_SIMHASH_CHUNKS > dd.SIMHASH_HAMMING_BUDGET
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False, width=32),
+        min_size=1,
+        max_size=300,
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+def test_ewma_chunked_fold_matches_sequential(spark, values, n_days):
+    """The two-level (per-day fold, then ordered merge of affine chunk
+    summaries) EWMA must agree with the plain sequential recurrence —
+    including on a pathological hot key whose events all land on one
+    user, spread across an arbitrary number of day-chunks."""
+    import pandas as pd
+
+    from big_data_data_lake_spark.queries.analytics import EWMA_ALPHA, _ewma_per_user
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": 7,
+            "ts": pd.to_datetime(
+                [
+                    # i-th event lands on day i % n_days — chunks are
+                    # non-contiguous in event order, the merge must
+                    # re-establish global (ts, event_id) order
+                    pd.Timestamp("2024-01-01")
+                    + pd.Timedelta(days=i % n_days, seconds=i)
+                    for i in range(len(values))
+                ]
+            ),
+            "event_id": range(len(values)),
+            "value": values,
+        }
+    )
+    got = _ewma_per_user(spark.createDataFrame(pdf)).collect()[0]
+
+    ordered = pdf.sort_values(["ts", "event_id"])["value"].tolist()
+    acc = ordered[0]
+    for x in ordered[1:]:
+        acc = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * acc
+    assert got.n_events == len(values)
+    assert got.ewma_value == pytest.approx(round(acc, 4), abs=2e-4)
+    assert got.last_value == pytest.approx(round(ordered[-1], 4), abs=1e-9)
+
+
+def test_ewma_hot_key_many_events_one_day(spark):
+    """A 20k-event single-user single-day burst folds without any
+    per-user lifetime collect (row size bounded by the day chunk) and
+    matches the sequential recurrence."""
+    import pandas as pd
+
+    from big_data_data_lake_spark.queries.analytics import EWMA_ALPHA, _ewma_per_user
+
+    n = 20_000
+    rnd = np.random.RandomState(42)
+    values = rnd.uniform(-100, 100, n)
+    pdf = pd.DataFrame(
+        {
+            "user_id": 1,
+            "ts": pd.to_datetime("2024-03-01")
+            + pd.to_timedelta(np.arange(n) % 86_400, unit="s"),
+            "event_id": range(n),
+            "value": values,
+        }
+    )
+    got = _ewma_per_user(spark.createDataFrame(pdf)).collect()[0]
+    order = np.lexsort((np.arange(n), pdf["ts"].values))
+    acc = values[order[0]]
+    for i in order[1:]:
+        acc = EWMA_ALPHA * values[i] + (1 - EWMA_ALPHA) * acc
+    assert got.n_events == n
+    assert got.ewma_value == pytest.approx(round(acc, 4), abs=2e-4)
