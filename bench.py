@@ -106,6 +106,7 @@ HEADLINE = [
     "user_value_ewma",
     "value_trend_by_type",
     "lsh_pr_audit",
+    "event_chain_expansion",
 ]
 
 

@@ -61,6 +61,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "user_value_ewma",
     "value_trend_by_type",
     # new in round 4 (no driver row yet)
+    "event_chain_expansion",
 )
 
 

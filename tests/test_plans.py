@@ -101,6 +101,22 @@ def test_pair_generation_never_plans_quadratic_join(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_event_chain_expansion_bounded_equi_joins(spark):
+    """The unrolled recursive expansion must plan exactly
+    CHAIN_MAX_DEPTH - 1 frontier-x-edges equi-joins — no cartesian,
+    no nested loop, and no join count that grows past the depth bound."""
+    from big_data_data_lake_spark.queries.analytics import CHAIN_MAX_DEPTH
+
+    df = _q(spark, "event_chain_expansion")
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the simple-plan dump under AQE prints each join twice (initial +
+    # final plan), so the depth bound allows that factor
+    n_joins = plans.broadcast_join_count(df) + plans.sort_merge_join_count(df)
+    assert 1 <= n_joins <= 2 * (CHAIN_MAX_DEPTH - 1), plan
+
+
 def test_shipping_priority_broadcasts_dim_and_pushes_dates(spark):
     """TPC-H Q3 shape: the segment-filtered customer dim must
     broadcast (never SMJ against orders/lineitem), and the date
