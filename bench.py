@@ -107,6 +107,7 @@ HEADLINE = [
     "value_trend_by_type",
     "lsh_pr_audit",
     "event_chain_expansion",
+    "view_purchase_pairs",
 ]
 
 

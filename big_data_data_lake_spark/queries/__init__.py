@@ -62,6 +62,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "value_trend_by_type",
     # new in round 4 (no driver row yet)
     "event_chain_expansion",
+    "view_purchase_pairs",
 )
 
 

@@ -1412,3 +1412,67 @@ def event_chain_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("depth").cast("int").alias("depth"), "last_type", "n_chains")
         .orderBy("depth", "last_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval join (batch twin of the stream-stream join)
+# ---------------------------------------------------------------------------
+
+INTERVAL_JOIN_HORIZON_S = 3600
+
+VIEW_PURCHASE_PAIRS_ORACLE = f"""
+SELECT v.user_id,
+       v.event_id AS view_event_id,
+       p.event_id AS purchase_event_id,
+       round(epoch(p.ts) - epoch(v.ts), 3) AS gap_s
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL {INTERVAL_JOIN_HORIZON_S} SECONDS
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+ORDER BY view_event_id, purchase_event_id
+"""
+
+
+@register("view_purchase_pairs", VIEW_PURCHASE_PAIRS_ORACLE)
+def view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch attestation of the stream-stream interval join
+    (streaming/ingest.py:interval_join): each view pairs with the SAME
+    USER's purchases in the following hour, returning the joined pairs
+    themselves (view_purchase_conversion aggregates the same semantics
+    to rates; this query is the operator's raw output). The registered
+    query calls the streaming operator VERBATIM — watermarks are
+    defined no-ops in batch — so the oracle checks the exact code path
+    a stream executes per micro-batch.
+
+    Scale shape: an equi-join on user_id with the interval bound in
+    the join condition — both sides hash-shuffle on the key once and
+    the range is evaluated within co-partitioned buckets (never a
+    nested-loop over the corpus; plan-tested). Per-key fan-out is
+    bounded by a user's views x purchases inside one horizon window;
+    in streaming the same condition is what lets the engine evict
+    buffered state."""
+    from ..streaming.ingest import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_event_id")
+    )
+    joined = interval_join(
+        v,
+        p,
+        key="user_id",
+        lower_s=0,
+        upper_s=INTERVAL_JOIN_HORIZON_S,
+    )
+    gap_s = (F.unix_micros("r_ts") - F.unix_micros("ts")) / F.lit(1e6)
+    return joined.select(
+        "user_id",
+        "view_event_id",
+        F.col("r_purchase_event_id").alias("purchase_event_id"),
+        F.round(gap_s, 3).alias("gap_s"),
+    ).orderBy("view_event_id", "purchase_event_id")

@@ -117,6 +117,20 @@ def test_event_chain_expansion_bounded_equi_joins(spark):
     assert 1 <= n_joins <= 2 * (CHAIN_MAX_DEPTH - 1), plan
 
 
+def test_view_purchase_pairs_is_key_equi_join_not_nested_loop(spark):
+    """The interval join must plan as an equi-join on user_id with the
+    time bound evaluated inside co-partitioned buckets — a pure range
+    condition would degenerate to BroadcastNestedLoopJoin over the
+    corpus."""
+    df = _q(spark, "view_purchase_pairs")
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert (
+        plans.broadcast_join_count(df) + plans.sort_merge_join_count(df) >= 1
+    ) or "ShuffledHashJoin" in plan, plan
+
+
 def test_shipping_priority_broadcasts_dim_and_pushes_dates(spark):
     """TPC-H Q3 shape: the segment-filtered customer dim must
     broadcast (never SMJ against orders/lineitem), and the date
