@@ -394,3 +394,31 @@ def test_norm_file_uri_matches_across_schemes():
         _norm_file_uri("s3a://bucket/k%C3%A9y/p.parquet")
         == "s3a://bucket/kéy/p.parquet"
     )
+
+
+def test_laketable_satisfies_tableformat_protocol(spark, tmp_path):
+    """The parquet-backed LakeTable must structurally satisfy the
+    TableFormat protocol — the seam a Delta/Iceberg adapter slots
+    into where the jar exists (sources/format.py documents the
+    coordinates and method mapping)."""
+    from big_data_data_lake_spark.sources.format import TableFormat, delta_available
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    assert isinstance(t, TableFormat)
+    # every protocol member is a real method here, not a getattr hole
+    for m in (
+        "versions",
+        "latest_version",
+        "create",
+        "append",
+        "overwrite",
+        "upsert",
+        "read",
+        "changes",
+        "row_count",
+        "compact",
+        "vacuum",
+    ):
+        assert callable(getattr(t, m)), m
+    # this container has no delta jar — the gate must say so honestly
+    assert delta_available() is False
