@@ -119,7 +119,8 @@ def main() -> None:
     spark = get_spark(
         app_name="bench",
         cpus=cpus,
-        shuffle_partitions=cpus,
+        # shuffle partitions: session default (4x cores, AQE-coalesced) —
+        # pinning to the core count made big shuffles spill at 10x data
         # ContextCleaner only releases dereferenced broadcast/shuffle
         # blocks after a DRIVER GC; the default periodic GC (30 min)
         # never fires inside one bench run, so dozens of query

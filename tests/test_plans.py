@@ -478,14 +478,17 @@ def test_view_purchase_conversion_has_no_join(spark):
     assert plans.shuffle_count(df) <= 3, plan
 
 
-def test_user_value_ewma_single_shuffle_fold(spark):
-    """EWMA: the sequential recurrence must be a row-local fold over
-    one user-key collect — no window, no join, one aggregation
-    exchange plus the presentation sort."""
+def test_user_value_ewma_chunked_fold_no_join_no_window(spark):
+    """EWMA: the recurrence must stay an aggregation fold — no window,
+    no join — with exactly the two bounded-state exchanges of the
+    chunked design ((user, day) then user) plus the presentation
+    sort; per-key state is bounded by a day chunk, never lifetime
+    history."""
     df = _q(spark, "user_value_ewma")
     plan = plans.formatted_plan(df)
     assert "Join" not in plan, plan
-    assert plans.shuffle_count(df) <= 2, plan
+    assert "Window" not in plan, plan
+    assert plans.shuffle_count(df) <= 3, plan
 
 
 def test_int8_quant_audit_no_explode_no_join(spark):
