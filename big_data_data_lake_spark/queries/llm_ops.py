@@ -34,8 +34,15 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     GATED: if the scan already produced at least the session's
     parallelism, return the input untouched and plan no shuffle at all
     (r2 advice — the unconditional exchange was a small-file artifact
-    riding along into production plans)."""
-    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    riding along into production plans).
+
+    Target is CORE parallelism, not spark.sql.shuffle.partitions: an
+    explicit repartition(n) is honored verbatim (AQE never coalesces
+    it), so tying it to the shuffle-partition knob quadrupled the task
+    count of every small-doc stage when that knob moved to 4x cores —
+    one wave of core-count partitions is exactly what a
+    spread-for-parallelism exchange wants."""
+    target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -34,14 +34,18 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
-        # Initial shuffle parallelism 4x the cores: AQE coalesces small
-        # shuffles down (so tiny queries pay nothing), while shuffle-heavy
-        # stages get partitions that fit in memory instead of spilling —
-        # measured 2x on the sf1 inverted-index join (45 s -> 22 s at 32
-        # partitions vs 128 on 10x data). Same principle as sizing
-        # spark.sql.shuffle.partitions to data volume on a real cluster;
-        # the AQE coalesce floor keeps it safe for the small case.
-        shuffle_partitions = max(4 * cpus, 16)
+        # Shuffle partitions must be sized to DATA VOLUME, not fixed:
+        # measured 2x faster at 4x cores on 10x data (the sf1
+        # inverted-index join spills at core-count partitions), but
+        # 2-3x SLOWER at calibration SF (persisted intermediates keep
+        # the inflated partitioning — AQE coalesces shuffle reads, not
+        # caches or explicit repartitions). Default matches the cores
+        # for the per-round SF; the 10x sweep raises it via
+        # $SPARK_GRAFT_SHUFFLE_PARTITIONS — the same knob a cluster
+        # operator turns with the dataset.
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")
+        ) or max(cpus, 4)
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
