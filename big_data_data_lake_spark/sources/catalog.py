@@ -105,3 +105,25 @@ def read_jsonl(spark: SparkSession, path: str, schema=None, glob: str | None = N
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """ORC source — the second columnar format Spark ships natively.
+
+    Beyond the reference's surface (its lake is parquet-only): kept
+    thin because ORC shares parquet's scan behaviors (column pruning,
+    predicate pushdown into stripe/row-group stats), so every
+    downstream operator is format-agnostic. Avro, by contrast, needs
+    the external spark-avro jar (org.apache.spark:spark-avro_2.13) —
+    not in this container, so it is documented here rather than
+    half-implemented.
+    """
+    reader = spark.read
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib default codec; snappy via spark.sql.orc.compression.codec)."""
+    df.write.mode(mode).orc(path)
