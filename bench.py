@@ -108,6 +108,8 @@ HEADLINE = [
     "lsh_pr_audit",
     "event_chain_expansion",
     "view_purchase_pairs",
+    "daily_type_pivot",
+    "grouped_value_quantiles",
 ]
 
 

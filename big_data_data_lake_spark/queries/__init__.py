@@ -63,6 +63,8 @@ SAMPLE_FIRST: tuple[str, ...] = (
     # new in round 4 (no driver row yet)
     "event_chain_expansion",
     "view_purchase_pairs",
+    "daily_type_pivot",
+    "grouped_value_quantiles",
 )
 
 

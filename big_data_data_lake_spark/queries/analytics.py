@@ -1476,3 +1476,72 @@ def view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_purchase_event_id").alias("purchase_event_id"),
         F.round(gap_s, 3).alias("gap_s"),
     ).orderBy("view_event_id", "purchase_event_id")
+
+
+# ---------------------------------------------------------------------------
+# PIVOT (long-to-wide reshape) and grouped exact quantiles
+# ---------------------------------------------------------------------------
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+DAILY_TYPE_PIVOT_ORACLE = f"""
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+       {", ".join(f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}" for t in _PIVOT_TYPES)}
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
+@register("daily_type_pivot", DAILY_TYPE_PIVOT_ORACLE)
+def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — the long-to-wide inverse of pricing_measures_melt: one
+    row per day, one count column per event type. Spark's
+    ``pivot(col, values)`` with the value list PINNED compiles to a
+    single aggregation pass with conditional aggregates (one shuffle
+    on the day key, no second pass to discover the domain — at 100 TB
+    the unpinned form adds a full distinct scan before the real job;
+    the oracle writes the same plan explicitly as count FILTER)."""
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in _PIVOT_TYPES],
+    ).orderBy("day")
+
+
+GROUPED_QUANTILES_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("grouped_value_quantiles", GROUPED_QUANTILES_ORACLE)
+def grouped_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (p50/p95/p99 of value per event
+    type) — the grouped twin of the global p99_value. Spark
+    ``percentile`` and DuckDB ``quantile_cont`` are both linear-
+    interpolation definitions, so values hash-match at 6 decimals.
+    One shuffle on the small type domain; the sort happens inside each
+    group's aggregation buffer. At 100 TB the same plan swaps
+    ``percentile`` for ``percentile_approx`` (the audited trade
+    measured by approx_quantile_audit)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
