@@ -117,6 +117,18 @@ def test_event_chain_expansion_bounded_equi_joins(spark):
     assert 1 <= n_joins <= 2 * (CHAIN_MAX_DEPTH - 1), plan
 
 
+def test_daily_type_pivot_single_aggregate_pass(spark):
+    """Pinned-domain pivot must compile to ONE aggregation pass (one
+    hash-partitioning exchange on the day key) — an unpinned pivot
+    would prepend a distinct scan to discover the domain."""
+    df = _q(spark, "daily_type_pivot")
+    plan = plans.formatted_plan(df)
+    assert "Join" not in plan, plan
+    # (day, type) partial rollup -> day pivot agg -> presentation sort;
+    # all keyed exchanges, nothing resembling a domain-discovery scan
+    assert plans.shuffle_count(df) <= 3, plan
+
+
 def test_view_purchase_pairs_is_key_equi_join_not_nested_loop(spark):
     """The interval join must plan as an equi-join on user_id with the
     time bound evaluated inside co-partitioned buckets — a pure range
