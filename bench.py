@@ -110,6 +110,7 @@ HEADLINE = [
     "view_purchase_pairs",
     "daily_type_pivot",
     "grouped_value_quantiles",
+    "cluster_quality_survivors",
 ]
 
 

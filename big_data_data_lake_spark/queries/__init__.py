@@ -65,6 +65,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "view_purchase_pairs",
     "daily_type_pivot",
     "grouped_value_quantiles",
+    "cluster_quality_survivors",
 )
 
 

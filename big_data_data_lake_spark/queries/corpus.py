@@ -901,3 +901,85 @@ def lsh_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c").cast("double") / F.col("n_detected"), 4).alias("precision"),
         F.round(F.col("c").cast("double") / F.col("n_truth"), 4).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster survivor selection (quality-based canonical doc per cluster)
+# ---------------------------------------------------------------------------
+
+_Q_EXPR_SQL = (
+    "least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) * 0.5"
+    " + CAST(len(list_filter(string_split(text, ' '),"
+    " x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)"
+    " / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.5"
+)
+
+CLUSTER_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_ngram_jaccard_oracle(None)}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach(s, t) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+),
+clusters AS (
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS cluster
+    FROM documents d LEFT JOIN reach r ON d.doc_id = r.s
+    GROUP BY d.doc_id
+),
+q AS (SELECT doc_id, {_Q_EXPR_SQL} AS q FROM documents),
+ranked AS (
+    SELECT c.cluster, c.doc_id, q.q,
+           row_number() OVER (PARTITION BY c.cluster ORDER BY q.q DESC, c.doc_id) AS rn,
+           count(*) OVER (PARTITION BY c.cluster) AS n_members
+    FROM clusters c JOIN q ON c.doc_id = q.doc_id
+)
+SELECT cluster, doc_id AS survivor_doc_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       round(q, 4) AS quality
+FROM ranked WHERE rn = 1 ORDER BY cluster
+"""
+
+
+@register("cluster_quality_survivors", CLUSTER_SURVIVORS_ORACLE)
+def cluster_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision a dedup pipeline actually executes: for
+    each near-dup cluster, keep the HIGHEST-QUALITY member (length
+    saturation + stopword density, tiebreak min doc_id) rather than
+    the arbitrary min-id representative — completing the pairs ->
+    clusters -> survivors chain with a policy a curator would sign
+    off on.
+
+    Composes the production component labels (dedup_clusters) with
+    the quality operator; the survivor pick is one partitioned window
+    over cluster-sized groups (near-dup clusters are shallow and
+    small, so the window partition is bounded; the count rides the
+    same exchange). Quality is computed from exact token counts, so
+    the DESC ordering agrees bit-for-bit across engines."""
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select(
+        "doc_id", tx.quality_score("text").alias("q")
+    )
+    from pyspark.sql import Window
+
+    joined = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(F.desc("q"), F.asc("doc_id"))
+    return (
+        joined.select(
+            "cluster",
+            "doc_id",
+            "q",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("cluster")).alias("n_members"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.round("q", 4).alias("quality"),
+        )
+        .orderBy("cluster")
+    )
