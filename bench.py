@@ -110,7 +110,9 @@ HEADLINE = [
     "view_purchase_pairs",
     "daily_type_pivot",
     "grouped_value_quantiles",
-    "cluster_quality_survivors",
+    # cluster_quality_survivors composes the full exact-pair plan +
+    # iterative propagation (like dedup_clusters, which is also
+    # registry-only): attested for correctness, not a headline timing
 ]
 
 
