@@ -66,6 +66,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "daily_type_pivot",
     "grouped_value_quantiles",
     "cluster_quality_survivors",
+    "dup_graph_triangles",
 )
 
 

@@ -24,7 +24,13 @@ from ..operators import dedup as dd
 from ..operators import text as tx
 from . import register
 from .curation import SAMPLE_A, SAMPLE_B, SAMPLE_C, _mix
-from .llm_ops import _ngram_jaccard_oracle, _ngram_jaccard_pairs, _spread, _t
+from .llm_ops import (
+    NGRAM_CAPPED_MAX_DF,
+    _ngram_jaccard_oracle,
+    _ngram_jaccard_pairs,
+    _spread,
+    _t,
+)
 
 # ---------------------------------------------------------------------------
 # TF-IDF
@@ -982,4 +988,77 @@ def cluster_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("q", 4).alias("quality"),
         )
         .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle census over the near-dup graph
+# ---------------------------------------------------------------------------
+
+DUP_TRIANGLES_ORACLE = f"""
+WITH pairs AS ({_ngram_jaccard_oracle(NGRAM_CAPPED_MAX_DF)}),
+e AS (SELECT d1, d2 FROM pairs),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1 JOIN e e2 ON e1.d2 = e2.d1
+            JOIN e e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+),
+deg AS (
+  SELECT v, count(*) AS d
+  FROM (SELECT d1 AS v FROM e UNION ALL SELECT d2 FROM e) GROUP BY v
+),
+w AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT CAST(n_triangles AS BIGINT) AS n_triangles, n_wedges,
+       round(CASE WHEN n_wedges = 0 THEN 0.0
+             ELSE 3.0 * n_triangles / n_wedges END, 4) AS transitivity
+FROM tri, w
+"""
+
+
+@register("dup_graph_triangles", DUP_TRIANGLES_ORACLE)
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the (df-capped) near-dup graph: triangle
+    count, wedge count, and global transitivity — the structure metric
+    that says whether near-dups form tight cliques (template families,
+    transitivity -> 1, safe to collapse per cluster) or long chains
+    (drifting revisions, transitivity -> 0, where collapsing to one
+    survivor loses content). The third graph-analytics member next to
+    token_pagerank (eigenvector) and dedup_clusters (components).
+
+    Scale shape: edges are oriented d1 < d2, so each triangle counts
+    exactly once via two equi-joins (wedge build on the shared
+    endpoint, then closure check against the edge list) — the
+    standard distributed triangle join; the wedge side is
+    degree-bounded because the underlying pairs are df-capped, and
+    everything reduces to single-row aggregates before the final
+    cross of two scalars."""
+    pairs = scoped_persist(
+        _ngram_jaccard_pairs(spark, sf_dir, max_df=NGRAM_CAPPED_MAX_DF).select("d1", "d2")
+    )
+    e1 = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    e2 = pairs.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
+    e3 = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.col("d1").alias("v"))
+        .unionAll(pairs.select(F.col("d2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges")
+    )
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                3.0 * F.col("n_triangles") / F.col("n_wedges")
+            ),
+            4,
+        ).alias("transitivity"),
     )
