@@ -110,6 +110,7 @@ HEADLINE = [
     "view_purchase_pairs",
     "daily_type_pivot",
     "grouped_value_quantiles",
+    "daily_activity_filled",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -67,6 +67,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "grouped_value_quantiles",
     "cluster_quality_survivors",
     "dup_graph_triangles",
+    "daily_activity_filled",
 )
 
 

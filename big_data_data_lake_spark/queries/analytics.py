@@ -1545,3 +1545,69 @@ def grouped_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Date-spine gap filling (calendar resample)
+# ---------------------------------------------------------------------------
+
+DAILY_FILLED_ORACLE = """
+WITH bounds AS (
+    SELECT CAST(min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS DATE) AS lo,
+           CAST(max(date_trunc('day', CAST(ts AS TIMESTAMP))) AS DATE) AS hi
+    FROM events
+),
+spine AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+),
+actual AS (
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+)
+SELECT strftime(CAST(spine.day AS DATE), '%Y-%m-%d') AS day,
+       coalesce(actual.n, 0) AS n,
+       coalesce(actual.total_value, 0.0) AS total_value
+FROM spine LEFT JOIN actual ON CAST(spine.day AS DATE) = actual.day
+ORDER BY day
+"""
+
+
+@register("daily_activity_filled", DAILY_FILLED_ORACLE)
+def daily_activity_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-resampled daily rollup: every day between the corpus
+    min and max appears, zero-filled where no events landed — the
+    gap-filling shape dashboards and window-over-time models need
+    (daily_activity alone silently skips empty days, which breaks
+    moving averages and day-over-day deltas downstream).
+
+    Scale shape: the spine derives from a 1-row min/max aggregate and
+    explodes driver-free via ``sequence()`` — calendar-sized, so it is
+    the BROADCAST side of the left join against the per-day rollup;
+    the fact table is touched exactly twice (bounds + rollup), both
+    partial-aggregated single shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date(F.date_trunc("day", "ts"))).alias("lo"),
+        F.max(F.to_date(F.date_trunc("day", "ts"))).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    actual = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return (
+        F.broadcast(spine)
+        .join(actual, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("day")
+    )
