@@ -534,3 +534,62 @@ def lake_aggregate_sink(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def lake_scd2_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    keys: list[str],
+    change_ts: str,
+    trigger_seconds: int = FLUSH_TRIGGER_S,
+    available_now: bool = False,
+):
+    """Streaming SCD2 historization: each micro-batch's key changes
+    CLOSE the stored current dimension row and open a new version
+    (LakeTable.upsert_scd2) — the streaming twin of a nightly
+    dimension load, keeping full history queryable point-in-time
+    (read_asof) while the stream runs.
+
+    Per micro-batch the batch collapses to its LATEST change per key
+    (earlier same-batch changes are superseded before touching the
+    table — one batch-sized aggregation), then merges copy-on-write
+    with zone-map pruning. Exactly-once via the recorded ``batch_id``
+    high-water mark, the same replay contract as lake_upsert_sink:
+    a replayed batch is skipped before any arithmetic, so history can
+    never double-close or duplicate versions."""
+    from ..operators.windows import latest_per_key
+    from ..sources.metadata import LakeTable
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.take(1):
+            return
+        winners = latest_per_key(batch_df, keys, change_ts)
+        table = LakeTable(spark, table_path)
+        if not table.versions():
+            vf, vt, cur = LakeTable.SCD2_COLS
+            table.create(
+                winners.select(
+                    "*",
+                    F.col(change_ts).cast("timestamp").alias(vf),
+                    F.lit(None).cast("timestamp").alias(vt),
+                    F.lit(True).alias(cur),
+                ),
+                extra={"batch_id": batch_id},
+            )
+            return
+        if batch_id <= table.manifest().get("batch_id", -1):
+            return  # replay after restart: already committed
+        table.upsert_scd2(winners, keys, change_ts, extra={"batch_id": batch_id})
+
+    writer = (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -603,3 +603,59 @@ def test_lake_aggregate_sink_null_keys_accumulate(spark, tmpdir):
         ((r.k, r.n) for r in rows), key=lambda t: (t[0] is None, t[0] or "")
     )
     assert got == [("a", 2), (None, 3)]
+
+
+def test_lake_scd2_sink_historizes_and_replay_safe(spark, tmpdir):
+    """Streaming SCD2: each batch closes the stored current row per
+    changed key and opens a new version; point-in-time reads work
+    mid-stream; a replayed batch never double-closes."""
+    import os
+
+    from big_data_data_lake_spark.sources.metadata import LakeTable
+    from big_data_data_lake_spark.streaming.ingest import lake_scd2_sink
+
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    with open(f"{src}/b0.jsonl", "w") as fh:
+        fh.write(json.dumps({"k": "a", "tier": "bronze", "ts": "2024-01-01 00:00:00"}) + "\n")
+        fh.write(json.dumps({"k": "b", "tier": "silver", "ts": "2024-01-01 00:00:00"}) + "\n")
+
+    schema = "k string, tier string, ts timestamp"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(src)
+        q = lake_scd2_sink(
+            stream,
+            f"{tmpdir}/dim",
+            f"{tmpdir}/ckpt",
+            keys=["k"],
+            change_ts="ts",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # batch 2: a changes twice in one batch (latest wins), c appears
+    with open(f"{src}/b1.jsonl", "w") as fh:
+        fh.write(json.dumps({"k": "a", "tier": "gold", "ts": "2024-02-01 00:00:00"}) + "\n")
+        fh.write(json.dumps({"k": "a", "tier": "platinum", "ts": "2024-03-01 00:00:00"}) + "\n")
+        fh.write(json.dumps({"k": "c", "tier": "bronze", "ts": "2024-03-01 00:00:00"}) + "\n")
+    run_once()
+
+    table = LakeTable(spark, f"{tmpdir}/dim")
+    cur = {r.k: r.tier for r in table.read().where("__is_current").collect()}
+    assert cur == {"a": "platinum", "b": "silver", "c": "bronze"}
+    # 'a' history: the original bronze row is closed, not destroyed
+    a_rows = sorted(
+        (r.tier, r["__is_current"]) for r in table.read().where("k = 'a'").collect()
+    )
+    assert a_rows == [("bronze", False), ("platinum", True)]
+    jan = {r.k: r.tier for r in table.read_asof("2024-01-15 00:00:00").collect()}
+    assert jan == {"a": "bronze", "b": "silver"}
+
+    # restart with no new data: no new version, no double-close
+    v_before = table.latest_version()
+    run_once()
+    table = LakeTable(spark, f"{tmpdir}/dim")
+    assert table.latest_version() == v_before
+    assert {r.k: r.tier for r in table.read().where("__is_current").collect()} == cur
