@@ -111,6 +111,7 @@ HEADLINE = [
     "daily_type_pivot",
     "grouped_value_quantiles",
     "daily_activity_filled",
+    "ann_truncated_topk",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -68,6 +68,8 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "cluster_quality_survivors",
     "dup_graph_triangles",
     "daily_activity_filled",
+    "ann_truncated_topk",
+    "ann_truncation_recall",
 )
 
 

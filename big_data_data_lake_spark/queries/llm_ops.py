@@ -1206,3 +1206,62 @@ def int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Dimension-truncation trade study (matryoshka-style retrieval)
+# --------------------------------------------------------------------------
+
+ANN_TRUNC_DIM = 16
+
+_E_NORM_T = sim.NORM_SQL.format(a="vt")
+
+ANN_TRUNC_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v[1:{ANN_TRUNC_DIM}] AS vt FROM e),
+en AS (SELECT vec_id, vt, {_E_NORM_T} AS n FROM s),
+scored AS (
+    SELECT q.vec_id AS qid, c.vec_id AS nid,
+           {sim.DOT_SQL.format(a="q.vt", b="c.vt")} / (q.n * c.n) AS cs
+    FROM en q JOIN en c ON q.vec_id < 5 AND c.vec_id >= 5
+)
+SELECT qid, nid, cos_sim
+FROM (
+    SELECT qid, nid, round(cs, 6) AS cos_sim,
+           row_number() OVER (PARTITION BY qid ORDER BY round(cs, 6) DESC, nid) AS rn
+    FROM scored
+)
+WHERE rn <= 10
+"""
+
+
+@register("ann_truncated_topk", ANN_TRUNC_ORACLE)
+def ann_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbors using only the FIRST 16 of 64
+    dimensions — the matryoshka-style trade every embedding deployment
+    now evaluates: a 4x cheaper prefix search whose quality is gauged
+    by ann_truncation_recall. Same broadcast-queries shape as the
+    exact baseline; the unrolled 16-term dot beats the array fold at
+    this width (see operators/similarity.dot)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", sim.to_double("embedding").alias("v"))
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qvec")
+    )
+    c = e.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("nid"), F.col("v").alias("nvec")
+    )
+    return sim.brute_force_topk(q, c, k=10, dim=ANN_TRUNC_DIM)
+
+
+@register("ann_truncation_recall", _recall_oracle(ANN_TRUNC_ORACLE))
+def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the 16-dim prefix search against the full 64-dim
+    exact baseline, per query — quantifies what the 4x compute/storage
+    saving costs in retrieval quality (the truncation twin of
+    int8_quant_audit, which measures VALUE error; this measures SET
+    error). Both sides are deterministic, so the driver hash-checks
+    the quality number itself."""
+    return _recall_at_10(
+        ann_cosine_topk(spark, sf_dir), ann_truncated_topk(spark, sf_dir)
+    )
