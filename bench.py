@@ -112,6 +112,8 @@ HEADLINE = [
     "grouped_value_quantiles",
     "daily_activity_filled",
     "ann_truncated_topk",
+    "monthly_revenue_growth",
+    "regex_signal_rollup",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -70,6 +70,8 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "daily_activity_filled",
     "ann_truncated_topk",
     "ann_truncation_recall",
+    "monthly_revenue_growth",
+    "regex_signal_rollup",
 )
 
 

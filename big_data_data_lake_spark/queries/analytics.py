@@ -1611,3 +1611,47 @@ def daily_activity_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month growth (window over an aggregated series)
+# ---------------------------------------------------------------------------
+
+MOM_REVENUE_ORACLE = """
+WITH monthly AS (
+    SELECT strftime(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)), '%Y-%m') AS month,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta,
+       round((revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month) * 100, 4) AS mom_pct
+FROM monthly
+ORDER BY month
+"""
+
+
+@register("monthly_revenue_growth", MOM_REVENUE_ORACLE)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: rollup to a months-sized
+    series, then lag deltas and percent change — the
+    window-over-aggregate shape every KPI dashboard runs. The window
+    is deliberately unpartitioned BUT runs over the aggregated series
+    (≤ months in history — metadata-scale by construction, same
+    argument as vocab_coverage's top-K window); the only data-scale
+    work is the one partial-aggregated rollup shuffle."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("mom_pct"),
+    ).orderBy("month")

@@ -1265,3 +1265,50 @@ def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_at_10(
         ann_cosine_topk(spark, sf_dir), ann_truncated_topk(spark, sf_dir)
     )
+
+
+# --------------------------------------------------------------------------
+# Regex containment rollup (portable pattern subset)
+# --------------------------------------------------------------------------
+
+# word-boundary alternation — the regex subset whose semantics agree
+# between Java regex (Spark rlike) and RE2 (DuckDB regexp_matches):
+# character classes, \b anchors, alternation; no backrefs/lookaround.
+REGEX_SIGNAL = r"\b(spark|query|scan)\b"
+
+REGEX_SIGNAL_ORACLE = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE regexp_matches(text, '{REGEX_SIGNAL}')) AS BIGINT)
+           AS n_matching,
+       round(CAST(count(*) FILTER (WHERE regexp_matches(text, '{REGEX_SIGNAL}')) AS DOUBLE)
+             / count(*), 4) AS match_rate
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("regex_signal_rollup", REGEX_SIGNAL_ORACLE)
+def regex_signal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex containment profiling per source: the filter shape of
+    keyword/PII/boilerplate scans (the reference has no regex surface
+    at all — this is the scalar-library extension its users reach for
+    first). ``rlike`` stays in codegen (Java regex compiled once per
+    task); the pattern is restricted to the Java/RE2-agreeing subset
+    so the oracle is equivalence, not coincidence. One partial-
+    aggregated shuffle on the small source domain; at 100 TB the
+    same plan, with the regex pre-compiled per executor."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    hit = F.col("text").rlike(REGEX_SIGNAL)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_if(hit).cast("bigint").alias("n_matching"),
+            F.round(F.count_if(hit).cast("double") / F.count(F.lit(1)), 4).alias(
+                "match_rate"
+            ),
+        )
+        .orderBy("source")
+    )
