@@ -72,6 +72,14 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "ann_truncation_recall",
     "monthly_revenue_growth",
     "regex_signal_rollup",
+    "doc_chunks",
+    "token_entropy_by_source",
+    "tfidf_cosine_pairs",
+    "fuzzy_dup_levenshtein",
+    "event_type_transitions",
+    "daily_anomaly_zscore",
+    "mad_outlier_bounds",
+    "revenue_contribution",
 )
 
 

@@ -1655,3 +1655,197 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
         F.round((F.col("revenue") - prev) / prev * 100, 4).alias("mom_pct"),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (sequence mining)
+# ---------------------------------------------------------------------------
+
+TRANSITIONS_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       count(*) AS n,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev_type), 4)
+           AS p_next
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY prev_type, next_type
+"""
+
+
+@register("event_type_transitions", TRANSITIONS_ORACLE)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (prev_type -> next_type) adjacency, the count
+    and the row-normalized transition probability — the
+    sequence-mining building block behind next-action prediction and
+    funnel anomaly detection.
+
+    Scale shape: one hash shuffle on user_id; the lag window rides
+    that partitioning (same single-exchange argument as
+    latest_event_per_user). The transition rollup then aggregates to
+    |types|^2 rows — metadata-scale — so the normalizing window runs
+    over a tiny frame. Ties in ts are broken by event_id for a
+    deterministic sequence."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wnorm = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wnorm), 4).alias("p_next"),
+    ).orderBy("prev_type", "next_type")
+
+
+# ---------------------------------------------------------------------------
+# Daily volume anomaly (z-score)
+# ---------------------------------------------------------------------------
+
+ZSCORE_ANOMALY_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+    FROM daily GROUP BY 1
+)
+SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n,
+       round(mu, 4) AS mean_daily,
+       round((d.n - mu) / sigma, 4) AS z
+FROM daily d JOIN stats s USING (event_type)
+WHERE sigma > 0 AND abs((d.n - mu) / sigma) > 2
+ORDER BY event_type, day
+"""
+
+
+@register("daily_anomaly_zscore", ZSCORE_ANOMALY_ORACLE)
+def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection: days whose event count sits
+    more than 2 sigma from that type's daily mean — the ops-dashboard
+    spike/outage detector, and the simplest member of the
+    anomaly-flag family next to suspicious_events (rule-based) and
+    quantile_outliers (distributional).
+
+    Scale shape: the daily rollup partial-aggregates to
+    |types|x|days| rows before anything else happens, so the stats
+    join is metadata-scale and broadcast. Integer counts feed
+    avg/stddev, so cross-engine drift is sub-ulp and rounded away at
+    4 decimals."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(z) > 2))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round("mu", 4).alias("mean_daily"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier bounds (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+MAD_ORACLE = """
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY 1
+),
+mad AS (
+    SELECT e.event_type, med,
+           quantile_cont(abs(e.value - med), 0.5) AS mad
+    FROM events e JOIN med USING (event_type)
+    GROUP BY 1, 2
+)
+SELECT m.event_type,
+       round(med, 6) AS med,
+       round(mad, 6) AS mad,
+       round(med - 3 * 1.4826 * mad, 6) AS lower_bound,
+       round(med + 3 * 1.4826 * mad, 6) AS upper_bound,
+       CAST(count(*) FILTER (WHERE e.value < med - 3 * 1.4826 * mad
+                                OR e.value > med + 3 * 1.4826 * mad)
+            AS BIGINT) AS n_outliers
+FROM mad m JOIN events e USING (event_type)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY event_type
+"""
+
+
+@register("mad_outlier_bounds", MAD_ORACLE)
+def mad_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier fences via median absolute deviation
+    (med +/- 3 * 1.4826 * MAD, the normal-consistent scale factor) —
+    the estimator quality pipelines prefer over mean/stddev because a
+    contaminated tail can't drag its own fence. Complements
+    quantile_outliers (fixed percentile) with a
+    contamination-resistant bound.
+
+    Scale shape: three passes over events, each a partial-aggregated
+    hash shuffle on event_type, with the |types|-row med/mad frames
+    broadcast back — the standard exact two-phase median-of-residuals
+    plan. Exact interpolated percentile on both engines (Spark
+    percentile == DuckDB quantile_cont), rounded at 6."""
+    events = _t(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    lo = F.col("med") - 3 * 1.4826 * F.col("mad")
+    hi = F.col("med") + 3 * 1.4826 * F.col("mad")
+    joined = events.join(F.broadcast(mad), "event_type")
+    return (
+        joined.groupBy(
+            "event_type",
+            F.round("med", 6).alias("med_r"),
+            F.round("mad", 6).alias("mad_r"),
+            F.round(lo, 6).alias("lower_bound"),
+            F.round(hi, 6).alias("upper_bound"),
+        )
+        .agg(
+            F.sum(
+                F.when((F.col("value") < lo) | (F.col("value") > hi), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("med_r").alias("med"),
+            F.col("mad_r").alias("mad"),
+            "lower_bound",
+            "upper_bound",
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

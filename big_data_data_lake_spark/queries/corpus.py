@@ -1062,3 +1062,297 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("transitivity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (LLM training prep)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+DOC_CHUNKS_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+    SELECT doc_id, toks, len(toks) AS n,
+           unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS start
+    FROM d
+)
+SELECT doc_id,
+       CAST(start / {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+       CAST(least({CHUNK_SIZE}, n - start) AS INTEGER) AS chunk_tokens,
+       array_to_string(list_slice(toks, start + 1, start + {CHUNK_SIZE}), ' ') AS chunk_text
+FROM s
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@register("doc_chunks", DOC_CHUNKS_ORACLE)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking of every document (32-token
+    windows, stride 24, so consecutive chunks share 8 tokens) — the
+    sequence-prep step every LLM training pipeline runs between
+    curation and tokenization. Context-overlap chunking keeps spans
+    that cross a chunk boundary learnable.
+
+    Scale shape: pure row-local array math (sequence/slice/
+    array_join inside codegen) followed by a generator explode — no
+    shuffle, no UDF, embarrassingly parallel per document, output
+    streamed straight to the sink. At 100 TB this is the textbook
+    map-only stage; the explode multiplies rows ~n/stride but each
+    task pipelines scan->explode->write with nothing materialized."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    exploded = docs.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 1, F.lit(CHUNK_STRIDE)),
+                lambda s: F.array_join(F.slice(toks, s + 1, CHUNK_SIZE), " "),
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(F.lit(CHUNK_SIZE), F.col("n") - F.col("chunk_idx") * CHUNK_STRIDE)
+        .cast("int")
+        .alias("chunk_tokens"),
+        "chunk_text",
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# Token entropy per source
+# ---------------------------------------------------------------------------
+
+TOKEN_ENTROPY_ORACLE = """
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+c AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (
+    SELECT source,
+           sum(c) AS n_tokens,
+           count(*) AS vocab,
+           sum(c * round(log2(CAST(c AS DOUBLE)), 6)) AS sum_clog
+    FROM c GROUP BY 1
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(vocab AS BIGINT) AS vocab,
+       round(round(log2(CAST(n_tokens AS DOUBLE)), 6) - sum_clog / n_tokens, 4)
+           AS entropy_bits
+FROM agg
+ORDER BY source
+"""
+
+
+@register("token_entropy_by_source", TOKEN_ENTROPY_ORACLE)
+def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits/token) of each source's unigram
+    distribution — the diversity signal curation uses to separate
+    natural text (high entropy) from boilerplate/template farms (low
+    entropy) when weighting sources in a training mix. Computed as
+    log2(N) - sum(c*log2(c))/N so only exact integer counts are
+    aggregated, with log2 quantized to 6 decimals before the multiply
+    (the same ulp-portability trick as TFIDF_ORACLE: JVM and DuckDB
+    libm may differ in the last bit).
+
+    Scale shape: two partial-aggregated hash shuffles — (source,
+    token) counts then a per-source fold; no window, no explode
+    beyond the token generator, everything codegens."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tx.tokenize("text")).alias("token"))
+    c = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    agg = c.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.col("c") * F.round(F.log2(F.col("c").cast("double")), 6)).alias(
+            "sum_clog"
+        ),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.round(
+            F.round(F.log2(F.col("n_tokens").cast("double")), 6)
+            - F.col("sum_clog") / F.col("n_tokens"),
+            4,
+        ).alias("entropy_bits"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine document pairs
+# ---------------------------------------------------------------------------
+
+COSINE_MAX_DF_FRAC = 0.25
+COSINE_THRESHOLD = 0.5
+
+TFIDF_COSINE_ORACLE = f"""
+WITH tokens AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+w AS (
+    SELECT tf.doc_id, tf.token,
+           CAST(round(tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) * 1000,
+                      0) AS BIGINT) AS w
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    WHERE df.df <= {COSINE_MAX_DF_FRAC} * n.n_docs
+),
+nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+dots AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.w * b.w) AS dot
+    FROM w a JOIN w b USING (token)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT d1, d2, cosine
+FROM (
+    SELECT d1, d2,
+           round(dot / sqrt(CAST(n1.n2 AS DOUBLE) * n2.n2), 4) AS cosine
+    FROM dots JOIN nrm n1 ON dots.d1 = n1.doc_id
+              JOIN nrm n2 ON dots.d2 = n2.doc_id
+)
+WHERE cosine >= {COSINE_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+@register("tfidf_cosine_pairs", TFIDF_COSINE_ORACLE)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs via an inverted-index
+    join — the classic IR formulation of semantic near-duplicate
+    detection, complementing ngram_jaccard (set overlap) and
+    embedding_topk_pairs (dense vectors). Weights are quantized to
+    integers (idf rounded to 6 decimals — the TFIDF_ORACLE ulp trick
+    — then scaled x1000 and rounded), so dot products and norms are
+    exact integer sums: both engines compute bit-identical cosines
+    regardless of aggregation order, and the threshold can never
+    flicker across a float boundary.
+
+    Scale shape: only documents sharing a sub-cap token ever meet
+    (postings equi-join, never all-pairs); the df cap (<= 25% of the
+    corpus) drops stop-token postings, bounding per-token fan-out the
+    same way ngram_jaccard_pairs_capped bounds hot shingles. On this
+    synthetic word-salad corpus the surviving rare-token subspace is
+    degenerate (shared rare tokens co-occur in identical ratios, so
+    cosines land at ~1.0); on natural corpora the threshold does the
+    separating. Two aggregated shuffles + one postings join."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(tx.tokenize("text")).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # one scalar; metadata-scale driver value
+    w = scoped_persist(
+        tf.join(F.broadcast(df_.filter(F.col("df") <= COSINE_MAX_DF_FRAC * n_docs)), "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+                * 1000,
+                0,
+            )
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = w.select(F.col("doc_id").alias("d1"), "token", F.col("w").alias("w1"))
+    b = w.select(F.col("doc_id").alias("d2"), "token", F.col("w").alias("w2"))
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    n1 = nrm.select(F.col("doc_id").alias("d1"), F.col("n2").alias("nsq1"))
+    n2 = nrm.select(F.col("doc_id").alias("d2"), F.col("n2").alias("nsq2"))
+    return (
+        dots.join(F.broadcast(n1), "d1")
+        .join(F.broadcast(n2), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("dot")
+                / F.sqrt(F.col("nsq1").cast("double") * F.col("nsq2")),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .orderBy("d1", "d2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance fuzzy duplicates
+# ---------------------------------------------------------------------------
+
+LEV_PREFIX = 120
+LEV_THRESHOLD = 30
+LEV_BUCKET = 40
+
+FUZZY_LEV_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, lang, n_chars // {LEV_BUCKET} AS blk,
+           left(text, {LEV_PREFIX}) AS p
+    FROM documents
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(levenshtein(a.p, b.p) AS INTEGER) AS edit_dist
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= {LEV_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+@register("fuzzy_dup_levenshtein", FUZZY_LEV_ORACLE)
+def fuzzy_dup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy duplicates over 120-char prefixes, blocked
+    on (lang, length-bucket) — the character-level near-dup detector
+    that catches small in-place edits (typo fixes, template fills)
+    which token-set methods score as identical-or-distant. Both
+    engines ship the same O(len^2) DP levenshtein, and the distance
+    is integer — no float portability concerns.
+
+    Scale shape: blocking turns the quadratic self-join into an
+    equi-join; candidate volume is sum over blocks of |block|^2, and
+    the prefix cap bounds each DP cell cost. Docs whose lengths
+    straddle a bucket boundary are missed by design (documented
+    recall trade; run twice with offset buckets to close it). At
+    100 TB, blocks for skewed (lang, length) cells should be
+    LSH-prefiltered first (minhash_lsh_pairs) so edit-distance only
+    re-ranks candidates — the pattern this query's plan demonstrates
+    at block granularity."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / LEV_BUCKET).cast("bigint").alias("blk"),
+        F.substring("text", 1, LEV_PREFIX).alias("p"),
+    )
+    a = d.select(F.col("doc_id").alias("d1"), "lang", "blk", F.col("p").alias("p1"))
+    b = d.select(F.col("doc_id").alias("d2"), "lang", "blk", F.col("p").alias("p2"))
+    return (
+        a.join(b, ["lang", "blk"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            F.levenshtein("p1", "p2").cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= LEV_THRESHOLD)
+        .orderBy("d1", "d2")
+    )

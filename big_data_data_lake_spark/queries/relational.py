@@ -2373,3 +2373,69 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-total contribution (ratio-to-report)
+# ---------------------------------------------------------------------------
+
+REVENUE_CONTRIBUTION_ORACLE = """
+WITH nat AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+)
+SELECT region, nation, revenue,
+       round(100.0 * revenue / sum(revenue) OVER (PARTITION BY region), 4)
+           AS pct_of_region,
+       rank() OVER (PARTITION BY region ORDER BY revenue DESC, nation)
+           AS rank_in_region
+FROM nat
+ORDER BY region, rank_in_region, nation
+"""
+
+
+@register("revenue_contribution", REVENUE_CONTRIBUTION_ORACLE)
+def revenue_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's order
+    revenue, plus its in-region rank — the percent-of-total window
+    shape every BI tool emits (Oracle RATIO_TO_REPORT, Tableau
+    percent-of-pane).
+
+    Scale shape: the fact scan aggregates down to |nations| rows
+    FIRST (one partial-aggregated shuffle; customer/nation/region
+    dims broadcast), so both windows run over a 25-row frame —
+    metadata-scale, same argument as monthly_revenue_growth. Revenue
+    is rounded before the share divide so both engines window over
+    identical inputs."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    nat = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    wsum = Window.partitionBy("region")
+    wrank = Window.partitionBy("region").orderBy(F.desc("revenue"), "nation")
+    return nat.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(100.0 * F.col("revenue") / F.sum("revenue").over(wsum), 4).alias(
+            "pct_of_region"
+        ),
+        F.rank().over(wrank).cast("bigint").alias("rank_in_region"),
+    ).orderBy("region", "rank_in_region", "nation")
