@@ -725,6 +725,56 @@ class LakeTable:
         )
         return v
 
+    def delete_where(self, cond: str, extra: dict | None = None) -> int:
+        """Copy-on-write DELETE (the GDPR / right-to-be-forgotten
+        primitive a training-data lake must have): remove every row
+        where ``cond`` evaluates TRUE (SQL DELETE semantics — NULL
+        keeps the row), producing a new manifest version. Prior
+        versions still see the rows until ``vacuum`` physically
+        retires their files — which is exactly the two-step
+        Delta/Iceberg erasure story (logical delete now, physical
+        on retention expiry).
+
+        File-level pruning is predicate-exact, not zone-map-bound: one
+        pushdown scan tags matching rows with ``input_file_name()``,
+        and only files that actually contain a match are rewritten —
+        every other file carries into the new manifest by reference.
+        The hit list collects to the driver but is manifest-scale
+        (file paths, not rows). On a 100 TB table a targeted delete
+        therefore costs one filtered scan plus a rewrite of the few
+        files holding the subject's rows."""
+        prev = self.manifest()
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(prev["schema_json"])
+        cond_col = F.expr(cond)
+        probe = self._read_files(schema, prev["files"]).withColumn(
+            "__file", F.input_file_name()
+        )
+        hits = {
+            _norm_file_uri(r["__file"])
+            for r in probe.filter(cond_col).select("__file").distinct().collect()
+        }
+        touched = [f for f in prev["files"] if _norm_file_uri(f["path"]) in hits]
+        untouched = [f for f in prev["files"] if _norm_file_uri(f["path"]) not in hits]
+        if not touched:
+            return self.latest_version()  # no-op: nothing matched
+        kept = self._read_files(schema, touched).filter(
+            ~F.coalesce(F.expr(cond), F.lit(False))
+        )
+        new_files = self._write_files(kept, prev["partition_by"])
+        v = self.latest_version() + 1
+        self._commit(
+            v,
+            self._new_manifest(
+                kept,
+                untouched + new_files,
+                prev["partition_by"],
+                self._carry(prev, extra),
+            ),
+        )
+        return v
+
     SCD2_COLS = ("__valid_from", "__valid_to", "__is_current")
 
     def upsert_scd2(

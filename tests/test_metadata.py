@@ -508,3 +508,60 @@ def test_scd2_prunes_unmatched_files_after_bootstrap(spark, tmp_path):
     assert lo_files <= after, "low-range files must carry over by reference"
     assert t.read().where("id = 107 AND __is_current").count() == 1
     assert t.read().where("id = 107").count() == 2
+
+
+def test_delete_where_removes_rows_new_version(spark, events, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(events, partition_by=["day"])
+    v = t.delete_where("id = 2")
+    assert v == 1
+    assert sorted(r.id for r in t.read().collect()) == [1, 3]
+    # time travel: the deleted row is still visible at version 0
+    assert sorted(r.id for r in t.read(version=0).collect()) == [1, 2, 3]
+
+
+def test_delete_where_rewrites_only_matching_files(spark, events, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(events, partition_by=["day"])
+    before = {f["path"] for f in t.manifest()["files"]}
+    # only day=2024-01-02 holds id=3; the 01-01 file must carry over
+    t.delete_where("id = 3")
+    after = t.manifest()["files"]
+    carried = [f for f in after if f["path"] in before]
+    assert carried and all(
+        f["partition"].get("day") == "2024-01-01" for f in carried
+    )
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+
+
+def test_delete_where_null_predicate_keeps_row(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, None), (2, "x")], "id long, k string"
+    )
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(df)
+    # SQL DELETE semantics: NULL predicate result keeps the row
+    t.delete_where("k = 'x'")
+    assert sorted(r.id for r in t.read().collect()) == [1]
+
+
+def test_delete_where_no_match_is_noop(spark, events, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(events, partition_by=["day"])
+    assert t.delete_where("id = 999") == 0  # no new version
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_read_binary_files_source(spark, tmp_path):
+    from big_data_data_lake_spark.sources.catalog import read_binary_files
+
+    (tmp_path / "a.ppm").write_bytes(b"P6 1 1 255\n\x01\x02\x03")
+    (tmp_path / "b.ppm").write_bytes(b"P6 2 1 255\n" + b"\x00" * 6)
+    (tmp_path / "c.txt").write_bytes(b"not an image")
+    df = read_binary_files(spark, str(tmp_path), glob="*.ppm")
+    rows = {os.path.basename(r.path): r for r in df.collect()}
+    assert set(rows) == {"a.ppm", "b.ppm"}
+    assert bytes(rows["a.ppm"].content) == b"P6 1 1 255\n\x01\x02\x03"
+    assert rows["b.ppm"].length == 17
+    capped = read_binary_files(spark, str(tmp_path), glob="*.ppm", max_bytes=14)
+    assert [os.path.basename(r.path) for r in capped.collect()] == ["a.ppm"]
