@@ -114,6 +114,14 @@ HEADLINE = [
     "ann_truncated_topk",
     "monthly_revenue_growth",
     "regex_signal_rollup",
+    "doc_chunks",
+    "token_entropy_by_source",
+    "tfidf_cosine_pairs",
+    "fuzzy_dup_levenshtein",
+    "event_type_transitions",
+    "daily_anomaly_zscore",
+    "mad_outlier_bounds",
+    "revenue_contribution",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

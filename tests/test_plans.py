@@ -88,6 +88,8 @@ def test_range_band_join_broadcasts_band_dim(spark):
         "embedding_topk_pairs",
         "source_overlap_matrix",
         "incremental_dedup_novelty",
+        "tfidf_cosine_pairs",
+        "fuzzy_dup_levenshtein",
     ],
 )
 def test_pair_generation_never_plans_quadratic_join(spark, name):
