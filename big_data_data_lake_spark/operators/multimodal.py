@@ -441,3 +441,97 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, blob_col).mapInPandas(op, schema=FRAME_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing + image near-duplicate detection
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = "doc_id bigint, dhash bigint"
+PHASH_BITS = 64
+PHASH_CHUNKS = 4  # 16-bit chunks; pigeonhole covers hamming <= 3
+
+
+def dhash_image(img: np.ndarray, hash_w: int = 8, hash_h: int = 8) -> int:
+    """Difference hash: grayscale, resample to (hash_h, hash_w+1),
+    take the sign of each horizontal gradient — 64 bits that survive
+    resizing, re-encoding, brightness shifts, and small edits, which
+    is exactly what byte-level dedup can't see. Returned as a SIGNED
+    int64 (two's complement) so it round-trips a Spark bigint."""
+    gray = img.mean(axis=2) if img.ndim == 3 else img
+    small = resize_nearest(gray, hash_w + 1, hash_h)
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    packed = np.packbits(bits.astype(np.uint8)).tobytes()
+    return int.from_bytes(packed[:8].ljust(8, b"\0"), "big", signed=True)
+
+
+def perceptual_hashes(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """dHash every decodable image blob over Arrow batches; rows whose
+    blob can't be decoded (compressed codec, truncated file) are
+    DROPPED — crawl-corpus posture: undecodable media can't be
+    perceptually deduped, and downstream joins shouldn't see them."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, b in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    img = decode_image(bytes(b))
+                except (NotImplementedError, ValueError):
+                    continue
+                ids.append(int(doc_id))
+                hashes.append(dhash_image(img))
+            yield pd.DataFrame(
+                {"doc_id": pd.array(ids, dtype="int64"),
+                 "dhash": pd.array(hashes, dtype="int64")}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(op, schema=PHASH_SCHEMA)
+
+
+def image_near_dups(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs from a (doc_id, dhash) frame:
+    band the 64-bit hash into four 16-bit chunks and equi-join on
+    any-chunk-equal (pigeonhole: hamming <= 3 guarantees one equal
+    chunk), then recheck exact hamming with bit_count(xor) — the same
+    band-join-then-verify shape as simhash_near_dups, applied to the
+    visual domain.
+
+    Scale shape: the only shuffle is the (chunk_idx, chunk_value)
+    equi-join; candidate volume is governed by band width, never
+    corpus size squared, and the verify step is a row-local bit op.
+    At 100 TB of images the hash frame is 16 bytes/row — the join
+    input is ~1/10^5 the corpus bytes."""
+    if max_hamming >= PHASH_CHUNKS:
+        raise ValueError(
+            f"pigeonhole banding with {PHASH_CHUNKS} chunks only covers "
+            f"hamming <= {PHASH_CHUNKS - 1}; got {max_hamming}"
+        )
+    chunks = F.array(
+        *[
+            (F.shiftrightunsigned(F.col("dhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)))
+            for i in range(PHASH_CHUNKS)
+        ]
+    )
+    banded = hashes.select(
+        "doc_id", "dhash", F.posexplode(chunks).alias("chunk_idx", "chunk_val")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("d1"), F.col("dhash").alias("h1"), "chunk_idx", "chunk_val"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("d2"), F.col("dhash").alias("h2"), "chunk_idx", "chunk_val"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["d1", "d2"])
+    )

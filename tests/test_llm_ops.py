@@ -5,6 +5,7 @@ stubs must be loud.
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -339,3 +340,34 @@ def test_sample_frames_extracts_real_ppm_video_frames(spark):
 
     with pytest.raises(ValueError, match="truncated"):
         mm.split_ppm_stream(stream[:-10])
+
+
+def test_dhash_invariant_to_brightness_shift():
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 200, size=(32, 32, 3)).astype(np.uint8)
+    shifted = np.clip(base.astype(np.int16) + 20, 0, 255).astype(np.uint8)
+    assert mm.dhash_image(base) == mm.dhash_image(shifted)
+    other = rng.integers(0, 200, size=(32, 32, 3)).astype(np.uint8)
+    xor = mm.dhash_image(base) ^ mm.dhash_image(other)
+    assert bin(xor & ((1 << 64) - 1)).count("1") > 10  # unrelated images differ
+
+
+def test_image_near_dups_band_join(spark):
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 200, size=(24, 24, 3)).astype(np.uint8)
+    near = np.clip(base.astype(np.int16) + 5, 0, 255).astype(np.uint8)
+    far = rng.integers(0, 200, size=(24, 24, 3)).astype(np.uint8)
+    rows = [
+        (1, bytearray(mm.encode_ppm(base))),
+        (2, bytearray(mm.encode_ppm(near))),
+        (3, bytearray(mm.encode_ppm(far))),
+        (4, bytearray(b"\x89PNG not decodable")),  # dropped, not fatal
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    hashes = mm.perceptual_hashes(df)
+    assert sorted(r.doc_id for r in hashes.collect()) == [1, 2, 3]
+    pairs = mm.image_near_dups(hashes, max_hamming=3).collect()
+    assert [(r.d1, r.d2, r.hamming) for r in pairs] == [(1, 2, 0)]
+    # banding guard: 4 chunks cannot cover hamming >= 4
+    with pytest.raises(ValueError):
+        mm.image_near_dups(hashes, max_hamming=4)
