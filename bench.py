@@ -122,6 +122,7 @@ HEADLINE = [
     "daily_anomaly_zscore",
     "mad_outlier_bounds",
     "revenue_contribution",
+    "next_purchase_asof",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -54,23 +54,36 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """As-of (backward) join: for each left row, attach the right row
-    with the greatest ``right_ts`` <= ``left_ts`` per key — an operator
-    Spark lacks natively (extension beyond SURVEY §2.4; the reference
-    has no as-of either).
+    """As-of join: for each left row, attach the ``backward`` nearest
+    right row (greatest ``right_ts`` <= ``left_ts`` per key) or the
+    ``forward`` nearest (smallest ``right_ts`` >= ``left_ts``) — the
+    pandas ``merge_asof`` surface, an operator Spark lacks natively
+    (extension beyond SURVEY §2.4; the reference has no as-of either).
+    ``tolerance`` (seconds for timestamp columns, plain units
+    otherwise) nulls out matches further away than the bound, exactly
+    like merge_asof — the row survives, the attached values become
+    NULL.
 
     Shape: the *merge* formulation, not a range join — tag both sides,
-    union, and carry the latest right values forward with
-    ``last(ignorenulls)`` over (key, ts). One shuffle on the key, one
-    sort within partitions, zero pair fan-out: at 100 TB this is the
-    only as-of shape that doesn't explode (a range join would emit
-    |left| x |matching right| intermediates before aggregating back).
+    union, and carry the nearest right values with
+    ``last(ignorenulls)`` over (key, ts) ordered ascending (backward)
+    or descending (forward). One shuffle on the key, one sort within
+    partitions, zero pair fan-out: at 100 TB this is the only as-of
+    shape that doesn't explode (a range join would emit |left| x
+    |matching right| intermediates before aggregating back); the
+    tolerance is a row-local post-filter, never a join condition.
 
-    Equal timestamps match (<=): right rows sort before left rows at
-    the same ts. Among right ties, ``tiebreak`` (ascending) makes the
-    carried value deterministic — the last one wins.
+    Equal timestamps match (<= / >=): right rows sort before left
+    rows at the same ts. Among right ties, ``tiebreak`` makes the
+    carried value deterministic (ascending; the last one wins — so
+    under ``forward``'s descending scan the SMALLEST tiebreak wins,
+    matching "first matching row" intuition).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [key] if isinstance(key, str) else list(key)
     val_src = [F.col(c) for c in value_cols]
 
@@ -90,10 +103,17 @@ def asof_join(
         *[v.alias(f"__r_{c}") for c, v in zip(value_cols, val_src)],
         F.col(right_ts).alias("__r_ts"),
     )
-    order = [F.col("__ts").asc(), F.col("__side").asc()]
-    if tiebreak is not None:
-        # among right rows at the same ts: ascending tiebreak, last wins
-        order.append(F.col(f"__r_{tiebreak}").asc_nulls_first())
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__side").asc()]
+        if tiebreak is not None:
+            # among right rows at the same ts: ascending tiebreak, last wins
+            order.append(F.col(f"__r_{tiebreak}").asc_nulls_first())
+    else:
+        # scan from the future backwards: preceding rows have ts >= left
+        order = [F.col("__ts").desc(), F.col("__side").asc()]
+        if tiebreak is not None:
+            # descending so last-wins == smallest tiebreak (first match)
+            order.append(F.col(f"__r_{tiebreak}").desc_nulls_first())
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)
@@ -104,6 +124,20 @@ def asof_join(
         carried = carried.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
     carried = carried.withColumn("__r_ts", F.last("__r_ts", ignorenulls=True).over(w))
     out = carried.where(F.col("__side") == 1).drop("__side", "__ts")
+    if tolerance is not None:
+        ts_type = left.schema[left_ts].dataType.simpleString()
+        if ts_type in ("timestamp", "timestamp_ntz"):
+            delta = F.abs(
+                F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("__r_ts"))
+            ) / 1e6
+        else:
+            delta = F.abs(F.col(left_ts) - F.col("__r_ts"))
+        within = delta <= F.lit(tolerance)
+        for c in value_cols:
+            out = out.withColumn(
+                f"__r_{c}", F.when(within, F.col(f"__r_{c}"))
+            )
+        out = out.withColumn("__r_ts", F.when(within, F.col("__r_ts")))
     for c in value_cols:
         out = out.withColumnRenamed(f"__r_{c}", f"asof_{c}")
     return out.withColumnRenamed("__r_ts", f"asof_{right_ts}")

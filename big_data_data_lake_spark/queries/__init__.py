@@ -80,6 +80,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "daily_anomaly_zscore",
     "mad_outlier_bounds",
     "revenue_contribution",
+    "next_purchase_asof",
 )
 
 

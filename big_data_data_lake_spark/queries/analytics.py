@@ -1849,3 +1849,76 @@ def mad_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join with tolerance (merge_asof surface)
+# ---------------------------------------------------------------------------
+
+NEXT_PURCHASE_ORACLE = """
+WITH v AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+),
+p AS (
+    SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+j AS (
+    SELECT v.event_id, v.user_id,
+           p.ts AS pts, p.value AS pv, p.event_id AS pid,
+           row_number() OVER (
+               PARTITION BY v.event_id
+               ORDER BY p.ts ASC NULLS LAST, p.event_id ASC NULLS LAST
+           ) AS rn
+    FROM v LEFT JOIN p
+      ON v.user_id = p.user_id AND p.ts >= v.ts
+         AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+)
+SELECT event_id, user_id,
+       round(pv, 2) AS next_value,
+       pid AS next_event_id,
+       CAST(epoch_us(pts) AS BIGINT) AS next_ts_us
+FROM j
+WHERE rn = 1
+"""
+
+
+@register("next_purchase_asof", NEXT_PURCHASE_ORACLE)
+def next_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: for every view event, the
+    NEAREST following purchase by the same user within one hour
+    (pandas merge_asof direction='forward' semantics; outside-
+    tolerance matches null out but the view row survives) — the
+    attribution join ad-tech and funnel pipelines run constantly.
+    Complements asof_last_error (backward) and view_purchase_pairs
+    (ALL pairs in the window vs the nearest one).
+
+    Scale shape: the merge formulation — one shuffle on user_id, one
+    partition sort, zero pair fan-out (the oracle's range join emits
+    every candidate pair before rn=1 filters; the Spark plan never
+    materializes them). Tolerance is a row-local post-filter on
+    microsecond arithmetic, identical in both engines."""
+    events = _t(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", F.col("event_id").alias("p_event_id")
+    )
+    out = jn.asof_join(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value", "p_event_id"],
+        tiebreak="p_event_id",
+        direction="forward",
+        tolerance=3600.0,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("asof_value", 2).alias("next_value"),
+        F.col("asof_p_event_id").alias("next_event_id"),
+        F.unix_micros("asof_ts").alias("next_ts_us"),
+    )
