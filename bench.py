@@ -123,6 +123,7 @@ HEADLINE = [
     "mad_outlier_bounds",
     "revenue_contribution",
     "next_purchase_asof",
+    "revenue_time_rollup",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -81,6 +81,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "mad_outlier_bounds",
     "revenue_contribution",
     "next_purchase_asof",
+    "revenue_time_rollup",
 )
 
 

@@ -2439,3 +2439,56 @@ def revenue_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.rank().over(wrank).cast("bigint").alias("rank_in_region"),
     ).orderBy("region", "rank_in_region", "nation")
+
+
+# ---------------------------------------------------------------------------
+# Time-hierarchy ROLLUP (year -> month -> grand total)
+# ---------------------------------------------------------------------------
+
+TIME_ROLLUP_ORACLE = """
+SELECT coalesce(CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR), 'ALL') AS yr,
+       coalesce(strftime(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)), '%Y-%m'),
+                'ALL') AS mon,
+       CAST(grouping(year(CAST(o_orderdate AS TIMESTAMP)))
+            + grouping(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)))
+            AS BIGINT) AS lvl,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY ROLLUP (year(CAST(o_orderdate AS TIMESTAMP)),
+                 date_trunc('month', CAST(o_orderdate AS TIMESTAMP)))
+ORDER BY lvl, yr, mon
+"""
+
+
+@register("revenue_time_rollup", TIME_ROLLUP_ORACLE)
+def revenue_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy ROLLUP: order counts and revenue at month,
+    year, and grand-total levels in one pass, with a grouping-level
+    column — the drill-down hierarchy shape (completing the
+    multi-dimensional family next to orders_cube's CUBE and
+    events_grouping_sets' explicit GROUPING SETS).
+
+    Scale shape: Spark expands ROLLUP into one Expand + one hash
+    aggregate — a single shuffle of 3x the partial-aggregated rows
+    (one replica per hierarchy level), never a per-level rescan of
+    the fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.year("o_orderdate").alias("y"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("m"),
+        "o_totalprice",
+    )
+    rolled = base.rollup("y", "m").agg(
+        F.grouping("y").cast("bigint").alias("gy"),
+        F.grouping("m").cast("bigint").alias("gm"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return rolled.select(
+        F.coalesce(F.col("y").cast("string"), F.lit("ALL")).alias("yr"),
+        F.coalesce(F.col("m"), F.lit("ALL")).alias("mon"),
+        (F.col("gy") + F.col("gm")).alias("lvl"),
+        "n_orders",
+        "revenue",
+    ).orderBy("lvl", "yr", "mon")
