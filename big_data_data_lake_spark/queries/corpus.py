@@ -1192,7 +1192,10 @@ def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sparse TF-IDF cosine document pairs
 # ---------------------------------------------------------------------------
 
-COSINE_MAX_DF_FRAC = 0.25
+COSINE_MAX_DF = 125  # absolute, like NGRAM_CAPPED_MAX_DF: a fractional
+# cap (0.25n) lets per-token fan-out grow as (0.25n)^2 with corpus size —
+# the 10x sweep blew past driver maxResultSize before the fix. 125 = 25%
+# of the 500-doc calibration corpus, so test-SF results are unchanged.
 COSINE_THRESHOLD = 0.5
 
 TFIDF_COSINE_ORACLE = f"""
@@ -1207,7 +1210,7 @@ w AS (
            CAST(round(tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) * 1000,
                       0) AS BIGINT) AS w
     FROM tf JOIN df USING (token) CROSS JOIN n
-    WHERE df.df <= {COSINE_MAX_DF_FRAC} * n.n_docs
+    WHERE df.df <= {COSINE_MAX_DF}
 ),
 nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
 dots AS (
@@ -1241,20 +1244,25 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     flicker across a float boundary.
 
     Scale shape: only documents sharing a sub-cap token ever meet
-    (postings equi-join, never all-pairs); the df cap (<= 25% of the
-    corpus) drops stop-token postings, bounding per-token fan-out the
-    same way ngram_jaccard_pairs_capped bounds hot shingles. On this
+    (postings equi-join, never all-pairs); the ABSOLUTE df cap drops
+    stop-token postings, bounding per-token fan-out at df^2 regardless
+    of corpus size, the same way ngram_jaccard_pairs_capped bounds hot
+    shingles (a fractional cap is a scale trap: fan-out would grow
+    quadratically with the corpus — caught by the 10x sweep). On this
     synthetic word-salad corpus the surviving rare-token subspace is
     degenerate (shared rare tokens co-occur in identical ratios, so
-    cosines land at ~1.0); on natural corpora the threshold does the
-    separating. Two aggregated shuffles + one postings join."""
+    cosines land at ~1.0 at sf<=0.01; at sf>=0.1 the fixed ~900-token
+    vocabulary means every token's df exceeds the cap — zero postings
+    survive, an honest reflection that rare-token similarity needs
+    rare tokens, which real Zipfian corpora always have); on natural
+    corpora the threshold does the separating. Two aggregated shuffles + one postings join."""
     docs = _t(spark, sf_dir, "documents")
     tokens = docs.select("doc_id", F.explode(tx.tokenize("text")).alias("token"))
     tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # one scalar; metadata-scale driver value
     w = scoped_persist(
-        tf.join(F.broadcast(df_.filter(F.col("df") <= COSINE_MAX_DF_FRAC * n_docs)), "token")
+        tf.join(F.broadcast(df_.filter(F.col("df") <= COSINE_MAX_DF)), "token")
         .select(
             "doc_id",
             "token",
