@@ -124,6 +124,7 @@ HEADLINE = [
     "revenue_contribution",
     "next_purchase_asof",
     "revenue_time_rollup",
+    "curation_pipeline_e2e",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -82,6 +82,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "revenue_contribution",
     "next_purchase_asof",
     "revenue_time_rollup",
+    "curation_pipeline_e2e",
 )
 
 

@@ -778,3 +778,137 @@ def incremental_dedup_novelty_capped(spark: SparkSession, sf_dir: str) -> DataFr
     this trades recall on boilerplate-only overlap (which dedup does
     not want anyway) for a hard fan-out bound."""
     return _incremental_novelty(spark, sf_dir, INCREMENTAL_CAPPED_MAX_DF)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (flagship composition)
+# ---------------------------------------------------------------------------
+
+E2E_QUALITY_GATE = 0.25
+_E2E_QUALITY_SQL = (
+    "least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.5"
+    " + CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to')))"
+    f" AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5 >= {E2E_QUALITY_GATE}"
+)
+
+CURATION_E2E_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents
+),
+q AS (SELECT * FROM base WHERE {_E2E_QUALITY_SQL}),
+fp AS (
+    SELECT doc_id, source, toks,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 2147483647) AS fp,
+           text
+    FROM q
+),
+s2 AS (
+    SELECT doc_id, source, text, toks
+    FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp)
+    WHERE rn = 1
+),
+tok AS (SELECT doc_id, {{token_hashes}} AS th FROM s2),
+shl AS (SELECT doc_id, {{shingles}} AS s FROM tok),
+ex AS (SELECT doc_id, unnest(s) AS g FROM shl),
+hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) > {{max_df}}),
+exc AS (SELECT * FROM ex WHERE g NOT IN (SELECT g FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM exc GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+    FROM exc a JOIN exc b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+nd AS (
+    SELECT DISTINCT d2
+    FROM common JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.3
+),
+s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT d2 FROM nd)),
+cin AS (SELECT source, count(*) AS n_in FROM base GROUP BY 1),
+cq  AS (SELECT source, count(*) AS n_quality FROM q GROUP BY 1),
+c2  AS (SELECT source, count(*) AS n_exact FROM s2 GROUP BY 1),
+c3  AS (SELECT source, count(*) AS n_final,
+               sum(len(toks)) AS tokens_final
+        FROM s3 GROUP BY 1)
+SELECT cin.source,
+       CAST(n_in AS BIGINT) AS n_in,
+       CAST(coalesce(n_quality, 0) AS BIGINT) AS n_quality,
+       CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact,
+       CAST(coalesce(n_final, 0) AS BIGINT) AS n_final,
+       CAST(coalesce(tokens_final, 0) AS BIGINT) AS tokens_final,
+       round(coalesce(n_final, 0) * 1.0 / n_in, 4) AS pct_kept
+FROM cin
+LEFT JOIN cq USING (source)
+LEFT JOIN c2 USING (source)
+LEFT JOIN c3 USING (source)
+ORDER BY source
+""".format(
+    token_hashes=dd.TOKEN_HASHES_SQL.format(text="text"),
+    shingles=dd.shingle_hashes_sql(2),
+    max_df=40,
+)
+
+
+@register("curation_pipeline_e2e", CURATION_E2E_ORACLE)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition: the full training-data curation
+    funnel as ONE dataflow — quality gate (length+stopword score >=
+    0.25) -> exact dedup (polynomial fingerprint, lowest doc_id
+    survives) -> near-dup removal (df-capped n-gram Jaccard >= 0.3;
+    the greedy keep-lowest rule drops every doc that appears as the
+    larger id of a pair) -> per-source survivor accounting (docs and
+    tokens at each stage, fraction kept). This is the report a
+    pipeline owner reads before committing a training mix, and the
+    end-to-end proof that the registry's stages compose.
+
+    Scale shape: each stage is the registered operator's own plan
+    (quality is a row-local codegen predicate; exact dedup shuffles
+    8-byte fingerprints; the near-dup stage reuses
+    _ngram_jaccard_pairs' df-capped inverted index over the
+    SURVIVING docs only — each stage shrinks the next stage's
+    input, which is the whole point of running the funnel in this
+    order). The stage counts are four partial-aggregated rollups to
+    |sources| rows, joined broadcast."""
+    from ..operators import text as tx
+    from ..operators import windows as win
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+    q = docs.where(tx.quality_score("text") >= E2E_QUALITY_GATE)
+    fp = q.withColumn("fp", tx.fingerprint("text"))
+    s2 = scoped_persist(win.first_per_key(fp, "fp", "doc_id").drop("fp"))
+    sh = scoped_persist(
+        s2.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
+        .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
+    )
+    pairs = _ngram_jaccard_pairs(spark, sf_dir, 40, shingles=sh)
+    drop = pairs.select("d2").distinct()
+    s3 = s2.join(drop, s2.doc_id == drop.d2, "left_anti")
+    cin = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_in"))
+    cq = q.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_quality"))
+    c2 = s2.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    c3 = s3.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_final"),
+        F.sum(tx.token_count("text")).cast("bigint").alias("tokens_final"),
+    )
+    return (
+        cin.join(F.broadcast(cq), "source", "left")
+        .join(F.broadcast(c2), "source", "left")
+        .join(F.broadcast(c3), "source", "left")
+        .select(
+            "source",
+            "n_in",
+            F.coalesce("n_quality", F.lit(0)).cast("bigint").alias("n_quality"),
+            F.coalesce("n_exact", F.lit(0)).cast("bigint").alias("n_exact"),
+            F.coalesce("n_final", F.lit(0)).cast("bigint").alias("n_final"),
+            F.coalesce("tokens_final", F.lit(0)).cast("bigint").alias("tokens_final"),
+            F.round(
+                F.coalesce("n_final", F.lit(0)) * 1.0 / F.col("n_in"), 4
+            ).alias("pct_kept"),
+        )
+        .orderBy("source")
+    )
