@@ -125,6 +125,8 @@ HEADLINE = [
     "next_purchase_asof",
     "revenue_time_rollup",
     "curation_pipeline_e2e",
+    "event_dow_chi2",
+    "embedding_covariance_topk",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -288,3 +288,74 @@ def ivf_probe_lists(
     )
     probed = F.slice(F.array_sort(pairs), 1, nprobe)
     return queries.withColumn("list_id", F.explode(F.transform(probed, lambda s: s.list_id)))
+
+
+# ---------------------------------------------------------------------------
+# Quantized Gram matrix (covariance / PCA building block)
+# ---------------------------------------------------------------------------
+
+
+def quantized_gram(df: DataFrame, vec_col: str = "embedding", scale: int = 1000) -> DataFrame:
+    """Upper-triangular Gram matrix sum(x_i * x_j) over an embedding
+    column, on vectors quantized to integers (floor(float64(x) *
+    scale)) — the distributed X^T X that covariance, PCA, and linear
+    regression normal equations all start from.
+
+    Exactness: quantization makes every partial product an int64, so
+    the per-partition numpy matmul kernel and a row-by-row SQL
+    formulation produce IDENTICAL sums regardless of partitioning or
+    order — the same portable-integer design as the minhash/simhash
+    sketches. float32 -> float64 widening is exact; the double
+    multiply and floor match any engine that computes in doubles.
+
+    Scale shape: the classic partial-aggregation pattern — each
+    Arrow batch contributes one d x d integer Gram via BLAS
+    (vectorized, no Python loop over rows), then ONE shuffle of
+    (d^2/2)-row partials per partition merges by (i, j). Data volume
+    shuffled is O(partitions * d^2), independent of row count; at
+    100 TB the reduce side is still metadata-scale for d <= ~2k.
+    Indices are 1-based to match SQL generate_subscripts."""
+    import numpy as np
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.floor(m * scale).astype(np.int64)
+            g = q.T @ q
+            iu = np.triu_indices(g.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype("int32"),
+                    "j": (iu[1] + 1).astype("int32"),
+                    "s": g[iu],
+                }
+            )
+
+    partial = df.select(vec_col).mapInPandas(op, "i int, j int, s long")
+    return partial.groupBy("i", "j").agg(F.sum("s").alias("s"))
+
+
+def power_iteration_top_eigen(gram_rows, dim: int, n: int, iters: int = 50):
+    """Top eigenpair of the covariance implied by collected Gram rows
+    ((i, j, s) upper triangle, 1-based) — driver-side power iteration
+    on the d x d matrix (metadata-scale: the DATA never leaves the
+    cluster; only the d^2/2 Gram summary does). Deterministic start
+    vector (all-ones) so reruns converge identically. Returns
+    (eigenvalue, eigenvector) in quantized units."""
+    import numpy as np
+
+    g = np.zeros((dim, dim), dtype=np.float64)
+    for i, j, s in gram_rows:
+        g[i - 1, j - 1] = s
+        g[j - 1, i - 1] = s
+    v = np.ones(dim) / np.sqrt(dim)
+    for _ in range(iters):
+        w = g @ v
+        nrm = np.linalg.norm(w)
+        if nrm == 0:
+            return 0.0, v
+        v = w / nrm
+    return float(v @ g @ v), v

@@ -83,6 +83,8 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "next_purchase_asof",
     "revenue_time_rollup",
     "curation_pipeline_e2e",
+    "event_dow_chi2",
+    "embedding_covariance_topk",
 )
 
 

@@ -1922,3 +1922,76 @@ def next_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_p_event_id").alias("next_event_id"),
         F.unix_micros("asof_ts").alias("next_ts_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (contingency analysis)
+# ---------------------------------------------------------------------------
+
+CHI2_ORACLE = """
+WITH obs AS (
+    SELECT event_type, dayofweek(ts) AS dow, count(*) AS o
+    FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, sum(o) AS r FROM obs GROUP BY 1),
+ct AS (SELECT dow, sum(o) AS c FROM obs GROUP BY 1),
+n AS (SELECT sum(o) AS n FROM obs),
+cells AS (
+    SELECT o.event_type, o.dow, o.o,
+           CAST(rt.r AS DOUBLE) * ct.c / n.n AS e
+    FROM obs o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+)
+SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+       CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1)
+            AS BIGINT) AS dof,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM cells
+"""
+
+
+@register("event_dow_chi2", CHI2_ORACLE)
+def event_dow_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and
+    day-of-week — the contingency-table statistic behind "does
+    behavior differ by weekday" dashboards and drift monitors
+    (statistical-testing family, next to daily_anomaly_zscore's
+    univariate z flags).
+
+    Scale shape: the contingency table partial-aggregates to
+    |types| x 7 cells in one shuffle; marginals and the statistic are
+    computed over that metadata-scale frame (broadcast joins, one
+    final fold). Cell terms are exact-integer-derived doubles; only
+    the 56-term sum can differ in order, absorbed by round(4).
+
+    Spark dayofweek() is 1-based (Sunday=1), DuckDB's 0-based — the
+    Spark side subtracts 1."""
+    events = _t(spark, sf_dir, "events")
+    obs = events.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            "o",
+            (F.col("r").cast("double") * F.col("c") / F.col("n")).alias("e"),
+        )
+    )
+    return cells.agg(
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            4,
+        ).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )

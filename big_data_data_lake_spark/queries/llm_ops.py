@@ -1312,3 +1312,90 @@ def regex_signal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding covariance via quantized Gram (distributed X^T X)
+# --------------------------------------------------------------------------
+
+COV_SCALE = 1000
+COV_TOPK = 20
+
+EMB_COV_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE}) AS BIGINT)) AS v
+    FROM embeddings
+),
+e1 AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM q),
+g AS (
+    SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sij
+    FROM e1 a JOIN e1 b USING (vec_id)
+    WHERE a.i < b.i
+    GROUP BY 1, 2
+),
+s AS (SELECT i, sum(x) AS si FROM e1 GROUP BY 1),
+n AS (SELECT count(*) AS n FROM q)
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, cov
+FROM (
+    SELECT g.i, g.j,
+           round((CAST(sij AS DOUBLE) - CAST(sa.si AS DOUBLE) * sb.si / n.n)
+                 / n.n / {COV_SCALE * COV_SCALE}.0, 6) AS cov
+    FROM g JOIN s sa ON g.i = sa.i JOIN s sb ON g.j = sb.i CROSS JOIN n
+)
+ORDER BY abs(cov) DESC, i, j
+LIMIT {COV_TOPK}
+"""
+
+
+@register("embedding_covariance_topk", EMB_COV_ORACLE)
+def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 off-diagonal covariance entries of the embedding
+    distribution by magnitude — the correlated-dimension report that
+    drives whitening / dimensionality decisions, built on the
+    distributed X^T X (operators/similarity.py::quantized_gram).
+
+    Exactness: quantized integer Gram + column sums mean both engines
+    derive cov from IDENTICAL integers; the final (sij - si*sj/n)/n
+    float expression is the same op sequence on both sides, so the
+    top-k ordering can't flicker. The oracle's row-exploded self-join
+    is the semantic spec; the Spark plan is a per-partition BLAS
+    matmul + one O(partitions * d^2) shuffle — no explode, no
+    row-pair join (plan-tested: no quadratic join).
+
+    Companion: operators/similarity.py::power_iteration_top_eigen
+    consumes the same collected Gram for the PCA eigenpair
+    (driver-side on the d x d summary — pytest-verified against
+    numpy.linalg.eigh; not SQL-expressible)."""
+    from ..operators.similarity import quantized_gram
+
+    emb = _t(spark, sf_dir, "embeddings")
+    gram = quantized_gram(emb, "embedding", COV_SCALE)
+    qsum = (
+        emb.select(
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x.cast("double") * COV_SCALE).cast("long"),
+                )
+            ).alias("i0", "x")
+        )
+        .groupBy((F.col("i0") + 1).cast("int").alias("i"))
+        .agg(F.sum("x").alias("si"))
+    )
+    n = emb.count()  # one scalar; metadata-scale
+    sa = qsum.select(F.col("i"), F.col("si").alias("si1"))
+    sb = qsum.select(F.col("i").alias("j"), F.col("si").alias("si2"))
+    cov = (
+        F.col("s").cast("double")
+        - F.col("si1").cast("double") * F.col("si2") / F.lit(n)
+    ) / F.lit(n) / F.lit(float(COV_SCALE * COV_SCALE))
+    return (
+        gram.filter(F.col("i") < F.col("j"))
+        .join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .select("i", "j", F.round(cov, 6).alias("cov"))
+        .orderBy(F.abs(F.col("cov")).desc(), "i", "j")
+        .limit(COV_TOPK)
+    )

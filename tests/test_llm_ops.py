@@ -371,3 +371,31 @@ def test_image_near_dups_band_join(spark):
     # banding guard: 4 chunks cannot cover hamming >= 4
     with pytest.raises(ValueError):
         mm.image_near_dups(hashes, max_hamming=4)
+
+
+def test_quantized_gram_matches_naive_and_power_iteration(spark):
+    from big_data_data_lake_spark.operators.similarity import (
+        power_iteration_top_eigen,
+        quantized_gram,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 6)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)  # partial Grams must merge across partitions
+    rows = quantized_gram(df, "embedding", 1000).collect()
+    q = np.floor(vecs.astype(np.float64) * 1000).astype(np.int64)
+    expect = q.T @ q
+    got = {(r.i, r.j): r.s for r in rows}
+    for i in range(6):
+        for j in range(i, 6):
+            assert got[(i + 1, j + 1)] == expect[i, j]
+    # driver-side PCA on the collected Gram matches dense eigh
+    lam, v = power_iteration_top_eigen(
+        [(r.i, r.j, r.s) for r in rows], dim=6, n=len(vecs)
+    )
+    w, u = np.linalg.eigh(expect.astype(np.float64))
+    assert abs(lam - w[-1]) / w[-1] < 1e-6
+    assert abs(abs(v @ u[:, -1]) - 1.0) < 1e-6  # same direction up to sign
