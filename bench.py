@@ -127,6 +127,7 @@ HEADLINE = [
     "curation_pipeline_e2e",
     "event_dow_chi2",
     "embedding_covariance_topk",
+    "props_variant_stats",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -85,6 +85,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "curation_pipeline_e2e",
     "event_dow_chi2",
     "embedding_covariance_topk",
+    "props_variant_stats",
 )
 
 

@@ -1995,3 +1995,53 @@ def event_dow_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dof"),
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VariantType semi-structured extraction (Spark 4 lakehouse path)
+# ---------------------------------------------------------------------------
+
+VARIANT_PROPS_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS BIGINT) AS n_with_k,
+       round(avg(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)
+           AS avg_k,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("props_variant_stats", VARIANT_PROPS_ORACLE)
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property stats through Spark 4's VARIANT type:
+    ``parse_json`` converts the props string to the binary variant
+    encoding ONCE, then typed ``variant_get`` paths extract fields —
+    the modern lakehouse semi-structured story (open variant spec,
+    shared by Delta/Iceberg), vs props_json_stats' per-field string
+    re-parse (``get_json_object`` tokenizes the JSON once PER
+    extraction). With many extracted fields the variant path
+    re-parses nothing; malformed values surface as NULL on both
+    engines (try_variant_get == DuckDB TRY_CAST; plain variant_get
+    raises INVALID_VARIANT_CAST, the strict twin).
+
+    Scale shape: row-local parse + one partial-aggregated shuffle to
+    |types| rows. At 100 TB the win is storing the variant column at
+    ingest so every downstream query skips the string parse
+    entirely."""
+    events = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
