@@ -15,7 +15,7 @@ def test_bench_runs_and_emits_one_json_line():
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_CPUS="8",
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -23,7 +23,10 @@ def test_bench_runs_and_emits_one_json_line():
         env=env,
         capture_output=True,
         text=True,
-        timeout=420,
+        # the headline set is ~95 queries; the run takes ~250 s solo at
+        # sf0.001 but shares cores with whatever else the box runs —
+        # the margin must absorb a concurrent suite, not just noise
+        timeout=900,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
