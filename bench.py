@@ -128,6 +128,8 @@ HEADLINE = [
     "event_dow_chi2",
     "embedding_covariance_topk",
     "props_variant_stats",
+    "rfm_segments",
+    "activity_streaks",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -86,6 +86,8 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "event_dow_chi2",
     "embedding_covariance_topk",
     "props_variant_stats",
+    "rfm_segments",
+    "activity_streaks",
 )
 
 

@@ -2045,3 +2045,158 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (quartile scoring)
+# ---------------------------------------------------------------------------
+
+RFM_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           max(ts) AS last_ts,
+           count(*) AS frequency,
+           round(sum(value), 2) AS monetary
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+),
+scored AS (
+    SELECT user_id,
+           ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS r,
+           ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f,
+           ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m
+    FROM per_user
+)
+SELECT r, f, m,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(min(user_id) AS BIGINT) AS sample_user
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY r, f, m
+"""
+
+
+@register("rfm_segments", RFM_ORACLE)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation of
+    purchasing users — the canonical customer-value grid every
+    marketing warehouse derives, and the ML-feature shape (per-entity
+    rollup -> rank-based bucketing) that feeds churn models.
+
+    Scale shape: the purchase scan rolls up to one row per user
+    FIRST; the three ntile windows then run over the users frame.
+    NOTE the deliberate contrast with value_deciles: these windows
+    are global-ORDER-BY, acceptable here only because the USERS frame
+    is orders of magnitude smaller than events; at a 10^9-user scale
+    the same exact_ntile range-exchange used by value_deciles slots
+    in per dimension (same expression, documented swap). Ties broken
+    by user_id so both engines bucket identically."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    per_user = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+    )
+    r = F.ntile(4).over(Window.orderBy(F.desc("last_ts"), F.asc("user_id")))
+    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+    scored = per_user.select(
+        "user_id", r.alias("r"), f.alias("f"), m.alias("m")
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("user_id").cast("bigint").alias("sample_user"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands (contiguous id ranges)
+# ---------------------------------------------------------------------------
+
+GAPS_ISLANDS_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+grp AS (
+    SELECT user_id, day,
+           day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                      AS INTEGER) AS g
+    FROM days
+),
+streaks AS (
+    SELECT user_id,
+           count(*) AS streak_len,
+           min(day) AS streak_start
+    FROM grp GROUP BY user_id, g
+),
+best AS (
+    SELECT user_id, streak_len, streak_start,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY streak_len DESC, streak_start
+           ) AS rn
+    FROM streaks
+)
+SELECT user_id,
+       CAST(streak_len AS BIGINT) AS streak_len,
+       strftime(streak_start, '%Y-%m-%d') AS streak_start
+FROM best
+WHERE rn = 1
+ORDER BY streak_len DESC, user_id
+LIMIT 100
+"""
+
+
+@register("activity_streaks", GAPS_ISLANDS_ORACLE)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (top 100) —
+    the gaps-and-islands pattern (date minus row_number groups
+    contiguous runs), the canonical SQL shape for engagement streaks
+    and ingest-completeness audits that the registry didn't yet
+    carry.
+
+    Scale shape: distinct (user, day) partial-aggregates first; the
+    row_number window partitions BY USER so it rides the same hash
+    exchange — no global window anywhere (contrast the global-frame
+    patterns that need value_deciles' range exchange). Top-100 is a
+    TakeOrderedAndProject with a full tiebreak."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("g"),
+    )
+    streaks = grp.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), F.asc("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "streak_len",
+            F.date_format("streak_start", "yyyy-MM-dd").alias("streak_start"),
+        )
+        .orderBy(F.desc("streak_len"), "user_id")
+        .limit(100)
+    )
