@@ -90,6 +90,7 @@ def test_range_band_join_broadcasts_band_dim(spark):
         "incremental_dedup_novelty",
         "tfidf_cosine_pairs",
         "fuzzy_dup_levenshtein",
+        "curation_pipeline_e2e",
     ],
 )
 def test_pair_generation_never_plans_quadratic_join(spark, name):
