@@ -130,6 +130,8 @@ HEADLINE = [
     "props_variant_stats",
     "rfm_segments",
     "activity_streaks",
+    "monthly_churn",
+    "user_activity_histogram",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -88,6 +88,8 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "props_variant_stats",
     "rfm_segments",
     "activity_streaks",
+    "monthly_churn",
+    "user_activity_histogram",
 )
 
 

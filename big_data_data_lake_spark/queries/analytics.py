@@ -2200,3 +2200,147 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("streak_len"), "user_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Monthly churn (windowed anti-join)
+# ---------------------------------------------------------------------------
+
+MONTHLY_CHURN_ORACLE = """
+WITH activity AS (
+    SELECT DISTINCT user_id,
+           strftime(date_trunc('month', ts), '%Y-%m') AS month
+    FROM events
+),
+months AS (SELECT DISTINCT month FROM activity),
+seq AS (
+    SELECT month,
+           lag(month) OVER (ORDER BY month) AS prev_month
+    FROM months
+),
+churn AS (
+    SELECT s.month,
+           count(*) AS churned
+    FROM seq s
+    JOIN activity a ON a.month = s.prev_month
+    WHERE s.prev_month IS NOT NULL
+      AND NOT EXISTS (
+          SELECT 1 FROM activity b
+          WHERE b.user_id = a.user_id AND b.month = s.month
+      )
+    GROUP BY s.month
+),
+base AS (SELECT month, count(*) AS active FROM activity GROUP BY 1)
+SELECT s.month,
+       CAST(pb.active AS BIGINT) AS prev_active,
+       CAST(coalesce(c.churned, 0) AS BIGINT) AS churned,
+       round(coalesce(c.churned, 0) * 1.0 / pb.active, 4) AS churn_rate
+FROM seq s
+JOIN base pb ON pb.month = s.prev_month
+LEFT JOIN churn c ON c.month = s.month
+WHERE s.prev_month IS NOT NULL
+ORDER BY s.month
+"""
+
+
+@register("monthly_churn", MONTHLY_CHURN_ORACLE)
+def monthly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month churn: of the users active in month m-1, how
+    many have NO activity in month m — the windowed anti-join every
+    growth dashboard runs, complementing retention_cohorts (which
+    follows a fixed signup cohort forward) with the rolling
+    adjacent-month view.
+
+    Scale shape: activity distinct-aggregates to (user, month) rows
+    first; the churn check is a per-adjacent-month-pair anti-join on
+    user_id — an equi-join Spark hashes, never a cross. The month
+    spine is metadata-scale so the lag window is trivial."""
+    from pyspark.sql import Window
+
+    from ..caching import scoped_persist
+
+    events = _t(spark, sf_dir, "events")
+    activity = scoped_persist(
+        events.select(
+            "user_id",
+            F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
+        ).distinct()
+    )
+    months = activity.select("month").distinct()
+    seq = months.select(
+        "month", F.lag("month").over(Window.orderBy("month")).alias("prev_month")
+    ).where(F.col("prev_month").isNotNull())
+    prev = activity.select(
+        F.col("month").alias("prev_month"), "user_id"
+    )
+    cur = activity.select(F.col("month").alias("cur_month"), F.col("user_id").alias("cu"))
+    # users active in prev_month, joined to the month-pair spine
+    cand = seq.join(prev, "prev_month")
+    churned = cand.join(
+        cur,
+        (cand.month == cur.cur_month) & (cand.user_id == cur.cu),
+        "left_anti",
+    ).groupBy("month").agg(F.count(F.lit(1)).cast("bigint").alias("churned"))
+    base = activity.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active")
+    )
+    pb = base.select(F.col("month").alias("prev_month"), F.col("active").alias("prev_active"))
+    return (
+        seq.join(F.broadcast(pb), "prev_month")
+        .join(F.broadcast(churned), "month", "left")
+        .select(
+            "month",
+            "prev_active",
+            F.coalesce("churned", F.lit(0)).cast("bigint").alias("churned"),
+            F.round(
+                F.coalesce("churned", F.lit(0)) * 1.0 / F.col("prev_active"), 4
+            ).alias("churn_rate"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Power-law activity histogram (log2 buckets)
+# ---------------------------------------------------------------------------
+
+ACTIVITY_HIST_ORACLE = """
+WITH per_user AS (
+    SELECT user_id, count(*) AS n FROM events GROUP BY 1
+)
+SELECT CAST(floor(log2(CAST(n AS DOUBLE))) AS BIGINT) AS bucket_log2,
+       CAST(power(2, floor(log2(CAST(n AS DOUBLE)))) AS BIGINT) AS bucket_min_events,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM per_user
+GROUP BY 1, 2
+ORDER BY bucket_log2
+"""
+
+
+@register("user_activity_histogram", ACTIVITY_HIST_ORACLE)
+def user_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed histogram of per-user event counts — the
+    power-law audit that says how heavy the heavy tail is, which is
+    exactly what decides whether join_key_skew_profile's salting is
+    needed (a flat histogram means hash partitioning is safe; a
+    steep one means the top buckets are stragglers).
+
+    Scale shape: two partial-aggregated shuffles, the second over
+    ~60 bucket rows. floor(log2(n)) on exact integer counts is
+    bit-identical across engines (log2 of an int is only boundary-
+    ambiguous AT powers of two, where IEEE log2 is exact)."""
+    events = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    b = F.floor(F.log2(F.col("n").cast("double")))
+    return (
+        per_user.groupBy(
+            b.cast("bigint").alias("bucket_log2"),
+            F.pow(F.lit(2.0), b).cast("bigint").alias("bucket_min_events"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n").cast("bigint").alias("n_events"),
+        )
+        .orderBy("bucket_log2")
+    )
