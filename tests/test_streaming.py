@@ -659,3 +659,60 @@ def test_lake_scd2_sink_historizes_and_replay_safe(spark, tmpdir):
     table = LakeTable(spark, f"{tmpdir}/dim")
     assert table.latest_version() == v_before
     assert {r.k: r.tier for r in table.read().where("__is_current").collect()} == cur
+
+
+def test_stream_point_in_time_enrichment_against_scd2_dim(spark, tmpdir):
+    """Composition: a fact stream enriched per micro-batch against the
+    SCD2 dim HISTORY with point-in-time correctness — each fact joins
+    the dim version valid AT ITS EVENT TIME, so late-arriving facts
+    about last week get last week's attributes, not today's. This is
+    the read side of lake_scd2_sink's write side."""
+    import os
+
+    from big_data_data_lake_spark.operators.joins import point_in_time_join
+    from big_data_data_lake_spark.sources.metadata import LakeTable
+
+    # dim history: key 'a' is bronze from the epoch (SCD2 bootstrap),
+    # then gold from 2024-01-03
+    t = LakeTable(spark, f"{tmpdir}/dim")
+    t.create(
+        spark.createDataFrame([("a", "bronze")], "k string, tier string").coalesce(1)
+    )
+    t.upsert_scd2(
+        spark.createDataFrame(
+            [("a", "gold", "2024-01-03 00:00:00")], "k string, tier string, ts string"
+        ).selectExpr("k", "tier", "cast(ts as timestamp) ts"),
+        keys=["k"],
+        change_ts="ts",
+    )
+
+    src = f"{tmpdir}/facts"
+    os.makedirs(src)
+    with open(f"{src}/b0.jsonl", "w") as fh:
+        fh.write(json.dumps({"k": "a", "fts": "2024-01-02 12:00:00", "v": 1.0}) + "\n")
+        fh.write(json.dumps({"k": "a", "fts": "2024-01-04 12:00:00", "v": 2.0}) + "\n")
+        fh.write(json.dumps({"k": "z", "fts": "2024-01-02 12:00:00", "v": 3.0}) + "\n")
+
+    got = []
+
+    def enrich_batch(batch_df, batch_id):
+        hist = t.read().select("k", "tier", "__valid_from", "__valid_to")
+        out = point_in_time_join(
+            batch_df.selectExpr("k", "cast(fts as timestamp) fts", "v"),
+            hist,
+            key="k",
+            ts_col="fts",
+        )
+        got.extend(
+            (r.k, float(r.v), r.tier) for r in out.select("k", "v", "tier").collect()
+        )
+
+    stream = spark.readStream.schema("k string, fts string, v double").json(src)
+    q = stream.writeStream.foreachBatch(enrich_batch).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    assert sorted(got) == [
+        ("a", 1.0, "bronze"),  # fact before the change sees the OLD tier
+        ("a", 2.0, "gold"),    # fact after the change sees the new tier
+        ("z", 3.0, None),      # unknown key survives with NULL attributes
+    ]
