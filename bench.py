@@ -132,6 +132,7 @@ HEADLINE = [
     "activity_streaks",
     "monthly_churn",
     "user_activity_histogram",
+    "supplier_lead_time",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -90,6 +90,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "activity_streaks",
     "monthly_churn",
     "user_activity_histogram",
+    "supplier_lead_time",
 )
 
 

@@ -2492,3 +2492,66 @@ def revenue_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "revenue",
     ).orderBy("lvl", "yr", "mon")
+
+
+# ---------------------------------------------------------------------------
+# Supplier fulfillment lead time (date arithmetic)
+# ---------------------------------------------------------------------------
+
+LEAD_TIME_ORACLE = """
+WITH lead AS (
+    SELECT l.l_suppkey,
+           date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))
+               AS lead_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(avg(lead_days), 4) AS avg_lead_days,
+       round(quantile_cont(lead_days, 0.95), 4) AS p95_lead_days
+FROM lead JOIN supplier s ON lead.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+ORDER BY avg_lead_days DESC, s_suppkey
+LIMIT 25
+"""
+
+
+@register("supplier_lead_time", LEAD_TIME_ORACLE)
+def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowest 25 suppliers by average order-to-ship lead time (with
+    exact p95) — the fulfillment SLA report, and the registry's
+    date-arithmetic aggregation representative (datediff over a
+    fact x fact key join).
+
+    Scale shape: lineitem x orders is the one genuine fact x fact
+    equi-join in the schema — on a cluster these two tables are
+    BUCKETED on the order key (tests/test_bucketing.py pins the
+    zero-shuffle plan for exactly this join); at test SF it's a plain
+    hash join. The supplier dim broadcasts; the rollup
+    partial-aggregates to |suppliers| rows before the top-k."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    lead = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_suppkey",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("lead_days"),
+    )
+    return (
+        lead.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            lead.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.avg("lead_days"), 4).alias("avg_lead_days"),
+            F.round(F.expr("percentile(lead_days, 0.95)"), 4).alias("p95_lead_days"),
+        )
+        .orderBy(F.desc("avg_lead_days"), "s_suppkey")
+        .limit(25)
+    )
