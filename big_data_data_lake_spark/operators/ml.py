@@ -112,6 +112,11 @@ def lloyd_kmeans_deterministic(
         }
 
     cents = collect_cents(z.groupBy(seed_band.cast("int").alias("cid")).agg(*cent_aggs))
+    if not cents:
+        # empty input: no seed groups, nothing to iterate — keep the
+        # schema contract (zero rows) instead of indexing into an
+        # empty centroid list
+        return z.withColumn(out, F.lit(None).cast("int"))
 
     def assign(cents_d: dict[int, tuple[float, ...]]) -> "F.Column":
         items = sorted(cents_d.items())

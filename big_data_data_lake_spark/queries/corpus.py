@@ -546,6 +546,10 @@ def token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         es.select(F.col("src").alias("tok")).union(es.select("dst")).distinct()
     )
     n = nodes.count()
+    if n == 0:
+        # empty corpus: no token graph — 1/n would constant-fold to an
+        # ANSI divide-by-zero before any row exists to skip it
+        return spark.createDataFrame([], "tok string, pr double")
     base = F.lit(1.0) / F.lit(float(n))
     teleport = F.lit(0.15) / F.lit(float(n))
     r = nodes.select("tok", F.round(base, 9).alias("r"))
@@ -905,8 +909,15 @@ def lsh_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth",
         "n_detected",
         F.col("c").alias("true_positives"),
-        F.round(F.col("c").cast("double") / F.col("n_detected"), 4).alias("precision"),
-        F.round(F.col("c").cast("double") / F.col("n_truth"), 4).alias("recall"),
+        # try_divide: an empty corpus yields n_detected = n_truth = 0 and
+        # the single aggregate row still evaluates — NULL beats an ANSI
+        # divide-by-zero crash; on any non-empty corpus both are > 0
+        F.round(F.try_divide(F.col("c").cast("double"), F.col("n_detected")), 4).alias(
+            "precision"
+        ),
+        F.round(F.try_divide(F.col("c").cast("double"), F.col("n_truth")), 4).alias(
+            "recall"
+        ),
     )
 
 

@@ -923,6 +923,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select("vec_id", sim.to_double("embedding").alias("v"))
     corpus = e.where(F.col("vec_id") >= 5)
     cents = corpus.orderBy("vec_id").limit(_IVF_LISTS).select("v").collect()
+    if not cents:
+        # empty corpus: no centroids to quantize against — an empty
+        # F.array() has no element type and fails analysis
+        return spark.createDataFrame([], "qid long, nid long, cos_sim double")
     cent_lits = [F.array(*[F.lit(float(x)) for x in row.v]) for row in cents]
 
     def nearest_lists(vec: F.Column, k: int) -> F.Column:

@@ -1,0 +1,43 @@
+"""Robustness: every registered query must EXECUTE on schema-correct
+empty tables (a fresh deployment, a fully-filtered partition, a
+day-zero incremental run) — returning zero-or-more rows, never
+crashing. The sweep that produced this test found five real crashes:
+empty-centroid F.array() analysis failures (IVF), an IndexError on an
+empty centroid dict (Lloyd), and ANSI divide-by-zero on 1/n and 0/0
+(pagerank, lsh_pr_audit).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from big_data_data_lake_spark.caching import release_query_caches
+from big_data_data_lake_spark.queries import load_all
+from big_data_data_lake_spark.sources.catalog import TABLES
+
+SRC_SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("sf_empty")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"COPY (SELECT * FROM '{SRC_SF}/{t}.parquet' LIMIT 0) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(out)
+
+
+def test_every_query_survives_empty_tables(spark, empty_sf_dir):
+    failures = []
+    for name, qd in sorted(load_all().items()):
+        try:
+            qd.fn(spark, empty_sf_dir).collect()
+        except Exception as e:  # noqa: BLE001 — collecting all failures
+            failures.append(f"{name}: {type(e).__name__}: {str(e).splitlines()[0][:100]}")
+        finally:
+            release_query_caches()
+    assert not failures, "\n".join(failures)
