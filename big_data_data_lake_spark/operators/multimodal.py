@@ -27,8 +27,11 @@ FEATURE_SCHEMA = "doc_id bigint, blob_len int, first_byte int, checksum int"
 
 def attach_blob(df: DataFrame, text_col: str = "text", out: str = "blob") -> DataFrame:
     """Materialize an opaque binary column (stand-in for image/audio
-    bytes; in production this is the parquet BINARY column itself)."""
-    return df.withColumn(out, F.encode(F.col(text_col), "UTF-8"))
+    bytes; in production this is the parquet BINARY column itself).
+    NULL text becomes an empty payload — the kernels' existing
+    zero-length path — instead of a NULL blob that would crash
+    ``len()`` inside every Arrow kernel."""
+    return df.withColumn(out, F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8"))
 
 
 # ---------------------------------------------------------------------------
@@ -274,7 +277,11 @@ def _as_mono_float(blob: bytes) -> tuple[np.ndarray, int]:
     is RIFF; otherwise the bytes are INTERPRETED as headerless
     unsigned-8-bit PCM at 8 kHz — itself a real raw-audio format (the
     telephony u8 convention), so even the fallback is genuine DSP, not
-    a fake. Mixed-format corpora never kill the job."""
+    a fake. Mixed-format corpora never kill the job. A NULL payload
+    decodes as zero samples (crawl posture: missing media is empty,
+    not fatal)."""
+    if blob is None:
+        return np.zeros(0, dtype=np.float64), 8000
     try:
         samples, rate = decode_wav(bytes(blob))
         return samples.astype(np.float64).mean(axis=1) / 32768.0, rate

@@ -179,7 +179,10 @@ def global_cumsum(
         .persist()
     )
     sums = {
-        int(r["__pid"]): int(r["__s"])
+        # sum() is NULL when every value in a partition is NULL (e.g.
+        # a null-heavy column on a degenerate input) — count it as 0
+        # instead of crashing the driver-side int()
+        int(r["__pid"]): int(r["__s"] or 0)
         for r in (
             ranged.groupBy("__pid")
             .agg(F.sum(F.col(value_col).cast("long")).alias("__s"))

@@ -41,3 +41,48 @@ def test_every_query_survives_empty_tables(spark, empty_sf_dir):
         finally:
             release_query_caches()
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def null_heavy_sf_dir(tmp_path_factory):
+    """Nullable columns fully NULL (events.value/props, documents.text)
+    — the shape a half-broken upstream export produces."""
+    out = tmp_path_factory.mktemp("sf_nulls")
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "events":
+            con.sql(
+                f"""COPY (SELECT event_id, ts, user_id, event_type,
+                          CAST(NULL AS DOUBLE) AS value,
+                          CAST(NULL AS VARCHAR) AS props
+                   FROM '{SRC_SF}/{t}.parquet')
+                   TO '{out}/{t}.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "documents":
+            con.sql(
+                f"""COPY (SELECT doc_id, CAST(NULL AS VARCHAR) AS text,
+                          lang, source, n_chars
+                   FROM '{SRC_SF}/{t}.parquet')
+                   TO '{out}/{t}.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.sql(
+                f"COPY (SELECT * FROM '{SRC_SF}/{t}.parquet') "
+                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return str(out)
+
+
+def test_every_query_survives_all_null_nullable_columns(spark, null_heavy_sf_dir):
+    """Found three real crashes when written: NULL blobs crashing the
+    Arrow kernels' len(), and a NULL grand total crashing
+    global_cumsum's driver-side int()."""
+    failures = []
+    for name, qd in sorted(load_all().items()):
+        try:
+            qd.fn(spark, null_heavy_sf_dir).collect()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {type(e).__name__}: {str(e).splitlines()[0][:100]}")
+        finally:
+            release_query_caches()
+    assert not failures, "\n".join(failures)
