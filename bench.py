@@ -133,6 +133,7 @@ HEADLINE = [
     "monthly_churn",
     "user_activity_histogram",
     "supplier_lead_time",
+    "nation_rank_movers",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

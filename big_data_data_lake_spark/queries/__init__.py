@@ -91,6 +91,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "monthly_churn",
     "user_activity_histogram",
     "supplier_lead_time",
+    "nation_rank_movers",
 )
 
 

@@ -2555,3 +2555,94 @@ def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_lead_days"), "s_suppkey")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank movers (period-over-period rank delta + indexed-to-base)
+# ---------------------------------------------------------------------------
+
+RANK_MOVERS_ORACLE = """
+WITH yearly AS (
+    SELECT n.n_name AS nation,
+           year(CAST(o.o_orderdate AS TIMESTAMP)) AS yr,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+),
+r1 AS (
+    SELECT nation, yr, revenue,
+           rank() OVER (PARTITION BY yr ORDER BY revenue DESC, nation) AS rnk,
+           first_value(revenue) OVER (
+               PARTITION BY nation ORDER BY yr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS base_rev
+    FROM yearly
+),
+ranked AS (
+    SELECT *, lag(rnk) OVER (PARTITION BY nation ORDER BY yr) AS prev_rnk
+    FROM r1
+)
+SELECT nation, CAST(yr AS BIGINT) AS yr, revenue,
+       CAST(rnk AS BIGINT) AS rnk,
+       CAST(prev_rnk - rnk AS BIGINT) AS rank_gain,
+       round(100.0 * revenue / base_rev, 4) AS index_to_base
+FROM ranked
+WHERE prev_rnk IS NOT NULL
+ORDER BY yr, rnk, nation
+"""
+
+
+@register("nation_rank_movers", RANK_MOVERS_ORACLE)
+def nation_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year league-table movement: each nation's revenue
+    rank within the year, how many places it gained vs the prior
+    year, and its revenue indexed to its own first year (the
+    "percent of base period" line every KPI deck draws) — rank-over-
+    rank plus first_value baselines, the two window features the
+    registry didn't yet compose.
+
+    Scale shape: the fact scan rolls up to |nations| x |years| rows
+    first (dims broadcast, one partial-aggregated shuffle); all three
+    windows run over that metadata-scale frame."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    yearly = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w_rank = Window.partitionBy("yr").orderBy(F.desc("revenue"), "nation")
+    w_hist = Window.partitionBy("nation").orderBy("yr")
+    ranked = yearly.select(
+        "nation",
+        F.col("yr").cast("bigint").alias("yr"),
+        "revenue",
+        F.rank().over(w_rank).cast("bigint").alias("rnk"),
+        F.first("revenue").over(
+            w_hist.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("base_rev"),
+    )
+    prev = F.lag("rnk").over(w_hist)
+    return (
+        ranked.select(
+            "nation",
+            "yr",
+            "revenue",
+            "rnk",
+            (prev - F.col("rnk")).cast("bigint").alias("rank_gain"),
+            F.round(100.0 * F.col("revenue") / F.col("base_rev"), 4).alias(
+                "index_to_base"
+            ),
+        )
+        .where(F.col("rank_gain").isNotNull())
+        .orderBy("yr", "rnk", "nation")
+    )
