@@ -134,6 +134,8 @@ HEADLINE = [
     "user_activity_histogram",
     "supplier_lead_time",
     "nation_rank_movers",
+    "days_to_first_purchase",
+    "top_user_by_type",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -92,6 +92,8 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "user_activity_histogram",
     "supplier_lead_time",
     "nation_rank_movers",
+    "days_to_first_purchase",
+    "top_user_by_type",
 )
 
 

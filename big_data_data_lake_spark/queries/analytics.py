@@ -2344,3 +2344,122 @@ def user_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_log2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency (days to first purchase)
+# ---------------------------------------------------------------------------
+
+FIRST_PURCHASE_ORACLE = """
+WITH firsts AS (
+    SELECT user_id,
+           min(ts) AS first_seen,
+           min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+    FROM events GROUP BY 1
+),
+lat AS (
+    SELECT date_diff('day', CAST(first_seen AS DATE), CAST(first_purchase AS DATE))
+               AS days_to_convert
+    FROM firsts
+    WHERE first_purchase IS NOT NULL
+)
+SELECT CAST(days_to_convert AS BIGINT) AS days_to_convert,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM lat
+GROUP BY 1
+ORDER BY days_to_convert
+"""
+
+
+@register("days_to_first_purchase", FIRST_PURCHASE_ORACLE)
+def days_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for every user who ever
+    purchased, the whole days between their first event of any kind
+    and their first purchase, histogrammed — the activation-funnel
+    timing chart growth teams tune onboarding against (conditional
+    min aggregates + date arithmetic, the one first-touch shape the
+    registry lacked).
+
+    Scale shape: ONE pass over events computes both firsts via a
+    filtered aggregate (no self-join, no window); the latency rollup
+    is over |users| rows and the histogram over ~days values."""
+    events = _t(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return (
+        firsts.where(F.col("first_purchase").isNotNull())
+        .select(
+            F.datediff(
+                F.col("first_purchase").cast("date"),
+                F.col("first_seen").cast("date"),
+            )
+            .cast("bigint")
+            .alias("days_to_convert")
+        )
+        .groupBy("days_to_convert")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("days_to_convert")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Argmax aggregates (max_by / min_by)
+# ---------------------------------------------------------------------------
+
+TOP_USER_ORACLE = """
+WITH per AS (
+    SELECT event_type, user_id,
+           round(sum(value), 2) AS total
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+keyed AS (
+    -- deterministic argmax under ties: fold user_id into the ordering
+    -- key so both engines pick the same user (lowest id wins the tie)
+    SELECT event_type, user_id, total,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY total DESC, user_id
+           ) AS rn
+    FROM per
+)
+SELECT event_type,
+       CAST(user_id AS BIGINT) AS top_user,
+       total AS top_total
+FROM keyed WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+@register("top_user_by_type", TOP_USER_ORACLE)
+def top_user_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, the single highest-value user and their total —
+    the argmax aggregate (Spark ``max_by``). Ties break to the lowest
+    user_id by folding the id into the ordering struct, because
+    ``max_by``'s own tie behavior is engine-dependent — the pattern to
+    copy whenever argmax must be deterministic across engines.
+
+    Scale shape: two partial-aggregated shuffles ((type, user) rollup
+    then per-type argmax); no window over data-scale rows — max_by
+    reduces map-side like any algebraic aggregate."""
+    events = _t(spark, sf_dir, "events")
+    per = (
+        events.where(F.col("value").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    # argmax via max_by on a (total, -user_id) struct: struct ordering
+    # is lexicographic, so ties on total resolve to the LOWEST user_id
+    key = F.struct(F.col("total"), (-F.col("user_id")).alias("nu"))
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.max_by("user_id", key).cast("bigint").alias("top_user"),
+            F.max("total").alias("top_total"),
+        )
+        .orderBy("event_type")
+    )
