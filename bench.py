@@ -136,6 +136,7 @@ HEADLINE = [
     "nation_rank_movers",
     "days_to_first_purchase",
     "top_user_by_type",
+    "dau_mau_stickiness",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -94,6 +94,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "nation_rank_movers",
     "days_to_first_purchase",
     "top_user_by_type",
+    "dau_mau_stickiness",
 )
 
 

@@ -2463,3 +2463,61 @@ def top_user_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / MAU stickiness
+# ---------------------------------------------------------------------------
+
+STICKINESS_ORACLE = """
+WITH dau AS (
+    SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau
+    FROM events GROUP BY 1
+),
+mau AS (
+    SELECT date_trunc('month', CAST(ts AS DATE)) AS month,
+           count(DISTINCT user_id) AS mau
+    FROM events GROUP BY 1
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(d.dau AS BIGINT) AS dau,
+       CAST(m.mau AS BIGINT) AS mau,
+       round(d.dau * 1.0 / m.mau, 4) AS stickiness
+FROM dau d JOIN mau m ON date_trunc('month', d.day) = m.month
+ORDER BY day
+"""
+
+
+@register("dau_mau_stickiness", STICKINESS_ORACLE)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users over monthly active users (the DAU/MAU
+    "stickiness" ratio) per day — the engagement KPI every consumer
+    dashboard leads with, and the registry's representative of
+    multi-grain distinct counting (the same users counted at two
+    calendar grains, joined back).
+
+    Scale shape: two distinct-aggregates over events (each one
+    partial-aggregated shuffle of (grain, user) then a count), joined
+    on the month key at metadata scale. At extreme cardinality the
+    sketch twin is rolling_distinct_users_audit's mergeable HLL —
+    exact distinct here because the driver hash-checks values."""
+    events = _t(spark, sf_dir, "events")
+    dau = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    mau = events.groupBy(
+        F.date_trunc("month", F.col("ts").cast("date")).alias("month")
+    ).agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(
+            F.broadcast(mau),
+            F.date_trunc("month", F.col("day")) == F.col("month"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("mau").cast("bigint").alias("mau"),
+            F.round(F.col("dau") * 1.0 / F.col("mau"), 4).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
