@@ -137,6 +137,7 @@ HEADLINE = [
     "days_to_first_purchase",
     "top_user_by_type",
     "dau_mau_stickiness",
+    "next_hour_event_load",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

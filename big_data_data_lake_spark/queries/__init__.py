@@ -95,6 +95,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "days_to_first_purchase",
     "top_user_by_type",
     "dau_mau_stickiness",
+    "next_hour_event_load",
 )
 
 

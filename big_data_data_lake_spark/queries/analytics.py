@@ -2521,3 +2521,47 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward-looking range frame (events in the following hour)
+# ---------------------------------------------------------------------------
+
+FORWARD_FRAME_ORACLE = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN CURRENT ROW AND 3600000000 FOLLOWING
+       ) - 1 AS BIGINT) AS next_hour_events
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("next_hour_event_load", FORWARD_FRAME_ORACLE)
+def next_hour_event_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event, how many MORE events its user generates in
+    the following hour — the forward-looking RANGE frame (burst/
+    lead-indicator feature for rate limiting and engagement models),
+    completing the frame-direction coverage next to
+    hourly_moving_avg's trailing interval frame. The frame bound is
+    microsecond-exact on both engines (epoch_us ordering), and the
+    count excludes the row itself (-1).
+
+    Scale shape: one hash shuffle on user_id; the range frame rides
+    the partition sort — same single-exchange argument as every
+    user-partitioned window here. A range frame over microseconds is
+    O(n) per partition via sliding endpoints, never quadratic."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(0, 3_600_000_000)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.count(F.lit(1)).over(w) - 1).cast("bigint").alias("next_hour_events"),
+    ).orderBy("event_id")
