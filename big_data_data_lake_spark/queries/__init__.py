@@ -96,6 +96,9 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "top_user_by_type",
     "dau_mau_stickiness",
     "next_hour_event_load",
+    "table_profile",
+    "countmin_heavy_hitters",
+    "acf_by_type",
 )
 
 

@@ -2565,3 +2565,321 @@ def next_hour_event_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.count(F.lit(1)).over(w) - 1).cast("bigint").alias("next_hour_events"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-column table profile (data-quality first look)
+# ---------------------------------------------------------------------------
+
+# Per-column repr rules chosen so both engines format identically:
+# bigints CAST to string, doubles through DECIMAL(18,2) (fixed scale =>
+# "1.63"/"0.50" on both), timestamps via microsecond strftime, strings
+# as-is.
+TABLE_PROFILE_ORACLE = """
+WITH n AS (SELECT count(*) AS n FROM events)
+SELECT col_name, n_nulls, null_frac, n_distinct, min_repr, max_repr FROM (
+  SELECT 'event_id' AS col_name,
+         CAST((SELECT n FROM n) - count(event_id) AS BIGINT) AS n_nulls,
+         round(1.0 - CAST(count(event_id) AS DOUBLE) / (SELECT n FROM n), 4) AS null_frac,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+         CAST(min(event_id) AS VARCHAR) AS min_repr,
+         CAST(max(event_id) AS VARCHAR) AS max_repr
+  FROM events
+  UNION ALL
+  SELECT 'ts',
+         CAST((SELECT n FROM n) - count(ts) AS BIGINT),
+         round(1.0 - CAST(count(ts) AS DOUBLE) / (SELECT n FROM n), 4),
+         CAST(count(DISTINCT ts) AS BIGINT),
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f'),
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f')
+  FROM events
+  UNION ALL
+  SELECT 'user_id',
+         CAST((SELECT n FROM n) - count(user_id) AS BIGINT),
+         round(1.0 - CAST(count(user_id) AS DOUBLE) / (SELECT n FROM n), 4),
+         CAST(count(DISTINCT user_id) AS BIGINT),
+         CAST(min(user_id) AS VARCHAR),
+         CAST(max(user_id) AS VARCHAR)
+  FROM events
+  UNION ALL
+  SELECT 'event_type',
+         CAST((SELECT n FROM n) - count(event_type) AS BIGINT),
+         round(1.0 - CAST(count(event_type) AS DOUBLE) / (SELECT n FROM n), 4),
+         CAST(count(DISTINCT event_type) AS BIGINT),
+         min(event_type),
+         max(event_type)
+  FROM events
+  UNION ALL
+  SELECT 'value',
+         CAST((SELECT n FROM n) - count(value) AS BIGINT),
+         round(1.0 - CAST(count(value) AS DOUBLE) / (SELECT n FROM n), 4),
+         CAST(count(DISTINCT value) AS BIGINT),
+         CAST(CAST(round(min(value), 2) AS DECIMAL(18,2)) AS VARCHAR),
+         CAST(CAST(round(max(value), 2) AS DECIMAL(18,2)) AS VARCHAR)
+  FROM events
+  UNION ALL
+  SELECT 'props',
+         CAST((SELECT n FROM n) - count(props) AS BIGINT),
+         round(1.0 - CAST(count(props) AS DOUBLE) / (SELECT n FROM n), 4),
+         CAST(count(DISTINCT props) AS BIGINT),
+         min(props),
+         max(props)
+  FROM events
+)
+ORDER BY col_name
+"""
+
+
+@register("table_profile", TABLE_PROFILE_ORACLE)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of ``events`` — null count/
+    fraction, exact distinct cardinality, min/max — the first query any
+    lake operator runs against a new 100 TB table (and the stats a
+    catalog publishes next to the table). One row per column.
+
+    Scale shape: ONE scan. All 6x4 statistics are computed in a single
+    wide aggregate row (Catalyst plans the 6 distinct-aggregates as one
+    Expand + two-level hash aggregate — still one pass over the data,
+    partial-aggregated map-side), then the wide row is unpivoted to
+    rows with ``stack`` at metadata scale. The oracle reads the table
+    once per column because DuckDB has no multi-distinct Expand — at
+    audit scale (sf0.01) that is fine; the Spark plan is the 100 TB
+    one. Min/max reprs are formatted identically on both engines
+    (DECIMAL(18,2) for doubles, microsecond strftime for timestamps).
+    """
+    ev = _t(spark, sf_dir, "events")
+
+    def reprs(c: str):
+        if c == "ts":
+            return (
+                F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            )
+        if c == "value":
+            return (
+                F.round(F.min(c), 2).cast("decimal(18,2)").cast("string"),
+                F.round(F.max(c), 2).cast("decimal(18,2)").cast("string"),
+            )
+        return (F.min(c).cast("string"), F.max(c).cast("string"))
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        mn, mx = reprs(c)
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            mn.alias(f"{c}__mn"),
+            mx.alias(f"{c}__mx"),
+        ]
+    wide = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n - {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    )
+    return (
+        wide.selectExpr(
+            "__n",
+            f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct, min_repr, max_repr)",
+        )
+        .select(
+            "col_name",
+            F.col("n_nulls").cast("bigint").alias("n_nulls"),
+            F.round(F.col("n_nulls").cast("double") / F.col("__n"), 4).alias("null_frac"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            "min_repr",
+            "max_repr",
+        )
+        .orderBy("col_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters audit
+# ---------------------------------------------------------------------------
+
+from ..operators.dedup import MERSENNE_P, POLY_HASH_SQL, _lcg, _poly_hash  # noqa: E402
+
+CM_W = 64  # sketch width (buckets per row)
+CM_D = 4  # sketch depth (independent hash rows)
+CM_A = [(_lcg(901 + k) | 1) % MERSENNE_P for k in range(CM_D)]
+CM_B = [_lcg(1001 + k) for k in range(CM_D)]
+_CM_E = 2.718281828459045  # CM guarantee: est <= true + (e/W)*N w.h.p.
+
+_CM_PARAMS_SQL = ", ".join(f"({d}, {CM_A[d]}, {CM_B[d]})" for d in range(CM_D))
+_CM_H = POLY_HASH_SQL.format(tok="event_type")
+
+COUNTMIN_ORACLE = f"""
+WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+params AS (SELECT * FROM (VALUES {_CM_PARAMS_SQL}) AS t(d, a, b)),
+hashed AS (SELECT {_CM_H} AS h FROM events),
+sketch AS (SELECT d, ((a * h + b) % {MERSENNE_P}) % {CM_W} AS bucket,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM hashed CROSS JOIN params GROUP BY 1, 2),
+exact AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+          FROM events GROUP BY event_type),
+keyb AS (SELECT event_type, n_exact, d,
+                ((a * ({_CM_H}) + b) % {MERSENNE_P}) % {CM_W} AS bucket
+         FROM exact CROSS JOIN params),
+est AS (SELECT event_type, n_exact, min(c) AS n_cm
+        FROM keyb JOIN sketch USING (d, bucket) GROUP BY 1, 2)
+SELECT event_type, n_exact, CAST(n_cm AS BIGINT) AS n_cm,
+       CAST(n_cm - n_exact AS BIGINT) AS overestimate,
+       (n_cm - n_exact) <= {_CM_E} * (SELECT n FROM tot) / {CM_W} AS within_bound
+FROM est
+ORDER BY event_type
+"""
+
+
+@register("countmin_heavy_hitters", COUNTMIN_ORACLE)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch audit, completing the sketch family next to
+    HLL distinct / freqItems / approx-quantile: build a depth-4 x
+    width-64 count-min sketch over event_type (portable LCG-seeded affine hash
+    rows on the shared 31-bit polynomial key hash, so DuckDB replays
+    the sketch bit-for-bit), read back each key's estimate
+    (min over rows of its bucket count), and verify the classic
+    guarantee — estimates never undercount and overcount by at most
+    (e/W)*N.
+
+    Scale shape: the sketch build is ONE pass — each row contributes
+    to D buckets (an explode to D*n rows that map-side partial
+    aggregation collapses to <= D*W entries per partition before the
+    shuffle), and the sketch itself is D*W = 256 cells: driver/
+    broadcast scale regardless of input size or key cardinality.
+    That's the point of CM at 100 TB: per-key counts for any key
+    domain in O(D*W) memory with mergeable cells (this build IS the
+    merge of per-partition sketches). The exact side is the audit
+    harness, not the production path."""
+    ev = _t(spark, sf_dir, "events")
+    h = _poly_hash(F.col("event_type"))
+
+    def bucket(d: int, hcol: F.Column) -> F.Column:
+        return ((F.lit(CM_A[d]).cast("long") * hcol + F.lit(CM_B[d])) % F.lit(MERSENNE_P)) % F.lit(CM_W)
+
+    hashed = ev.select(h.alias("h"))
+    cells = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), bucket(d, F.col("h")).alias("bucket"))
+                    for d in range(CM_D)
+                ]
+            )
+        ).alias("db")
+    )
+    sketch = cells.groupBy("db.d", "db.bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    keyb = exact.withColumn("h", _poly_hash(F.col("event_type"))).select(
+        "event_type",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), bucket(d, F.col("h")).alias("bucket"))
+                    for d in range(CM_D)
+                ]
+            )
+        ).alias("db"),
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("n"))
+    est = (
+        keyb.select("event_type", "n_exact", "db.d", "db.bucket")
+        .join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("event_type", "n_exact")
+        .agg(F.min("c").alias("n_cm"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "n_exact",
+            F.col("n_cm").cast("bigint").alias("n_cm"),
+            (F.col("n_cm") - F.col("n_exact")).cast("bigint").alias("overestimate"),
+            (
+                (F.col("n_cm") - F.col("n_exact"))
+                <= F.lit(_CM_E) * F.col("n") / F.lit(CM_W)
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the hourly series per event type
+# ---------------------------------------------------------------------------
+
+ACF_ORACLE = """
+WITH b AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM b),
+spine AS (SELECT t.event_type, g.h
+          FROM (SELECT DISTINCT event_type FROM b) t
+          CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                      FROM bounds) g),
+cnt AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+ser AS (SELECT s.event_type, s.h, coalesce(c.c, 0) AS c
+        FROM spine s LEFT JOIN cnt c USING (event_type, h)),
+lagd AS (SELECT event_type, c,
+                lag(c, 1) OVER w AS l1,
+                lag(c, 2) OVER w AS l2,
+                lag(c, 3) OVER w AS l3
+         FROM ser WINDOW w AS (PARTITION BY event_type ORDER BY h))
+SELECT event_type, lag, round(acf, 4) AS acf FROM (
+  SELECT event_type, 1 AS lag, corr(c, l1) AS acf FROM lagd WHERE l1 IS NOT NULL GROUP BY 1
+  UNION ALL
+  SELECT event_type, 2, corr(c, l2) FROM lagd WHERE l2 IS NOT NULL GROUP BY 1
+  UNION ALL
+  SELECT event_type, 3, corr(c, l3) FROM lagd WHERE l3 IS NOT NULL GROUP BY 1
+)
+ORDER BY event_type, lag
+"""
+
+
+@register("acf_by_type", ACF_ORACLE)
+def acf_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/2/3 autocorrelation of each event type's hourly arrival
+    series — the seasonality/burstiness fingerprint that feeds anomaly
+    thresholds (daily_anomaly_zscore's cousin) and forecast model
+    choice. The series is gap-filled over a dense hourly spine first:
+    ACF over a series with silently missing rows is biased toward the
+    busy hours, so zero-count hours must exist as zeros.
+
+    Scale shape: one groupBy (event_type, hour) collapses the fact
+    table to series scale (hours x types — metadata-sized even for a
+    year at 100 TB ingest). Everything after — the broadcast calendar
+    spine join (daily_activity_filled's pattern), the lag window, and
+    the corr aggregates — runs on that collapsed series. Pearson corr
+    is scale-invariant so sample-vs-population variants agree
+    exactly; both engines skip the first k NULL-lag rows explicitly.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+    cnt = base.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+    bounds = base.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hours = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    types = base.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(hours))
+    ser = spine.join(cnt, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagd = ser.select(
+        "event_type",
+        "c",
+        *[F.lag("c", k).over(w).alias(f"l{k}") for k in (1, 2, 3)],
+    )
+    parts = [
+        lagd.where(F.col(f"l{k}").isNotNull())
+        .groupBy("event_type")
+        .agg(F.corr("c", f"l{k}").alias("acf"))
+        .select("event_type", F.lit(k).alias("lag"), "acf")
+        for k in (1, 2, 3)
+    ]
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.select(
+        "event_type", F.col("lag").cast("int").alias("lag"), F.round("acf", 4).alias("acf")
+    ).orderBy("event_type", "lag")
