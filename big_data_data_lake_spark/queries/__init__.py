@@ -99,6 +99,8 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "table_profile",
     "countmin_heavy_hitters",
     "acf_by_type",
+    "pq_ann_topk",
+    "pq_recall_audit",
 )
 
 

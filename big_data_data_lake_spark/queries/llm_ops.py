@@ -1403,3 +1403,132 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("cov")).desc(), "i", "j")
         .limit(COV_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ANN (ADC via reconstruction) + recall audit
+# --------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_SUBDIM = 16  # dims per subspace (embeddings are 64-dim)
+_PQ_K = 8  # codes per sub-codebook
+
+_PQ_CB = f"""
+cb AS (SELECT rn - 1 AS j, v AS cv
+       FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+             FROM e WHERE vec_id >= 5)
+       WHERE rn <= {_PQ_K})"""
+
+
+def _pq_assign_ctes() -> str:
+    ctes = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
+        d2 = sim.DIST2_SQL.format(a=f"nv[{lo}:{hi}]", b=f"cv[{lo}:{hi}]")
+        ctes.append(
+            f"""a{m} AS (SELECT nid, cv AS c{m} FROM (
+    SELECT nid, cv, row_number() OVER (PARTITION BY nid ORDER BY {d2}, j) AS rn
+    FROM cor CROSS JOIN cb) WHERE rn = 1)"""
+        )
+    return ",\n".join(ctes)
+
+
+_PQ_RECON_CONCAT = " || ".join(
+    f"a{m}.c{m}[{m * _PQ_SUBDIM + 1}:{(m + 1) * _PQ_SUBDIM}]" for m in range(_PQ_M)
+)
+_PQ_RECON_JOINS = " ".join(f"JOIN a{m} USING (nid)" for m in range(1, _PQ_M))
+
+PQ_ANN_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_PQ_CB},
+cor AS (SELECT vec_id AS nid, v AS nv FROM e WHERE vec_id >= 5),
+{_pq_assign_ctes()},
+recon AS (SELECT a0.nid, {_PQ_RECON_CONCAT} AS rv FROM a0 {_PQ_RECON_JOINS}),
+rn_ AS (SELECT nid, rv, {sim.NORM_SQL.format(a="rv")} AS rnm FROM recon),
+qs AS (SELECT vec_id AS qid, v AS qv, {sim.NORM_SQL.format(a="v")} AS qn
+       FROM e WHERE vec_id < 5),
+scored AS (SELECT qid, nid,
+                  {sim.DOT_SQL.format(a="qv", b="rv")} / (qn * rnm) AS cs
+           FROM rn_ CROSS JOIN qs)
+SELECT qid, nid, cos_sim
+FROM (SELECT qid, nid, round(cs, 6) AS cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY round(cs, 6) DESC, nid) AS rn
+      FROM scored)
+WHERE rn <= 10
+"""
+
+
+@register("pq_ann_topk", PQ_ANN_ORACLE)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the memory-compression scale path
+    next to ann_lsh_topk (sublinear candidates) and ann_ivf_topk
+    (partition pruning): each 64-dim corpus vector is encoded as M=4
+    sub-codes (one per 16-dim subspace, nearest of K=8 sub-centroids),
+    so the corpus shrinks from 64 doubles to 4 small codes per vector
+    — the 8-32x RAM/bandwidth compression that makes billion-vector
+    serving fit a cluster. Queries score against the RECONSTRUCTED
+    vectors (concatenated chosen sub-centroids), which is numerically
+    identical to classic asymmetric-distance (ADC) lookup-table
+    scoring; production would precompute the M x K dot-product tables
+    per query, an arithmetic rearrangement of the same sum.
+
+    The codebook is the deterministic sampled one (sub-vectors of the
+    8 lowest-id corpus vectors — the same pinned-sample trick as
+    ann_ivf_topk) so DuckDB replays encoding and scoring exactly and
+    the driver hash-checks the whole PQ path. Sub-centroid argmins
+    tie-break on code index in both engines.
+
+    Scale shape: codebook is M*K*16 doubles (driver/broadcast
+    metadata); encoding is row-local fold arithmetic; scoring is the
+    broadcast-queries brute-force shape (corpus never shuffles, one
+    window shuffle on qid for k-selection). pq_recall_audit tracks the
+    quality cost."""
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    e = emb.select("vec_id", sim.to_double("embedding").alias("v"))
+    corpus = e.where(F.col("vec_id") >= 5)
+    cents = corpus.orderBy("vec_id").limit(_PQ_K).select("v").collect()
+    if not cents:
+        return spark.createDataFrame([], "qid long, nid long, cos_sim double")
+
+    # codebook literal sub-vectors: sub[m][j] = centroid j's m-th slice
+    sub = [
+        [
+            F.array(
+                *[
+                    F.lit(float(x))
+                    for x in row.v[m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
+                ]
+            )
+            for row in cents
+        ]
+        for m in range(_PQ_M)
+    ]
+
+    def recon_subspace(m: int) -> F.Column:
+        s = F.slice(F.col("v"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+        pairs = F.array(
+            *[
+                F.struct(sim.dist2(s, sub[m][j]).alias("d"), F.lit(j).alias("j"))
+                for j in range(len(cents))
+            ]
+        )
+        code = F.array_sort(pairs)[0]["j"]
+        return F.element_at(F.array(*sub[m]), code + 1)
+
+    recon = F.concat(*[recon_subspace(m) for m in range(_PQ_M)])
+    c = corpus.select(F.col("vec_id").alias("nid"), recon.alias("nvec"))
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qvec")
+    )
+    return sim.brute_force_topk(q, c, k=10)
+
+
+@register("pq_recall_audit", _recall_oracle(PQ_ANN_ORACLE))
+def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the product-quantization ANN against the exact
+    brute-force baseline, per query — the compression-vs-quality curve
+    point a deployment tunes (M, K) against, completing the audit set
+    next to ann_lsh_recall / ann_ivf_recall / ann_truncation_recall."""
+    return _recall_at_10(
+        ann_cosine_topk(spark, sf_dir), pq_ann_topk(spark, sf_dir)
+    )
