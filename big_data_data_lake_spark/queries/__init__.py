@@ -101,6 +101,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "acf_by_type",
     "pq_ann_topk",
     "pq_recall_audit",
+    "sorted_neighborhood_pairs",
 )
 
 

@@ -1532,3 +1532,88 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_at_10(
         ann_cosine_topk(spark, sf_dir), pq_ann_topk(spark, sf_dir)
     )
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood near-dup detection
+# --------------------------------------------------------------------------
+
+SNM_WINDOW = 4  # compare each doc to its 3 successors in sort order
+
+SNM_ORACLE = f"""
+WITH tok AS (SELECT doc_id, text, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th
+             FROM documents),
+sh AS (SELECT doc_id, text, {dd.shingle_hashes_sql(2)} AS s FROM tok),
+f AS (SELECT doc_id, text, s FROM sh WHERE len(s) > 0),
+r AS (SELECT doc_id, s, row_number() OVER (ORDER BY text, doc_id) AS rn FROM f),
+cand AS (SELECT a.doc_id AS da, b.doc_id AS db, a.s AS sa, b.s AS sb
+         FROM r a JOIN r b ON b.rn >= a.rn + 1 AND b.rn <= a.rn + {SNM_WINDOW - 1}),
+j AS (SELECT least(da, db) AS d1, greatest(da, db) AS d2,
+             CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+             / len(list_distinct(sa || sb)) AS jac
+      FROM cand)
+SELECT d1, d2, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.3 ORDER BY d1, d2
+"""
+
+
+@register("sorted_neighborhood_pairs", SNM_ORACLE)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup detection (Hernandez & Stolfo's
+    merge/purge method) — the third blocking strategy in the dedup
+    family next to inverted-index (ngram_jaccard_pairs) and sketch
+    banding (minhash_lsh_pairs): sort the corpus by a blocking key
+    (here the document text itself, so shared prefixes become
+    adjacent), then compare each document only to the W-1=3 that
+    follow it in sort order. Candidate count is W*n — LINEAR in the
+    corpus, the lowest of the three strategies — at the cost of
+    missing near-dups whose edits fall early in the text; production
+    runs multiple passes with different keys.
+
+    Scale shape: the global sort uses windows.global_rank (parallel
+    range exchange + per-partition ranks + broadcast prefix offsets —
+    no single-partition window), neighbor candidates come from an
+    offset explode + rank EQUI-join (never a range join / nested
+    loop), and the Jaccard re-check is a row-local array intersect on
+    the already-distinct shingle-hash sets. The pair-scale result is
+    materialized eagerly so the range-exchange cache releases, like
+    value_deciles."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    sh = (
+        docs.selectExpr("doc_id", "text", dd.spark_token_hashes_expr() + " AS th")
+        .selectExpr("doc_id", "text", dd.spark_shingle_hashes_expr(2) + " AS hs")
+        .where(F.size("hs") > 0)
+    )
+    ranked, _total, release = win.global_rank(sh, ["text", "doc_id"], rank_col="rn")
+    left = ranked.select("doc_id", "hs", "rn")
+    probe = left.select(
+        F.col("doc_id").alias("da"),
+        F.col("hs").alias("sa"),
+        F.col("rn"),
+        F.explode(F.array(*[F.lit(k) for k in range(1, SNM_WINDOW)])).alias("k"),
+    ).select("da", "sa", (F.col("rn") + F.col("k")).alias("rn_match"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
+    jac = inter / union
+    pairs = (
+        probe.join(
+            left.select(
+                F.col("doc_id").alias("db"),
+                F.col("hs").alias("sb"),
+                F.col("rn").alias("rn_match"),
+            ),
+            "rn_match",
+        )
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+            jac.alias("jac"),
+        )
+        .where(F.col("jac") >= 0.3)
+        .select("d1", "d2", F.round("jac", 4).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
+    try:
+        rows = pairs.collect()
+    finally:
+        release()
+    return spark.createDataFrame(rows, pairs.schema).orderBy("d1", "d2")
