@@ -102,6 +102,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "pq_ann_topk",
     "pq_recall_audit",
     "sorted_neighborhood_pairs",
+    "bloom_semijoin_audit",
 )
 
 

@@ -2883,3 +2883,142 @@ def acf_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", F.col("lag").cast("int").alias("lag"), F.round("acf", 4).alias("acf")
     ).orderBy("event_type", "lag")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction audit
+# ---------------------------------------------------------------------------
+
+BLOOM_WORDS = 128  # 62 usable bits per word => 7936 bits
+BLOOM_WORD_BITS = 62  # stay under the sign bit on both engines
+BLOOM_BITS = BLOOM_WORDS * BLOOM_WORD_BITS
+BLOOM_K = 3
+BLOOM_A = [(_lcg(1101 + i) | 1) % MERSENNE_P for i in range(BLOOM_K)]
+BLOOM_B = [_lcg(1201 + i) for i in range(BLOOM_K)]
+BLOOM_BUILD_MIN_PRICE = 480000.0
+
+_POW2 = [1 << i for i in range(BLOOM_WORD_BITS)]
+_POW2_SQL = "[" + ", ".join(str(p) for p in _POW2) + "]"
+
+
+def _bloom_bit_sql(i: int, key: str) -> str:
+    return f"((({BLOOM_A[i]} * ({key} % {MERSENNE_P}) + {BLOOM_B[i]}) % {MERSENNE_P}) % {BLOOM_BITS})"
+
+
+_BLOOM_CELLS_SQL = " UNION ALL ".join(
+    f"SELECT {_bloom_bit_sql(i, 'k')} AS bit FROM build" for i in range(BLOOM_K)
+)
+
+_BLOOM_PASS_SQL = " AND ".join(
+    f"((SELECT a FROM arr)[{_bloom_bit_sql(i, 'k')} // {BLOOM_WORD_BITS} + 1] "
+    f"& ({_POW2_SQL})[{_bloom_bit_sql(i, 'k')} % {BLOOM_WORD_BITS} + 1]) <> 0"
+    for i in range(BLOOM_K)
+)
+
+BLOOM_SEMIJOIN_ORACLE = f"""
+WITH build AS (SELECT o_orderkey AS k FROM orders
+               WHERE o_totalprice > {BLOOM_BUILD_MIN_PRICE}),
+cells AS ({_BLOOM_CELLS_SQL}),
+wm AS (SELECT bit // {BLOOM_WORD_BITS} AS word,
+              bit_or(({_POW2_SQL})[bit % {BLOOM_WORD_BITS} + 1]) AS m
+       FROM cells GROUP BY 1),
+words AS (SELECT g.word, coalesce(wm.m, 0) AS m
+          FROM (SELECT unnest(generate_series(0, {BLOOM_WORDS - 1})) AS word) g
+          LEFT JOIN wm USING (word)),
+arr AS (SELECT list(m ORDER BY word) AS a FROM words),
+probe AS (SELECT l_orderkey AS k FROM lineitem),
+chk AS (SELECT k, {_BLOOM_PASS_SQL} AS pass,
+               k IN (SELECT k FROM build) AS tru
+        FROM probe)
+SELECT CAST((SELECT count(*) FROM build) AS BIGINT) AS n_build,
+       CAST(count(*) AS BIGINT) AS n_probe,
+       CAST(count(*) FILTER (pass) AS BIGINT) AS n_pass,
+       CAST(count(*) FILTER (tru) AS BIGINT) AS n_true,
+       CAST(count(*) FILTER (pass AND NOT tru) AS BIGINT) AS n_fp,
+       round(CAST(count(*) FILTER (pass AND NOT tru) AS DOUBLE)
+             / nullif(count(*) - count(*) FILTER (tru), 0), 6) AS fp_rate
+FROM chk
+"""
+
+
+@register("bloom_semijoin_audit", BLOOM_SEMIJOIN_ORACLE)
+def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter (bloom semi-join) audit — the engine-internals
+    mechanism behind Spark's own spark.sql.optimizer.runtimeFilter,
+    built portably so the oracle replays it bit-for-bit: hash the
+    build side (high-value orders) into a 128-word x 62-bit bloom
+    with 3 LCG-seeded affine hash rows, probe every lineitem row
+    row-locally against the broadcast words, and report pass / true /
+    false-positive counts. No false negatives by construction
+    (n_pass >= n_true always); fp_rate is the measured filter
+    precision.
+
+    Scale shape: the build aggregate partial-ORs per partition and
+    lands on <= 128 word rows (a driver fetch at literal-metadata
+    scale — same posture as the IVF centroid collect); the probe is
+    pure row-local arithmetic on a broadcast literal, shuffling
+    nothing and reading only l_orderkey. The FIXED 7936-bit sizing is
+    deliberate: at sf0.01 (~600 build keys) fp stays in the low
+    percents, while at 10x build cardinality the filter saturates and
+    fp_rate degrades toward 1 — the audit measures exactly the
+    bits-per-key sizing rule (~10 bits/key) a 100 TB deployment must
+    scale with the build side. 62-bit words keep every mask below the
+    sign bit so Spark longs and DuckDB bigints agree."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    build = orders.where(F.col("o_totalprice") > BLOOM_BUILD_MIN_PRICE).select(
+        F.col("o_orderkey").alias("k")
+    )
+    pow2 = F.array(*[F.lit(p) for p in _POW2])
+
+    def bloom_bit(i: int, key: F.Column) -> F.Column:
+        return (
+            (F.lit(BLOOM_A[i]).cast("long") * (key % F.lit(MERSENNE_P)) + F.lit(BLOOM_B[i]))
+            % F.lit(MERSENNE_P)
+        ) % F.lit(BLOOM_BITS)
+
+    cells = build.select(
+        F.explode(
+            F.array(*[bloom_bit(i, F.col("k")).alias("bit") for i in range(BLOOM_K)])
+        ).alias("bit")
+    )
+    word = (F.col("bit") / F.lit(BLOOM_WORD_BITS)).cast("long").alias("word")
+    mask = F.element_at(pow2, (F.col("bit") % F.lit(BLOOM_WORD_BITS) + 1).cast("int"))
+    wm = {
+        int(r["word"]): int(r["m"])
+        for r in cells.select(word, mask.alias("mask"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("m"))
+        .collect()
+    }
+    arr = F.array(*[F.lit(wm.get(w, 0)).cast("long") for w in range(BLOOM_WORDS)])
+
+    def passes(key: F.Column) -> F.Column:
+        cond = F.lit(True)
+        for i in range(BLOOM_K):
+            bit = bloom_bit(i, key)
+            w = (bit / F.lit(BLOOM_WORD_BITS)).cast("long")
+            m = F.element_at(pow2, (bit % F.lit(BLOOM_WORD_BITS) + 1).cast("int"))
+            cond = cond & (F.element_at(arr, (w + 1).cast("int")).bitwiseAND(m) != 0)
+        return cond
+
+    probe = li.select(F.col("l_orderkey").alias("k"))
+    chk = probe.join(
+        F.broadcast(build.withColumn("tru", F.lit(True))), "k", "left"
+    ).select(
+        passes(F.col("k")).alias("pass"), F.coalesce("tru", F.lit(False)).alias("tru")
+    )
+    n_build = build.count()
+    fp = F.sum(F.when(F.col("pass") & ~F.col("tru"), 1).otherwise(0))
+    tru = F.sum(F.when(F.col("tru"), 1).otherwise(0))
+    denom = F.count(F.lit(1)) - tru
+    return chk.agg(
+        F.lit(n_build).cast("bigint").alias("n_build"),
+        F.count(F.lit(1)).cast("bigint").alias("n_probe"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("bigint").alias("n_pass"),
+        tru.cast("bigint").alias("n_true"),
+        fp.cast("bigint").alias("n_fp"),
+        F.round(
+            fp.cast("double") / F.when(denom != 0, denom), 6
+        ).alias("fp_rate"),
+    )
