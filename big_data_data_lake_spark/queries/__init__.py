@@ -103,6 +103,8 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "pq_recall_audit",
     "sorted_neighborhood_pairs",
     "bloom_semijoin_audit",
+    "negative_sampling_pairs",
+    "sequence_packing_audit",
 )
 
 

@@ -912,3 +912,145 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+NEG_K = 2  # negatives per anchor
+NEG_A = (dd._lcg(1301) | 1) % dd.MERSENNE_P
+NEG_B = dd._lcg(1401)
+
+NEG_SAMPLING_ORACLE = f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+a AS (SELECT doc_id, unnest(generate_series(1, {NEG_K})) AS k FROM documents),
+c AS (SELECT doc_id AS anchor_id, k,
+             (({NEG_A} * (doc_id + 1) + {NEG_B} * k) % {dd.MERSENNE_P})
+                 % (SELECT n FROM n) AS raw
+      FROM a),
+fix AS (SELECT anchor_id, CAST(k AS INT) AS k,
+               CASE WHEN raw = anchor_id
+                    THEN (raw + 1) % (SELECT n FROM n)
+                    ELSE raw END AS neg_id
+        FROM c)
+SELECT anchor_id, k, neg_id, d.source AS neg_source
+FROM fix JOIN documents d ON fix.neg_id = d.doc_id
+ORDER BY anchor_id, k
+"""
+
+
+@register("negative_sampling_pairs", NEG_SAMPLING_ORACLE)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling: every document gets K=2
+    pseudo-random partner documents — the (anchor, negative) pair
+    generation behind contrastive embedding training and hard-negative
+    mining. The partner id is an LCG-seeded affine hash of
+    (anchor, k) mod corpus size (doc_id is dense 0..n-1), bumped by
+    one on self-collision, so the sample is reproducible run-to-run
+    and engine-to-engine — the property a training pipeline needs for
+    resumable data loading (same seed => same pairs).
+
+    Scale shape: pair generation is row-local arithmetic (an explode
+    by K, no shuffle); attaching the negative's metadata is one
+    equi-join on the hashed id — the only shuffle, and exactly the
+    random-lookup pattern a distributed feature store does. The
+    corpus-size scalar is a metadata-scale count, broadcast as a
+    literal."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "anchor_id long, k int, neg_id long, neg_source string"
+        )
+    anchors = docs.select("doc_id").withColumn(
+        "k", F.explode(F.array(*[F.lit(k) for k in range(1, NEG_K + 1)]))
+    )
+    raw = (
+        (
+            F.lit(NEG_A).cast("long") * (F.col("doc_id") + 1)
+            + F.lit(NEG_B).cast("long") * F.col("k")
+        )
+        % F.lit(dd.MERSENNE_P)
+    ) % F.lit(n)
+    fix = anchors.select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("k").cast("int").alias("k"),
+        F.when(raw == F.col("doc_id"), (raw + 1) % F.lit(n)).otherwise(raw).alias("neg_id"),
+    )
+    meta = docs.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source"))
+    return fix.join(meta, "neg_id").select(
+        "anchor_id", "k", "neg_id", "neg_source"
+    ).orderBy("anchor_id", "k")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing audit (concatenate-and-chunk training batches)
+# ---------------------------------------------------------------------------
+
+SEQ_PACK_CAPACITY = 2048  # tokens per training sequence
+
+SEQ_PACKING_ORACLE = f"""
+WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+           FROM documents),
+c AS (SELECT doc_id, nt, sum(nt) OVER (ORDER BY doc_id) AS cum FROM d),
+m AS (SELECT nt, (cum - nt) // {SEQ_PACK_CAPACITY} AS sb,
+             (cum - 1) // {SEQ_PACK_CAPACITY} AS eb
+      FROM c)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens,
+       CAST((coalesce(sum(nt), 0) + {SEQ_PACK_CAPACITY - 1}) // {SEQ_PACK_CAPACITY} AS BIGINT) AS n_bins,
+       CAST(count(*) FILTER (eb > sb) AS BIGINT) AS n_crossing,
+       round(CAST(count(*) FILTER (eb > sb) AS DOUBLE) / nullif(count(*), 0), 4) AS crossing_frac,
+       round(CAST(count(*) AS DOUBLE)
+             / nullif((coalesce(sum(nt), 0) + {SEQ_PACK_CAPACITY - 1}) // {SEQ_PACK_CAPACITY}, 0), 4) AS avg_docs_per_bin
+FROM m
+"""
+
+
+@register("sequence_packing_audit", SEQ_PACKING_ORACLE)
+def sequence_packing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing audit for the concatenate-and-chunk batching
+    every LLM pretraining run uses: documents are concatenated in
+    doc_id order and split into fixed 2048-token sequences; the audit
+    reports how many sequences the corpus fills and what fraction of
+    documents straddle a sequence boundary (the attention-masking /
+    truncation cost of packing). Zero padding waste by construction —
+    the trade-off packing buys.
+
+    Scale shape: the document start/end offsets are a global running
+    sum over the doc_id order — computed with windows.global_cumsum
+    (parallel range exchange + broadcast prefix offsets, no
+    single-partition window), then a single summary aggregation. The
+    one-row result materializes eagerly so the range-bound cache
+    releases, like budget_pack_selection."""
+    from ..operators import windows as win
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("nt")
+    )
+    cum, _total, release = win.global_cumsum(d, ["doc_id"], "nt", out_col="cum")
+    cap = SEQ_PACK_CAPACITY
+    sb = ((F.col("cum") - F.col("nt")) - (F.col("cum") - F.col("nt")) % cap) / cap
+    eb = ((F.col("cum") - 1) - (F.col("cum") - 1) % cap) / cap
+    m = cum.select("nt", sb.cast("long").alias("sb"), eb.cast("long").alias("eb"))
+    tot = F.coalesce(F.sum("nt"), F.lit(0))
+    n_bins = ((tot + F.lit(cap - 1)) - (tot + F.lit(cap - 1)) % cap) / cap
+    crossing = F.sum(F.when(F.col("eb") > F.col("sb"), 1).otherwise(0))
+    cnt = F.count(F.lit(1))
+    df = m.agg(
+        cnt.cast("bigint").alias("n_docs"),
+        tot.cast("bigint").alias("n_tokens"),
+        n_bins.cast("bigint").alias("n_bins"),
+        crossing.cast("bigint").alias("n_crossing"),
+        F.round(crossing.cast("double") / F.when(cnt != 0, cnt), 4).alias("crossing_frac"),
+        F.round(
+            cnt.cast("double") / F.when(n_bins.cast("long") != 0, n_bins.cast("long")), 4
+        ).alias("avg_docs_per_bin"),
+    )
+    try:
+        rows = df.collect()
+    finally:
+        release()
+    return spark.createDataFrame(rows, df.schema)
