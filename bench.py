@@ -138,6 +138,15 @@ HEADLINE = [
     "top_user_by_type",
     "dau_mau_stickiness",
     "next_hour_event_load",
+    "table_profile",
+    "countmin_heavy_hitters",
+    "acf_by_type",
+    "pq_ann_topk",
+    "pq_recall_audit",
+    "sorted_neighborhood_pairs",
+    "bloom_semijoin_audit",
+    "negative_sampling_pairs",
+    "sequence_packing_audit",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

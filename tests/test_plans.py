@@ -532,3 +532,60 @@ def test_value_trend_is_one_hash_aggregate(spark):
     plan = plans.formatted_plan(df)
     assert "Join" not in plan, plan
     assert plans.shuffle_count(df) <= 2, plan
+
+
+def test_table_profile_single_aggregate_pass(spark):
+    """The per-column profile must be ONE scan + one (expanded)
+    aggregate — never a scan per column like its DuckDB oracle."""
+    import re
+
+    df = _q(spark, "table_profile")
+    plan = plans.formatted_plan(df)
+    # each physical node appears once as a numbered detail header
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_countmin_sketch_partial_aggregates(spark):
+    """The D*n exploded sketch cells must partial-aggregate map-side
+    (HashAggregate below the exchange) and the sketch join must
+    broadcast — the sketch is metadata-scale by design."""
+    df = _q(spark, "countmin_heavy_hitters")
+    assert plans.broadcast_join_count(df) >= 1, plans.formatted_plan(df)
+    assert plans.sort_merge_join_count(df) == 0, plans.formatted_plan(df)
+
+
+def test_sorted_neighborhood_no_nested_loop(spark):
+    """SNM neighbor candidates must come from the offset-explode rank
+    EQUI-join — a range join here would plan a nested loop."""
+    df = _q(spark, "sorted_neighborhood_pairs")
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bloom_probe_is_rowlocal(spark):
+    """The bloom probe must not shuffle the probe side: the words are
+    a broadcast literal and membership is row-local arithmetic; the
+    only joins are the broadcast truth join."""
+    df = _q(spark, "bloom_semijoin_audit")
+    assert plans.sort_merge_join_count(df) == 0, plans.formatted_plan(df)
+    assert plans.broadcast_join_count(df) >= 1, plans.formatted_plan(df)
+
+
+def test_pq_ann_corpus_never_shuffles_prejoin(spark):
+    """PQ scoring is the broadcast-queries brute-force shape: no
+    sort-merge join, no cartesian on the corpus side."""
+    df = _q(spark, "pq_ann_topk")
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plans.sort_merge_join_count(df) == 0, plan
+
+
+def test_sequence_packing_no_single_partition_window(spark):
+    """The packing offsets ride global_cumsum — assert the eager
+    result exists and the underlying plan machinery was exercised by
+    running it (the no-SinglePartition property is pinned on the
+    shared helper via value_deciles; here we pin the summary shape)."""
+    df = _q(spark, "sequence_packing_audit")
+    row = df.collect()[0]
+    assert row["n_bins"] >= 0 and row["n_docs"] >= 0
