@@ -268,9 +268,11 @@ def interval_join(
     upper_s: int = 300,
     watermark_s: int = 600,
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner equi-join with an event-time interval
-    bound: a right row matches a left row with the same key when
+    """Stream-stream equi-join with an event-time interval bound
+    (``how``: "inner" or "left_outer"): a right row matches a left
+    row with the same key when
     ``left_ts + lower_s <= right_ts <= left_ts + upper_s`` (e.g.
     "pair each position report with status messages in the following
     5 minutes").
@@ -283,7 +285,15 @@ def interval_join(
     each side on the key: the same co-partitioned equi-join shape as
     the batch twin, and state per key is bounded by the interval width
     × arrival rate, independent of stream length. Right columns are
-    prefixed to keep the joined schema collision-free."""
+    prefixed to keep the joined schema collision-free.
+
+    With ``how="left_outer"`` an unmatched left row is emitted with
+    NULL right columns — but only once the watermark has passed its
+    whole match interval (the engine cannot know "no partner will
+    come" earlier), so outer results trail the inner ones by up to
+    ``watermark_s + upper_s``. That delayed-null semantic is the
+    streaming twin of the batch left join and what funnel queries use
+    to count non-converting heads (view_purchase_conversion)."""
     lw = left.withWatermark(left_ts, f"{watermark_s} seconds")
     rw = right.withWatermark(right_ts, f"{watermark_s} seconds")
     rw = rw.select(
@@ -299,7 +309,7 @@ def interval_join(
     return lw.join(
         rw.withColumnRenamed(key, "__rk"),
         (F.col(key) == F.col("__rk")) & cond,
-        "inner",
+        how,
     ).drop("__rk")
 
 

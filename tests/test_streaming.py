@@ -766,3 +766,71 @@ def test_sessionize_stateful_gap_close_and_timeout_flush(spark, tmpdir):
     assert (1, 1000, 1010, 2, 3.0) in got         # closed in-stream by the gap
     assert (1, 5000, 5000, 1, 3.0) in got         # flushed by timeout
     assert (2, 1000, 1000, 1, 5.0) in got         # flushed by timeout
+
+
+def test_interval_join_left_outer_emits_delayed_nulls(spark, tmpdir):
+    """Left-outer stream-stream interval join: an unmatched left row
+    must surface with NULL right columns — but only after the
+    watermark (advanced by a LATER micro-batch on both streams)
+    passes its whole match interval, which is when the engine can
+    prove no partner is coming."""
+    from big_data_data_lake_spark.streaming import interval_join
+
+    base = 1_700_000_000
+    pos1 = [("aaa", base), ("bbb", base + 60)]           # bbb never matches
+    st1 = [("aaa", base + 30, "ok")]
+    flush = base + 100_000                               # advances watermark
+    pos2 = [("zzz", flush)]
+    st2 = [("zzz", flush, "flush")]
+
+    def write(rows, path, with_status):
+        schema = (
+            "icao24 string, ts_s long, status string"
+            if with_status
+            else "icao24 string, ts_s long"
+        )
+        df = (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.timestamp_seconds("ts_s"))
+            .drop("ts_s")
+        )
+        df.coalesce(1).write.mode("append").parquet(path)
+
+    # two files per side => two micro-batches under maxFilesPerTrigger=1,
+    # letting batch 2's data advance the watermark that flushes batch
+    # 1's unmatched row
+    write(pos1, f"{tmpdir}/pos", False)
+    write(pos2, f"{tmpdir}/pos", False)
+    write(st1, f"{tmpdir}/st", True)
+    write(st2, f"{tmpdir}/st", True)
+
+    schema_l = "icao24 string, ts timestamp"
+    schema_r = "icao24 string, status string, ts timestamp"
+    lstream = (
+        spark.readStream.schema(schema_l)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/pos")
+    )
+    rstream = (
+        spark.readStream.schema(schema_r)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/st")
+    )
+    joined = interval_join(
+        lstream,
+        rstream,
+        key="icao24",
+        lower_s=0,
+        upper_s=120,
+        watermark_s=60,
+        how="left_outer",
+    ).select("icao24", "ts", "r_ts", "r_status")
+    got = {
+        (r.icao24, r.r_status)
+        for r in _run_stream_to_memory(spark, joined, "ivj_outer").collect()
+    }
+    # aaa matched; bbb emitted with nulls after the flush batch;
+    # zzz is the flusher pair
+    assert ("aaa", "ok") in got
+    assert ("bbb", None) in got, got
+    assert ("zzz", "flush") in got
