@@ -147,6 +147,8 @@ HEADLINE = [
     "bloom_semijoin_audit",
     "negative_sampling_pairs",
     "sequence_packing_audit",
+    "hourly_value_ohlc",
+    "order_pareto_frontier",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -254,3 +254,74 @@ def sessionize(
         session_col,
         F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+
+
+def global_cummax_prev(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "prev_max",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, Callable[[], None]]:
+    """Exact EXCLUSIVE running max of integral ``value_col`` over the
+    total order ``order_cols`` (must include a unique tiebreak): each
+    row gets the max of all STRICTLY PRECEDING rows' values, NULL for
+    the global first row. Same scale posture as :func:`global_cumsum`
+    — parallel range exchange, per-partition window PARTITIONED by
+    physical partition id, one metadata-scale job (a row per
+    partition) whose running maxes become broadcast prefix offsets;
+    no single-partition window.
+
+    The exclusive frame is what dominance/skyline operators need
+    ("is any earlier row's value >= mine?"); max is order-insensitive
+    so partition recombination cannot perturb it. Restricted to
+    integral values like global_cumsum.
+
+    Returns ``(df_with_prev_max, release)``; call ``release`` after
+    materializing downstream results.
+    """
+    spark = df.sparkSession
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    maxes = {
+        int(r["__pid"]): r["__m"]
+        for r in (
+            ranged.groupBy("__pid")
+            .agg(F.max(F.col(value_col).cast("long")).alias("__m"))
+            .collect()
+        )
+    }
+    # prefix[pid] = max over all partitions BEFORE pid (None if none)
+    prefix: dict[int, int | None] = {}
+    running: int | None = None
+    for pid in sorted(maxes):
+        prefix[pid] = running
+        m = maxes[pid]
+        if m is not None:
+            running = m if running is None else max(running, m)
+    entries = [(pid, v) for pid, v in prefix.items() if v is not None]
+    if entries:
+        off_map = F.create_map(
+            *[F.lit(x) for pid_v in entries for x in pid_v]
+        )
+        offset = F.try_element_at(off_map, F.col("__pid")).cast("long")
+    else:
+        offset = F.lit(None).cast("long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_prev = F.max(F.col(value_col).cast("long")).over(w)
+    out = ranged.withColumn(
+        out_col,
+        F.when(
+            local_prev.isNotNull() & offset.isNotNull(), F.greatest(local_prev, offset)
+        ).otherwise(F.coalesce(local_prev, offset)),
+    ).drop("__pid")
+    return out, lambda: ranged.unpersist()

@@ -105,6 +105,8 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "bloom_semijoin_audit",
     "negative_sampling_pairs",
     "sequence_packing_audit",
+    "hourly_value_ohlc",
+    "order_pareto_frontier",
 )
 
 

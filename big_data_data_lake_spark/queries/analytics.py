@@ -3022,3 +3022,54 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp.cast("double") / F.when(denom != 0, denom), 6
         ).alias("fp_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly OHLC (open/high/low/close) rollup
+# ---------------------------------------------------------------------------
+
+OHLC_ORACLE = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       arg_min(value, ts) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ts) AS close
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("hourly_value_ohlc", OHLC_ORACLE)
+def hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick rollup of event value per (type, hour) — the
+    financial-style first/last/extent summary every metrics store
+    serves. open/close are argmin/argmax over the event timestamp
+    (min_by/max_by — the deterministic "first value by time" without a
+    window), exact because event timestamps are unique by
+    construction (microsecond precision; uniqueness holds at every
+    generated SF — with duplicate timestamps the tiebreak would move
+    into the ordering key).
+
+    Scale shape: ONE partial-aggregated hash shuffle to (type, hour)
+    groups; min_by/max_by carry a single (value, ts) candidate per
+    group through the map side, so the aggregate state is constant —
+    the same single-exchange plan as tumbling_hourly_counts but with
+    order statistics riding along. No windows, no second pass."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+        )
+        .orderBy("event_type", "hour")
+    )

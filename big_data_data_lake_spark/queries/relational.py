@@ -2646,3 +2646,75 @@ def nation_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank_gain").isNotNull())
         .orderBy("yr", "rnk", "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) of orders: expensive AND recent
+# ---------------------------------------------------------------------------
+
+PARETO_FRONTIER_ORACLE = """
+WITH p AS (SELECT o_orderkey, o_totalprice AS price, CAST(o_orderdate AS DATE) AS d
+           FROM orders),
+g AS (SELECT price, max(d) AS maxd FROM p GROUP BY price),
+w AS (SELECT price, maxd, max(maxd) OVER (ORDER BY price DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM g),
+f AS (SELECT p.o_orderkey, p.price, p.d FROM p JOIN w USING (price)
+      WHERE p.d = w.maxd AND (w.prevmax IS NULL OR p.d > w.prevmax))
+SELECT o_orderkey, round(price, 2) AS price, strftime(d, '%Y-%m-%d') AS order_date
+FROM f ORDER BY price DESC, o_orderkey
+"""
+
+
+@register("order_pareto_frontier", PARETO_FRONTIER_ORACLE)
+def order_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline query: orders not dominated on (totalprice,
+    orderdate) — no other order is both at-least-as-expensive and
+    at-least-as-recent with one strict. The classic skyline operator
+    (Borzsony/Kossmann/Stocker, ICDE'01) as a sweep: ordered by price
+    descending, a row survives iff its date beats the running max
+    date of every strictly-higher-priced row (and, within its own
+    price, iff it carries the price group's max date).
+
+    Scale shape: the sweep's running max is the EXCLUSIVE global
+    cummax — computed with windows.global_cummax_prev (range exchange
+    + pid-partitioned window + broadcast prefix maxes; no
+    single-partition window), over the per-price rollup rather than
+    raw rows. Dates ride as integral epoch days, so partition
+    recombination is exact. The frontier is tiny by nature (~log n
+    for independent dims); it materializes eagerly so the range-bound
+    cache releases."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    g = (
+        o.groupBy("price")
+        .agg(F.max("d").alias("maxd"))
+        .withColumn("neg_price", -F.col("price"))
+        .withColumn("mday", F.datediff("maxd", F.lit("1970-01-01").cast("date")).cast("long"))
+    )
+    ranked, release = win.global_cummax_prev(
+        g, ["neg_price", "price"], "mday", out_col="prevmax"
+    )
+    day = F.datediff("d", F.lit("1970-01-01").cast("date")).cast("long")
+    frontier = (
+        o.join(ranked.select("price", "maxd", "prevmax"), "price")
+        .where(
+            (F.col("d") == F.col("maxd"))
+            & (F.col("prevmax").isNull() | (day > F.col("prevmax")))
+        )
+        .select(
+            "o_orderkey",
+            F.round("price", 2).alias("price"),
+            F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.col("price").desc(), "o_orderkey")
+    )
+    try:
+        rows = frontier.collect()
+    finally:
+        release()
+    return spark.createDataFrame(rows, frontier.schema).orderBy(
+        F.col("price").desc(), "o_orderkey"
+    )

@@ -198,3 +198,27 @@ def test_ewma_hot_key_many_events_one_day(spark):
         acc = EWMA_ALPHA * values[i] + (1 - EWMA_ALPHA) * acc
     assert got.n_events == n
     assert got.ewma_value == pytest.approx(round(acc, 4), abs=2e-4)
+
+
+def test_global_cummax_prev_matches_single_partition_window(spark):
+    """The scale-safe exclusive running max must equal the naive
+    unpartitioned-window formulation on shuffled multi-partition
+    input, including the NULL for the global first row."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_data_lake_spark.operators.windows import global_cummax_prev
+
+    rnd = np.random.RandomState(7)
+    rows = [(int(i), int(v)) for i, v in enumerate(rnd.randint(-1000, 1000, 5000))]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(16)
+    got_df, release = global_cummax_prev(df, ["k"], "v", out_col="pm")
+    try:
+        got = {r.k: r.pm for r in got_df.collect()}
+    finally:
+        release()
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {r.k: r.pm for r in df.withColumn("pm", F.max("v").over(w)).collect()}
+    assert got == want
+    assert got[0] is None
