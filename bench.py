@@ -149,6 +149,8 @@ HEADLINE = [
     "sequence_packing_audit",
     "hourly_value_ohlc",
     "order_pareto_frontier",
+    "source_divergence_profile",
+    "fano_burstiness_by_type",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -107,6 +107,8 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "sequence_packing_audit",
     "hourly_value_ohlc",
     "order_pareto_frontier",
+    "source_divergence_profile",
+    "fano_burstiness_by_type",
 )
 
 

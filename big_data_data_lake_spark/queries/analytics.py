@@ -2646,8 +2646,14 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit scale (sf0.01) that is fine; the Spark plan is the 100 TB
     one. Min/max reprs are formatted identically on both engines
     (DECIMAL(18,2) for doubles, microsecond strftime for timestamps).
+    The small-file scan is spread across cores (the profile reads
+    every column, so the one round-robin exchange buys 32x parallel
+    aggregation; at 100 TB the scan arrives pre-split and the
+    exchange plans away).
     """
-    ev = _t(spark, sf_dir, "events")
+    from .llm_ops import _spread
+
+    ev = _spread(spark, _t(spark, sf_dir, "events"))
 
     def reprs(c: str):
         if c == "ts":
@@ -3073,3 +3079,78 @@ def hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fano-factor burstiness of hourly arrivals per type
+# ---------------------------------------------------------------------------
+
+FANO_ORACLE = """
+WITH b AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM b),
+spine AS (SELECT t.event_type, g.h
+          FROM (SELECT DISTINCT event_type FROM b) t
+          CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                      FROM bounds) g),
+cnt AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+ser AS (SELECT s.event_type, coalesce(c.c, 0) AS c
+        FROM spine s LEFT JOIN cnt c USING (event_type, h)),
+agg AS (SELECT event_type,
+               count(*) AS n_hours,
+               sum(c) AS s1,
+               sum(c * c) AS s2
+        FROM ser GROUP BY event_type)
+SELECT event_type,
+       CAST(n_hours AS BIGINT) AS n_hours,
+       round(CAST(s1 AS DOUBLE) / n_hours, 4) AS mean_rate,
+       round((CAST(s2 AS DOUBLE) / n_hours
+              - (CAST(s1 AS DOUBLE) / n_hours) * (CAST(s1 AS DOUBLE) / n_hours))
+             / nullif(CAST(s1 AS DOUBLE) / n_hours, 0), 4) AS fano
+FROM agg
+ORDER BY event_type
+"""
+
+
+@register("fano_burstiness_by_type", FANO_ORACLE)
+def fano_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of each event type's
+    hourly arrival counts over the gap-filled spine — the burstiness
+    index next to acf_by_type's serial correlation: 1 for a Poisson
+    process, >1 for bursty arrivals, <1 for regular ones. The
+    variance is computed from exact integer sums (n, sum c, sum c^2)
+    so the only floating arithmetic is three divisions at the end —
+    no var_pop/var_samp implementation differences to reconcile
+    between engines.
+
+    Scale shape: identical to acf_by_type — the fact table collapses
+    to (type, hour) series scale in one partial-aggregated shuffle;
+    the spine join and moment fold run at series scale."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+    cnt = base.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+    bounds = base.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hours = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    types = base.select("event_type").distinct()
+    ser = (
+        types.crossJoin(F.broadcast(hours))
+        .join(cnt, ["event_type", "h"], "left")
+        .select("event_type", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    agg = ser.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    return agg.select(
+        "event_type",
+        F.col("n_hours").cast("bigint").alias("n_hours"),
+        F.round(mean, 4).alias("mean_rate"),
+        F.round(
+            (F.col("s2").cast("double") / F.col("n_hours") - mean * mean)
+            / F.when(mean != 0, mean),
+            4,
+        ).alias("fano"),
+    ).orderBy("event_type")

@@ -1387,3 +1387,96 @@ def fuzzy_dup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= LEV_THRESHOLD)
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source divergence profile (KL vs corpus, hapax rate)
+# ---------------------------------------------------------------------------
+
+SOURCE_DIVERGENCE_ORACLE = """
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+sc AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+gc AS (SELECT token, sum(c) AS gc FROM sc GROUP BY token),
+tot AS (SELECT sum(gc) AS n FROM gc),
+agg AS (
+    SELECT source,
+           sum(c) AS n_tokens,
+           count(*) AS vocab,
+           count(*) FILTER (c = 1) AS hapax,
+           sum(c * round(log2(CAST(c AS DOUBLE)), 6)) AS sum_clogc,
+           sum(c * round(log2(CAST(gc AS DOUBLE)), 6)) AS sum_clogg
+    FROM sc JOIN gc USING (token)
+    GROUP BY source
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(vocab AS BIGINT) AS vocab,
+       round(CAST(hapax AS DOUBLE) / vocab, 4) AS hapax_frac,
+       round((sum_clogc - sum_clogg) / n_tokens
+             - round(log2(CAST(n_tokens AS DOUBLE)), 6)
+             + round(log2(CAST((SELECT n FROM tot) AS DOUBLE)), 6), 4) AS kl_bits
+FROM agg
+ORDER BY source
+"""
+
+
+@register("source_divergence_profile", SOURCE_DIVERGENCE_ORACLE)
+def source_divergence_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift profile: KL divergence (bits) of
+    each source's unigram distribution from the whole-corpus
+    distribution, plus the hapax fraction (share of the source's
+    vocabulary appearing exactly once) — the two signals curation
+    uses to spot template farms (low KL, low hapax) and off-domain
+    feeds (high KL) before fixing mixing weights. KL(p_s||q) expands
+    to (sum c*log2 c - sum c*log2 C_t)/N_s - log2 N_s + log2 N, so
+    only exact integer counts aggregate, with every log2 quantized to
+    6 decimals before the multiply (token_entropy_by_source's ulp
+    trick); support(p) is a subset of support(q) by construction so
+    no smoothing is needed.
+
+    Scale shape: the (source, token) rollup partial-aggregates before
+    its one shuffle; the global token counts derive from THAT rollup
+    (never a second corpus pass) and join back on token — vocab-scale
+    — before the final per-source fold."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(tx.tokenize("text")).alias("token"))
+    sc = scoped_persist(
+        tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    )
+    gc = sc.groupBy("token").agg(F.sum("c").alias("gc"))
+    n = sc.agg(F.sum("c").alias("n"))
+    agg = (
+        sc.join(gc, "token")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax"),
+            F.sum(F.col("c") * F.round(F.log2(F.col("c").cast("double")), 6)).alias(
+                "sum_clogc"
+            ),
+            F.sum(F.col("c") * F.round(F.log2(F.col("gc").cast("double")), 6)).alias(
+                "sum_clogg"
+            ),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            F.round(F.col("hapax").cast("double") / F.col("vocab"), 4).alias(
+                "hapax_frac"
+            ),
+            F.round(
+                (F.col("sum_clogc") - F.col("sum_clogg")) / F.col("n_tokens")
+                - F.round(F.log2(F.col("n_tokens").cast("double")), 6)
+                + F.round(F.log2(F.col("n").cast("double")), 6),
+                4,
+            ).alias("kl_bits"),
+        )
+        .orderBy("source")
+    )
