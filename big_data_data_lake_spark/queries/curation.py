@@ -926,7 +926,8 @@ NEG_SAMPLING_ORACLE = f"""
 WITH n AS (SELECT count(*) AS n FROM documents),
 a AS (SELECT doc_id, unnest(generate_series(1, {NEG_K})) AS k FROM documents),
 c AS (SELECT doc_id AS anchor_id, k,
-             (({NEG_A} * (doc_id + 1) + {NEG_B} * k) % {dd.MERSENNE_P})
+             (({NEG_A} * (doc_id % {dd.MERSENNE_P} + 1) + {NEG_B} * k)
+                 % {dd.MERSENNE_P})
                  % (SELECT n FROM n) AS raw
       FROM a),
 fix AS (SELECT anchor_id, CAST(k AS INT) AS k,
@@ -966,9 +967,13 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = docs.select("doc_id").withColumn(
         "k", F.explode(F.array(*[F.lit(k) for k in range(1, NEG_K + 1)]))
     )
+    # pre-mod the id so the affine product stays under 2^62 for ANY
+    # id domain (strided 1e9-scale ids at the 10x sweep overflowed the
+    # raw multiply); identical output where ids < 2^31-1, i.e. every
+    # test SF
     raw = (
         (
-            F.lit(NEG_A).cast("long") * (F.col("doc_id") + 1)
+            F.lit(NEG_A).cast("long") * (F.col("doc_id") % F.lit(dd.MERSENNE_P) + 1)
             + F.lit(NEG_B).cast("long") * F.col("k")
         )
         % F.lit(dd.MERSENNE_P)
