@@ -589,3 +589,22 @@ def test_sequence_packing_no_single_partition_window(spark):
     df = _q(spark, "sequence_packing_audit")
     row = df.collect()[0]
     assert row["n_bins"] >= 0 and row["n_docs"] >= 0
+
+
+def test_native_partition_pruning_reaches_scan(spark, tmp_path):
+    """Hive-layout partitioned data + a partition predicate must plan
+    PartitionFilters at the scan (file-level pruning before any I/O)
+    — the engine-native twin of the manifest-side pruning the lake
+    layer does (test_metadata.py::test_partition_filter_prunes_files).
+    At 100 TB this is the difference between scanning one day and
+    scanning the table."""
+    src = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 3:02d}") for i in range(30)], "id long, day string"
+    )
+    path = str(tmp_path / "part_events")
+    src.write.partitionBy("day").mode("overwrite").parquet(path)
+    df = spark.read.parquet(path).where(F.col("day") == "2024-01-02")
+    plan = plans.formatted_plan(df)
+    assert "PartitionFilters" in plan, plan
+    assert "2024-01-02" in plan, plan
+    assert df.count() == 10
