@@ -2690,7 +2690,12 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "col_name",
             F.col("n_nulls").cast("bigint").alias("n_nulls"),
-            F.round(F.col("n_nulls").cast("double") / F.col("__n"), 4).alias("null_frac"),
+            # day-zero guard: __n = 0 on an empty table and ANSI division
+            # raises — NULL fraction of nothing is NULL
+            F.round(
+                F.col("n_nulls").cast("double") / F.when(F.col("__n") != 0, F.col("__n")),
+                4,
+            ).alias("null_frac"),
             F.col("n_distinct").cast("bigint").alias("n_distinct"),
             "min_repr",
             "max_repr",
