@@ -151,6 +151,8 @@ HEADLINE = [
     "order_pareto_frontier",
     "source_divergence_profile",
     "fano_burstiness_by_type",
+    "hod_seasonal_zscore",
+    "winsorized_stats",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -109,6 +109,8 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "order_pareto_frontier",
     "source_divergence_profile",
     "fano_burstiness_by_type",
+    "hod_seasonal_zscore",
+    "winsorized_stats",
 )
 
 

@@ -3159,3 +3159,149 @@ def fano_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fano"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonal anomaly cells
+# ---------------------------------------------------------------------------
+
+HOD_Z_THRESHOLD = 2.5
+
+HOD_SEASONAL_ORACLE = f"""
+WITH cells AS (
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS d,
+           CAST(extract(hour FROM ts) AS INT) AS hod,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2, 3
+),
+base AS (
+    SELECT event_type, hod,
+           count(*) AS n, sum(c) AS s1, sum(c * c) AS s2
+    FROM cells GROUP BY 1, 2
+),
+z AS (
+    SELECT cells.event_type, cells.d, cells.hod, cells.c,
+           CAST(s1 AS DOUBLE) / n AS mu,
+           sqrt(CAST(s2 AS DOUBLE) / n
+                - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sigma
+    FROM cells JOIN base USING (event_type, hod)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, hod, c,
+       round(mu, 4) AS mu,
+       round((c - mu) / sigma, 4) AS z
+FROM z
+WHERE sigma > 0 AND abs((c - mu) / sigma) > {HOD_Z_THRESHOLD}
+ORDER BY event_type, day, hod
+"""
+
+
+@register("hod_seasonal_zscore", HOD_SEASONAL_ORACLE)
+def hod_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly cells: each (type, day, hour)
+    count is z-scored against the SAME HOUR-OF-DAY's distribution
+    across all days — the baseline that catches "3am spike" anomalies
+    a flat daily z-score (daily_anomaly_zscore) washes out, because
+    3am is compared only with other 3ams. Cells beyond |z| > 2.5 are
+    flagged. Variance comes from exact integer moments (n, sum c,
+    sum c^2), so the only floating arithmetic is the final divisions
+    and sqrt — same determinism posture as fano_burstiness_by_type.
+
+    Scale shape: the fact table collapses to (type, day, hour) cells
+    in one partial-aggregated shuffle (cells = types x days x 24 —
+    series scale); the 24-row-per-type baseline joins back at
+    metadata scale. Nothing rescans the fact."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    base = cells.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    sigma = F.sqrt(F.col("s2").cast("double") / F.col("n") - mu * mu)
+    z = (F.col("c") - F.col("mu")) / F.col("sigma")
+    return (
+        cells.join(
+            F.broadcast(base.select("event_type", "hod", mu.alias("mu"), sigma.alias("sigma"))),
+            ["event_type", "hod"],
+        )
+        .where(F.col("sigma") > 0)
+        .where(F.abs(z) > HOD_Z_THRESHOLD)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "hod",
+            F.col("c").cast("bigint").alias("c"),
+            F.round("mu", 4).alias("mu"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("event_type", "day", "hod")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust moments
+# ---------------------------------------------------------------------------
+
+WINSOR_ORACLE = """
+WITH b AS (SELECT quantile_cont(value, 0.01) AS p01,
+                  quantile_cont(value, 0.99) AS p99
+           FROM events),
+w AS (SELECT value AS v,
+             least(greatest(value, (SELECT p01 FROM b)), (SELECT p99 FROM b)) AS wv
+      FROM events WHERE value IS NOT NULL)
+SELECT round((SELECT p01 FROM b), 6) AS p01,
+       round((SELECT p99 FROM b), 6) AS p99,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (v <> wv) AS BIGINT) AS n_clipped,
+       round(avg(v), 4) AS mean_raw,
+       round(avg(wv), 4) AS mean_winsor,
+       round(stddev_pop(v), 4) AS std_raw,
+       round(stddev_pop(wv), 4) AS std_winsor
+FROM w
+"""
+
+
+@register("winsorized_stats", WINSOR_ORACLE)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized moments: mean/std of value before vs after clipping
+    at the exact p01/p99 — the robust-statistics companion to
+    mad_outlier_bounds (clip-and-keep where MAD fences drop), and the
+    preprocessing step feature pipelines apply before z-scaling
+    heavy-tailed metrics. The clip bounds are exact interpolated
+    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``)
+    broadcast back over the fact — the quantile_threshold two-pass
+    shape.
+
+    Scale shape: one percentile aggregation pass + one moments pass,
+    both partial-aggregated; the clip is row-local. stddev_pop on
+    both engines; 4-decimal rounding absorbs summation-order ulps
+    (the same guard every floating aggregate here uses)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = ev.agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    w = ev.crossJoin(F.broadcast(b)).select(
+        "p01",
+        "p99",
+        F.col("value").alias("v"),
+        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias("wv"),
+    )
+    return w.agg(
+        F.round(F.first("p01"), 6).alias("p01"),
+        F.round(F.first("p99"), 6).alias("p99"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("v") != F.col("wv"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped"),
+        F.round(F.avg("v"), 4).alias("mean_raw"),
+        F.round(F.avg("wv"), 4).alias("mean_winsor"),
+        F.round(F.stddev_pop("v"), 4).alias("std_raw"),
+        F.round(F.stddev_pop("wv"), 4).alias("std_winsor"),
+    )
