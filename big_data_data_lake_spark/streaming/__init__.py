@@ -3,6 +3,7 @@ from .ingest import (
     interval_join,
     kafka_source,
     lake_table_sink,
+    first_wins_dedup,
     latest_wins_dedup,
     micro_batch_writer,
     normalize_payloads,
@@ -16,6 +17,7 @@ __all__ = [
     "interval_join",
     "kafka_source",
     "lake_table_sink",
+    "first_wins_dedup",
     "latest_wins_dedup",
     "micro_batch_writer",
     "normalize_payloads",

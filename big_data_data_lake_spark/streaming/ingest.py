@@ -106,6 +106,24 @@ def parse_state_vectors(raw: DataFrame, payload_col: str = "value") -> DataFrame
     )
 
 
+def first_wins_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    lateness: str = "5 minutes",
+) -> DataFrame:
+    """Idempotency dedup via the NATIVE engine operator: keep the
+    FIRST row seen per key within the watermark horizon
+    (``dropDuplicatesWithinWatermark``). The right tool when any copy
+    of a record is equivalent — retried producers, at-least-once
+    replays of immutable events keyed by event_id — because state per
+    key is just "seen", evicted once the watermark passes. For
+    reference-parity LATEST-wins semantics (newer replaces older),
+    use latest_wins_dedup; the two differ exactly when late copies
+    carry newer payloads (SURVEY §7 risk 1)."""
+    return stream.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(keys)
+
+
 def latest_wins_dedup(
     stream: DataFrame,
     key: str = "icao24",

@@ -834,3 +834,44 @@ def test_interval_join_left_outer_emits_delayed_nulls(spark, tmpdir):
     assert ("aaa", "ok") in got
     assert ("bbb", None) in got, got
     assert ("zzz", "flush") in got
+
+
+def test_first_wins_dedup_native_operator(spark, tmpdir):
+    """The native dropDuplicatesWithinWatermark path: duplicate
+    event_ids, in-batch and across micro-batches, must emit exactly
+    once (first wins) while the key's state lives; eviction past the
+    watermark is the engine's (bounding state, not output)."""
+    from big_data_data_lake_spark.streaming import first_wins_dedup
+
+    base = 1_700_000_000
+    rows1 = [(1, base), (2, base + 10), (1, base + 20)]       # in-batch dup of 1
+    rows2 = [(2, base + 30)]                                  # cross-batch dup of 2
+    rows3 = [(1, base + 100_000)]                             # still dropped: state
+    # is keyed presence, and the drop happens before end-of-batch
+    # eviction even this far past the horizon
+
+    def write(rows, path):
+        (
+            spark.createDataFrame(rows, "event_id long, ts_s long")
+            .withColumn("ts", F.timestamp_seconds("ts_s"))
+            .drop("ts_s")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    src = f"{tmpdir}/dedup_src"
+    write(rows1, src)
+    write(rows2, src)
+    write(rows3, src)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = first_wins_dedup(stream, ["event_id"], lateness="5 minutes")
+    got = sorted(
+        (r.event_id, int(r.ts.timestamp()))
+        for r in _run_stream_to_memory(spark, out, "fw_dedup").collect()
+    )
+    assert got == [(1, base), (2, base + 10)], got
