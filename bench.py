@@ -153,6 +153,7 @@ HEADLINE = [
     "fano_burstiness_by_type",
     "hod_seasonal_zscore",
     "winsorized_stats",
+    "three_step_funnel",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -111,6 +111,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "fano_burstiness_by_type",
     "hod_seasonal_zscore",
     "winsorized_stats",
+    "three_step_funnel",
 )
 
 

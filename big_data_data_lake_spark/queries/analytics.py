@@ -3305,3 +3305,95 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_pop("v"), 4).alias("std_raw"),
         F.round(F.stddev_pop("wv"), 4).alias("std_winsor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Three-step ordered funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEP_WINDOW_S = 3600
+
+THREE_STEP_FUNNEL_ORACLE = f"""
+WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT v.user_id, v.vt, min(e.ts) AS ct
+      FROM v JOIN events e ON e.user_id = v.user_id
+       AND e.event_type = 'click'
+       AND e.ts > v.vt AND e.ts <= v.vt + INTERVAL {FUNNEL_STEP_WINDOW_S} SECONDS
+      GROUP BY v.user_id, v.vt),
+p AS (SELECT c.user_id, min(e.ts) AS pt
+      FROM c JOIN events e ON e.user_id = c.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts > c.ct AND e.ts <= c.ct + INTERVAL {FUNNEL_STEP_WINDOW_S} SECONDS
+      GROUP BY c.user_id)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+       round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+             / nullif((SELECT count(*) FROM v), 0), 4) AS view_to_click,
+       round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+             / nullif((SELECT count(*) FROM c), 0), 4) AS click_to_purchase
+"""
+
+
+@register("three_step_funnel", THREE_STEP_FUNNEL_ORACLE)
+def three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel with per-step time windows: first
+    view, then first click within an hour OF THAT VIEW, then first
+    purchase within an hour of that click — the strict-sequence
+    conversion measurement (not mere co-occurrence) product analytics
+    ships, generalizing view_purchase_conversion's two steps. Using
+    the FIRST qualifying event at each step makes the funnel
+    deterministic and order-dependent, exactly like the reference
+    dashboards' "first touch" attribution.
+
+    Scale shape: step 1 is a per-user rollup; each later step is one
+    equi-join on user_id of the (shrinking) converted-user set
+    against the type-filtered fact, re-aggregated to first-qualifying
+    per user — per-step fan-in is bounded by that user's events of
+    one type in one hour. Three key-partitioned shuffles total; the
+    final counts are scalar aggregates. The type filters push to the
+    scans."""
+    ev = _t(spark, sf_dir, "events")
+    win_s = FUNNEL_STEP_WINDOW_S
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    c = (
+        v.join(clicks, "user_id")
+        .where(
+            (F.col("ts") > F.col("vt"))
+            & (F.col("ts") <= F.col("vt") + F.expr(f"INTERVAL {win_s} SECONDS"))
+        )
+        .groupBy("user_id", "vt")
+        .agg(F.min("ts").alias("ct"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    p = (
+        c.join(purchases, "user_id")
+        .where(
+            (F.col("ts") > F.col("ct"))
+            & (F.col("ts") <= F.col("ct") + F.expr(f"INTERVAL {win_s} SECONDS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    # one left-join spine + one aggregate: the whole funnel executes
+    # ONCE (three .count() calls would re-run the shared lineage)
+    spine = (
+        v.join(c.select("user_id", "ct"), "user_id", "left")
+        .join(p, "user_id", "left")
+    )
+    nv = F.count(F.lit(1))
+    nc = F.count("ct")
+    np_ = F.count("pt")
+    return spine.agg(
+        nv.cast("bigint").alias("n_view"),
+        nc.cast("bigint").alias("n_click"),
+        np_.cast("bigint").alias("n_purchase"),
+        F.round(nc.cast("double") / F.when(nv != 0, nv), 4).alias("view_to_click"),
+        F.round(np_.cast("double") / F.when(nc != 0, nc), 4).alias("click_to_purchase"),
+    )
