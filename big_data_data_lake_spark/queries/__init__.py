@@ -49,9 +49,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # prefix-biased sampler attests them; all pass the local DuckDB mirror
 # (tests/test_oracle_parity.py) regardless.
 SAMPLE_FIRST: tuple[str, ...] = (
-    # the only 8 registry entries without a driver CORRECTNESS row after
-    # rounds 1-3 (122/130 attested; zero failures ever) — pruned per the
-    # round-3 verdict so they enumerate at positions 1-8
+    # every registry entry without a driver CORRECTNESS row yet, in
+    # priority order. First the 8 left over from rounds 1-3 (122/130
+    # attested then; zero failures ever), pruned per the round-3
+    # verdict to enumerate at positions 1-8; after them, round 4's
+    # additions in the order they landed. The driver samples ~50 per
+    # round, so tail entries past that ride on the local DuckDB
+    # mirror (tests/test_oracle_parity.py) until a later round.
     "cheapest_supplier_per_part",
     "exact_substring_decontamination",
     "int8_quant_audit",
