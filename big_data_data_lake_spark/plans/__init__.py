@@ -13,6 +13,7 @@ from .inspect import (
     broadcast_join_count,
     formatted_plan,
     has_whole_stage_codegen,
+    lint_plan,
     pushed_filters,
     scan_columns,
     shuffle_count,
@@ -23,6 +24,7 @@ __all__ = [
     "broadcast_join_count",
     "formatted_plan",
     "has_whole_stage_codegen",
+    "lint_plan",
     "pushed_filters",
     "scan_columns",
     "shuffle_count",

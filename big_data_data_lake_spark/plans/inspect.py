@@ -76,3 +76,36 @@ def has_whole_stage_codegen(df: DataFrame, execute: bool = True) -> bool:
     if execute and "codegen id" not in formatted_plan(df):
         df.collect()
     return "codegen id" in formatted_plan(df)
+
+
+# Plan antipatterns: the shapes that do not survive a 100 TB input.
+# - cartesian / broadcast-nested-loop: O(n*m) pair fan-out in
+#   different clothes. Legitimate ONLY when one side is provably tiny
+#   (a broadcast literal / scalar frame) — allowlist those queries.
+# - unpartitioned window: Window fed by an Exchange SinglePartition
+#   funnels every row through one task (the round-2 scale-killer).
+#   A SinglePartition exchange under a global AGGREGATE is fine (it
+#   moves one partial row per partition), so the check requires the
+#   Window->Sort->Exchange SinglePartition chain, not the exchange
+#   alone.
+_UNPARTITIONED_WINDOW_RE = re.compile(
+    r"Window[^\n]*\n(?:[^\n]*\n){0,2}?[^\n]*Exchange SinglePartition"
+)
+
+
+def lint_plan(df: DataFrame, allow: set[str] | frozenset[str] = frozenset()) -> list[str]:
+    """Scan a plan for scale antipatterns; returns finding names
+    (empty = clean). ``allow`` suppresses findings a query has a
+    documented bounded-input justification for."""
+    plan = formatted_plan(df)
+    findings = []
+    if "cartesian-product" not in allow and "CartesianProduct" in plan:
+        findings.append("cartesian-product")
+    if (
+        "broadcast-nested-loop-join" not in allow
+        and "BroadcastNestedLoopJoin" in plan
+    ):
+        findings.append("broadcast-nested-loop-join")
+    if "unpartitioned-window" not in allow and _UNPARTITIONED_WINDOW_RE.search(plan):
+        findings.append("unpartitioned-window")
+    return findings

@@ -608,3 +608,68 @@ def test_native_partition_pruning_reaches_scan(spark, tmp_path):
     assert "PartitionFilters" in plan, plan
     assert "2024-01-02" in plan, plan
     assert df.count() == 10
+
+
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+# every one is a crossJoin of a BROADCAST SCALAR / tiny literal frame
+# (a percentile threshold, a corpus total, a 3-row band dim, a 5-row
+# query set, spine bounds) against the fact — the documented
+# "broadcast back over the fact" two-pass shape, where the nested
+# loop's inner side is O(1)-rows by construction. Anything NOT in
+# this list that plans a nested loop (or any cartesian / any
+# unpartitioned window, which have NO allowlist) fails the sweep.
+LINT_ALLOWED = {
+    name: {"broadcast-nested-loop-join"}
+    for name in [
+        "acf_by_type",
+        "ann_ivf_recall",
+        "collocations_pmi",
+        "ann_cosine_topk",
+        "ann_lsh_recall",
+        "ann_truncated_topk",
+        "ann_truncation_recall",
+        "approx_quantile_audit",
+        "concentrated_part_value",
+        "countmin_heavy_hitters",
+        "dup_graph_triangles",
+        "event_dow_chi2",
+        "fano_burstiness_by_type",
+        "hourly_counts_gapfilled",
+        "idle_rich_customers",
+        "join_key_skew_profile",
+        "lsh_pr_audit",
+        "pq_ann_topk",
+        "pq_recall_audit",
+        "quantile_outliers",
+        "range_band_join",
+        "rolling_distinct_users_audit",
+        "source_divergence_profile",
+        "source_mixing_weights",
+        "tfidf_top_terms",
+        "unigram_surprisal",
+        "vocab_coverage",
+        "winsorized_stats",
+    ]
+}
+
+
+def test_plan_lint_every_registered_query(spark):
+    """Registry-wide plan QA: EVERY query's physical plan is linted
+    for scale antipatterns (cartesian product, broadcast nested loop,
+    window over a single-partition exchange). New queries are covered
+    automatically; a nested loop is tolerated only via the explicit
+    allowlist above, and cartesians / unpartitioned windows never."""
+    from big_data_data_lake_spark.caching import release_query_caches
+    from big_data_data_lake_spark.plans import lint_plan
+
+    failures = []
+    for name, qd in sorted(REG.items()):
+        try:
+            findings = lint_plan(
+                qd.fn(spark, SF), allow=LINT_ALLOWED.get(name, frozenset())
+            )
+        finally:
+            release_query_caches()
+        if findings:
+            failures.append(f"{name}: {findings}")
+    assert not failures, "\n".join(failures)
