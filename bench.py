@@ -154,6 +154,8 @@ HEADLINE = [
     "hod_seasonal_zscore",
     "winsorized_stats",
     "three_step_funnel",
+    "zipf_slope",
+    "dup_cluster_histogram",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing
@@ -215,6 +217,13 @@ def main() -> None:
             # and shuffle-heavy queries degrade ~3x across reps
             # (measured: 5.3/7.6/9.5s reps -> 5.8/3.4/3.2s with GC)
             spark.sparkContext._jvm.System.gc()
+            # a heavy shuffle query leaves cleaner/GC work that the
+            # synchronous System.gc() call doesn't fully drain; without
+            # a settle the NEXT query absorbs it (measured 5x on the
+            # 77 s sf1 inverted-index join's successor — standalone
+            # 9.3 s, in-bench 54 s). Settle proportionally, capped.
+            if samples[-1] > 5.0:
+                time.sleep(min(2.0, samples[-1] / 10))
         timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)

@@ -116,6 +116,8 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "hod_seasonal_zscore",
     "winsorized_stats",
     "three_step_funnel",
+    "zipf_slope",
+    "dup_cluster_histogram",
 )
 
 

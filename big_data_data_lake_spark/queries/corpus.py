@@ -1480,3 +1480,101 @@ def source_divergence_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf exponent of the token frequency distribution
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_N = 200
+
+ZIPF_ORACLE = f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM c),
+top AS (SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS lr,
+               round(ln(CAST(n AS DOUBLE)), 6) AS lf
+        FROM r WHERE rank <= {ZIPF_TOP_N})
+SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+       round(regr_slope(lf, lr), 4) AS zipf_slope,
+       round(regr_r2(lf, lr), 4) AS r2
+FROM top
+"""
+
+
+@register("zipf_slope", ZIPF_ORACLE)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: the OLS slope of log-frequency on
+    log-rank over the top-200 tokens (natural text sits near -1;
+    template/boilerplate corpora flatten toward 0) plus the fit R² —
+    the one-number language-naturalness check next to
+    token_entropy_by_source. Logs are quantized to 6 decimals before
+    the regression so both engines' libm agree; regr_slope/regr_r2
+    are algebraic aggregates with identical definitions.
+
+    Scale shape: one partial-aggregated token count shuffle; the
+    top-N rank is TakeOrdered (per-partition heaps) and the
+    regression runs over N=200 rows — metadata scale. Same posture
+    as vocab_coverage."""
+    from pyspark.sql import Window
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    c = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        c.orderBy(F.col("n").desc(), "token")
+        .limit(ZIPF_TOP_N)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("token"))),
+        )
+        .select(
+            F.round(F.log(F.col("rank").cast("double")), 6).alias("lr"),
+            F.round(F.log(F.col("n").cast("double")), 6).alias("lf"),
+        )
+    )
+    return top.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.round(F.expr("regr_slope(lf, lr)"), 4).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(lf, lr)"), 4).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-duplicate cluster size histogram
+# ---------------------------------------------------------------------------
+
+DUP_HISTOGRAM_ORACLE = """
+WITH f AS (SELECT md5(text) AS fp FROM documents),
+g AS (SELECT fp, CAST(count(*) AS BIGINT) AS sz FROM f GROUP BY fp)
+SELECT sz AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs
+FROM g GROUP BY sz ORDER BY sz
+"""
+
+
+@register("dup_cluster_histogram", DUP_HISTOGRAM_ORACLE)
+def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of exact-duplicate clusters (md5 text
+    fingerprint groups): how many singletons vs 2-copies vs hot
+    templates — the first report a dedup pipeline publishes (total
+    removable docs = sum over sz>1 of (sz-1)*n_clusters), and the
+    skew signal for sizing the dedup shuffle. Both engines share md5.
+
+    Scale shape: two partial-aggregated shuffles, the second over the
+    (tiny) distinct-cluster-size domain."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    g = docs.select(F.md5(F.col("text").cast("binary")).alias("fp")).groupBy("fp").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        g.groupBy("sz")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
