@@ -29,12 +29,19 @@ from __future__ import annotations
 
 import json
 import os
+import inspect
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_DIR = "_manifest"
+
+
+_OP_METHODS = {
+    "create", "append", "overwrite", "add_bloom", "compact",
+    "cluster_by", "upsert", "delete_where", "upsert_scd2",
+}
 
 
 def zorder_key(
@@ -230,6 +237,26 @@ class LakeTable:
         with open(os.path.join(self._mdir, f"v{v}.json")) as fh:
             return json.load(fh)
 
+    def history(self) -> list[dict]:
+        """Commit history, newest last — the DESCRIBE HISTORY surface:
+        one dict per version with the operation that produced it (the
+        outermost public mutator, stamped at commit time), row/file
+        counts, and partitioning. Driver-side metadata only (one small
+        JSON per version) — no scan."""
+        out = []
+        for v in self.versions():
+            m = self.manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "operation": m.get("operation", "unknown"),
+                    "rows": m["rows"],
+                    "n_files": len(m["files"]),
+                    "partition_by": ",".join(m["partition_by"]),
+                }
+            )
+        return out
+
     def _commit(self, version: int, manifest: dict) -> None:
         """Atomic put-if-absent of the version file. ``os.link`` fails
         with EEXIST when the target exists, so two writers racing on
@@ -237,6 +264,14 @@ class LakeTable:
         check would be TOCTOU: both pass the check, the second
         silently overwrites the first — a lost commit). This is the
         create-exclusive primitive Delta's log protocol requires."""
+        if "operation" not in manifest:
+            # stamp the OUTERMOST public mutator on the call stack so
+            # history() reads "compact", not the "overwrite" it rides on
+            found = None
+            for fr in inspect.stack()[1:8]:
+                if fr.function in _OP_METHODS:
+                    found = fr.function
+            manifest["operation"] = found or "unknown"
         os.makedirs(self._mdir, exist_ok=True)
         tmp = os.path.join(self._mdir, f".v{version}.json.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:

@@ -565,3 +565,18 @@ def test_read_binary_files_source(spark, tmp_path):
     assert rows["b.ppm"].length == 17
     capped = read_binary_files(spark, str(tmp_path), glob="*.ppm", max_bytes=14)
     assert [os.path.basename(r.path) for r in capped.collect()] == ["a.ppm"]
+
+
+def test_history_records_operations(spark, events, tmp_path):
+    """history() must list one entry per version with the OUTERMOST
+    public mutator stamped as the operation — compact reads as
+    'compact', not the overwrite it rides on."""
+    t = LakeTable(spark, str(tmp_path / "hist"))
+    t.create(events.repartition(3))
+    t.append(events.limit(2))
+    t.compact()
+    h = t.history()
+    assert [e["version"] for e in h] == [0, 1, 2]
+    assert [e["operation"] for e in h] == ["create", "append", "compact"]
+    assert h[1]["rows"] > h[0]["rows"]
+    assert all(e["n_files"] >= 1 for e in h)
