@@ -55,3 +55,36 @@ def observe_stream(
     element of ``query.recentProgress``) — poll or listener, no
     extra scan either way."""
     return df.observe(name, *quality_metrics(df, value_cols))
+
+
+def watermark_health(query) -> dict:
+    """Stateful-stream health snapshot from a StreamingQuery's last
+    progress: rows dropped by the watermark (the silent-data-loss
+    counter every latest_wins_dedup / windowed-agg deployment must
+    alarm on — nonzero means lateness_s is too tight for the sources'
+    cross-key skew), total state rows/bytes (the state-store growth
+    curve), and the current event-time watermark. Returns zeros
+    before the first progress so monitors can poll unconditionally.
+
+    This is the programmatic form of the guidance in
+    latest_wins_dedup's docstring — one dict per poll, cheap enough
+    for every micro-batch."""
+    p = query.lastProgress
+    if not p:
+        return {
+            "rows_dropped_by_watermark": 0,
+            "state_rows": 0,
+            "state_bytes": 0,
+            "watermark": None,
+            "batch_id": None,
+        }
+    ops = p.get("stateOperators") or []
+    return {
+        "rows_dropped_by_watermark": sum(
+            int(o.get("numRowsDroppedByWatermark", 0)) for o in ops
+        ),
+        "state_rows": sum(int(o.get("numRowsTotal", 0)) for o in ops),
+        "state_bytes": sum(int(o.get("memoryUsedBytes", 0)) for o in ops),
+        "watermark": (p.get("eventTime") or {}).get("watermark"),
+        "batch_id": p.get("batchId"),
+    }

@@ -875,3 +875,48 @@ def test_first_wins_dedup_native_operator(spark, tmpdir):
         for r in _run_stream_to_memory(spark, out, "fw_dedup").collect()
     )
     assert got == [(1, base), (2, base + 10)], got
+
+
+def test_watermark_health_reports_dropped_rows(spark, tmpdir):
+    """watermark_health must surface numRowsDroppedByWatermark: a row
+    arriving far behind the advanced watermark is silently dropped by
+    a stateful operator, and the health dict is where that loss
+    becomes visible."""
+    from big_data_data_lake_spark.observability import watermark_health
+    from big_data_data_lake_spark.streaming.ingest import windowed_counts
+
+    base = 1_700_000_000
+
+    def write(rows, path):
+        (
+            spark.createDataFrame(rows, "k long, ts_s long")
+            .withColumn("ts", F.timestamp_seconds("ts_s"))
+            .drop("ts_s")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    import os
+
+    src, sink, ckpt = f"{tmpdir}/wm_src", f"{tmpdir}/wm_sink", f"{tmpdir}/wm_ckpt"
+    os.makedirs(src)
+
+    def run(rows):
+        write(rows, src)
+        stream = spark.readStream.schema("k long, ts timestamp").parquet(src)
+        q = micro_batch_writer(
+            windowed_counts(stream, watermark="10 minutes"),
+            sink,
+            ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        return q
+
+    run([(1, base), (2, base + 7200)])               # run 1 advances wm
+    q = run([(3, base - 7200)])                       # run 2: hopeless straggler
+    h = watermark_health(q)
+    assert h["rows_dropped_by_watermark"] >= 1, h
+    assert h["batch_id"] is not None
+    assert h["watermark"] is not None
