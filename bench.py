@@ -156,6 +156,8 @@ HEADLINE = [
     "three_step_funnel",
     "zipf_slope",
     "dup_cluster_histogram",
+    "span_corruption_masks",
+    "epoch_shuffle_order",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -118,6 +118,8 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "three_step_funnel",
     "zipf_slope",
     "dup_cluster_histogram",
+    "span_corruption_masks",
+    "epoch_shuffle_order",
 )
 
 

@@ -1059,3 +1059,165 @@ def sequence_packing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         release()
     return spark.createDataFrame(rows, df.schema)
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption masks (T5-style denoising spans)
+# ---------------------------------------------------------------------------
+
+SPAN_LEN = 3  # tokens per corrupted span
+SPAN_EVERY = 10  # one span start per 10 tokens (≈30% corruption)
+SPAN_A = (dd._lcg(1501) | 1) % dd.MERSENNE_P
+SPAN_B = dd._lcg(1601)
+
+SPAN_CORRUPTION_ORACLE = f"""
+WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+           FROM documents),
+spans AS (
+    SELECT doc_id, nt,
+           unnest(generate_series(0, nt // {SPAN_EVERY} - 1)) AS s
+    FROM d WHERE nt >= {SPAN_EVERY}
+),
+placed AS (
+    SELECT doc_id, nt, s,
+           s * {SPAN_EVERY}
+             + ({SPAN_A} * (doc_id % {dd.MERSENNE_P} + 1) + {SPAN_B} * (s + 1))
+               % {dd.MERSENNE_P} % ({SPAN_EVERY} - {SPAN_LEN} + 1) AS start
+    FROM spans
+),
+agg AS (
+    SELECT doc_id, max(nt) AS nt,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(*) * {SPAN_LEN} AS BIGINT) AS masked_tokens,
+           min(start) AS first_start,
+           max(start + {SPAN_LEN} - 1) AS last_end
+    FROM placed GROUP BY doc_id
+)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, n_spans, masked_tokens,
+       round(CAST(masked_tokens AS DOUBLE) / nt, 4) AS corruption_rate,
+       CAST(first_start AS BIGINT) AS first_start,
+       CAST(last_end AS BIGINT) AS last_end
+FROM agg
+ORDER BY doc_id
+"""
+
+
+@register("span_corruption_masks", SPAN_CORRUPTION_ORACLE)
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask placement: every 10-token stride
+    gets one 3-token masked span at a pseudo-random offset inside the
+    stride (an LCG affine hash of (doc, span index)) — the denoising
+    objective's data-prep step, made deterministic so a resumed or
+    re-sharded training run regenerates identical masks (the same
+    reproducibility contract as negative_sampling_pairs and
+    train_split_assign). Stride placement guarantees spans never
+    overlap and corruption stays at SPAN_LEN/SPAN_EVERY = 30% of
+    tokens. Per-doc summary here (span count, masked tokens, rate,
+    first/last extents) keeps the result hash-friendly; the per-span
+    (doc_id, start, len) table is the same expression un-aggregated.
+
+    Scale shape: entirely row-local — tokens counted per doc, span
+    slots exploded from an integer sequence (bounded by nt/10 per
+    row), placed with portable integer arithmetic; one partial-agg
+    shuffle for the per-doc rollup. The id pre-mod keeps every
+    product under 2^62 for any id domain (the negative-sampling
+    overflow lesson)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("nt")
+    ).where(F.col("nt") >= SPAN_EVERY)
+    spans = d.select(
+        "doc_id",
+        "nt",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("nt") / SPAN_EVERY).cast("long") - 1)
+        ).alias("s"),
+    )
+    offset = (
+        (
+            F.lit(SPAN_A).cast("long") * (F.col("doc_id") % F.lit(dd.MERSENNE_P) + 1)
+            + F.lit(SPAN_B).cast("long") * (F.col("s") + 1)
+        )
+        % F.lit(dd.MERSENNE_P)
+    ) % F.lit(SPAN_EVERY - SPAN_LEN + 1)
+    placed = spans.select(
+        "doc_id", "nt", (F.col("s") * SPAN_EVERY + offset).alias("start")
+    )
+    return (
+        placed.groupBy("doc_id")
+        .agg(
+            F.max("nt").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            (F.count(F.lit(1)) * SPAN_LEN).cast("bigint").alias("masked_tokens"),
+            F.min("start").cast("bigint").alias("first_start"),
+            (F.max("start") + SPAN_LEN - 1).cast("bigint").alias("last_end"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            "masked_tokens",
+            F.round(
+                F.col("masked_tokens").cast("double") / F.col("n_tokens"), 4
+            ).alias("corruption_rate"),
+            "first_start",
+            "last_end",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-epoch shuffle order
+# ---------------------------------------------------------------------------
+
+EPOCH_SHUFFLE_EPOCH = 3
+EPOCH_A = (dd._lcg(1701) | 1) % dd.MERSENNE_P
+EPOCH_B = dd._lcg(1801)
+
+EPOCH_SHUFFLE_ORACLE = f"""
+WITH k AS (
+    SELECT doc_id,
+           ({EPOCH_A} * (doc_id % {dd.MERSENNE_P} + 1)
+            + CAST({EPOCH_B} AS BIGINT) * {EPOCH_SHUFFLE_EPOCH})
+               % {dd.MERSENNE_P} AS sk
+    FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY sk, doc_id) AS BIGINT) AS pos, doc_id, sk
+FROM k
+ORDER BY pos
+LIMIT 50
+"""
+
+
+@register("epoch_shuffle_order", EPOCH_SHUFFLE_ORACLE)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch dataset shuffle: each document's sort
+    key is an affine hash of (doc_id, epoch), so every epoch visits
+    the corpus in a different but fully reproducible order and a
+    resumed run can seek to position N without replaying — the
+    dataloader contract (same seed + epoch => same order) that makes
+    distributed training restartable. First 50 positions of epoch 3
+    here; any shard of the order is the same expression with a
+    rank-range predicate.
+
+    Scale shape: the key is row-local arithmetic; the order is a
+    TakeOrdered top-50 (per-partition heaps — no global sort for a
+    bounded prefix). A full-epoch materialization would swap the
+    LIMIT for windows.global_rank's range exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    sk = (
+        F.lit(EPOCH_A).cast("long") * (F.col("doc_id") % F.lit(dd.MERSENNE_P) + 1)
+        + F.lit(EPOCH_B).cast("long") * F.lit(EPOCH_SHUFFLE_EPOCH)
+    ) % F.lit(dd.MERSENNE_P)
+    from pyspark.sql import Window
+
+    k = docs.select("doc_id", sk.alias("sk")).orderBy("sk", "doc_id").limit(50)
+    return k.select(
+        F.row_number()
+        .over(Window.orderBy("sk", "doc_id"))
+        .cast("bigint")
+        .alias("pos"),
+        "doc_id",
+        "sk",
+    ).orderBy("pos")
