@@ -158,6 +158,7 @@ HEADLINE = [
     "dup_cluster_histogram",
     "span_corruption_masks",
     "epoch_shuffle_order",
+    "user_gini_concentration",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

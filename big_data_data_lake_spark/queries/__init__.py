@@ -120,6 +120,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "dup_cluster_histogram",
     "span_corruption_masks",
     "epoch_shuffle_order",
+    "user_gini_concentration",
 )
 
 

@@ -3397,3 +3397,61 @@ def three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nc.cast("double") / F.when(nv != 0, nv), 4).alias("view_to_click"),
         F.round(np_.cast("double") / F.when(nc != 0, nc), 4).alias("click_to_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of per-user activity
+# ---------------------------------------------------------------------------
+
+GINI_ORACLE = """
+WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY user_id),
+r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS rk FROM u),
+a AS (SELECT count(*) AS n, sum(c) AS s, sum(rk * c) AS rs FROM r)
+SELECT CAST(n AS BIGINT) AS n_users, CAST(s AS BIGINT) AS n_events,
+       round(2.0 * rs / (n * s) - (n + 1.0) / n, 4) AS gini
+FROM a
+"""
+
+
+@register("user_gini_concentration", GINI_ORACLE)
+def user_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts — the one-number
+    concentration measure behind the salting decision: ~0 means
+    uniform keys (hash-partition and go), ->1 means a few users carry
+    the table (salt or AQE-skew-split their partitions). Computed from
+    the classic ranked form G = 2*sum(rank*x)/(n*sum(x)) - (n+1)/n, so
+    everything aggregated is an exact integer (rank*count products);
+    the only floating arithmetic is the final expression. Tie-broken
+    rank (count, user) makes both engines' orderings identical.
+
+    Scale shape: the fact collapses to one row per user first; the
+    rank over that users frame uses windows.global_rank (range
+    exchange + broadcast prefix offsets — at 10^9 users an
+    unpartitioned window would be the round-2 scale-killer); the
+    moments fold is one partial-aggregated pass. The 1-row result
+    materializes eagerly so the range-bound cache releases."""
+    from ..operators import windows as win
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    ranked, _total, release = win.global_rank(u, ["c", "user_id"], rank_col="rk")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("rk") * F.col("c")).alias("rs"),
+    )
+    df = agg.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("s").cast("bigint").alias("n_events"),
+        F.round(
+            F.lit(2.0) * F.col("rs") / (F.col("n") * F.col("s"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            4,
+        ).alias("gini"),
+    )
+    try:
+        rows = df.collect()
+    finally:
+        release()
+    return spark.createDataFrame(rows, df.schema)
