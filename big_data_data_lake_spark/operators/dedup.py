@@ -62,6 +62,26 @@ SIMHASH_W_B1 = _lcg(601)
 SIMHASH_W_A2 = (_lcg(701) | 1) % MERSENNE_P
 SIMHASH_W_B2 = _lcg(801)
 
+# Deterministic sampling hash shared by every sample-gated query
+# (lsh_pr_audit, ngram_jaccard_pairs, embedding_topk_pairs) and the
+# curation sampling operators: affine step mod the Mersenne prime,
+# then a QUADRATIC mixing step (h² + c mod p) before the
+# small-modulus reduction. The square breaks the residue lattice a
+# purely affine hash leaves on sequential ids (measured in
+# queries/curation.py). All intermediates stay < 2^62 for any 64-bit
+# id — identical integer arithmetic on Spark longs and DuckDB
+# bigints, which is what makes sampled queries hash-matchable across
+# engines. Constants are independent of curation's split routing so
+# samples never correlate with split assignment.
+SAMPLE_A, SAMPLE_B, SAMPLE_C = 48_271, 7_919, 7_127
+
+
+def mix_mod_sql(col: str, a: int, b: int, c: int, mod: int) -> str:
+    """Portable SQL for the quadratic-mix sampling hash of ``col``
+    reduced mod ``mod`` — paste-identical into F.expr and DuckDB."""
+    h = f"(({col} % {MERSENNE_P}) * {a} + {b}) % {MERSENNE_P}"
+    return f"(({h}) * ({h}) + {c}) % {MERSENNE_P} % {mod}"
+
 
 def _gram_starts(arr: Column, n: int) -> Column:
     """1-based start indices of each n-gram, [] when the document is

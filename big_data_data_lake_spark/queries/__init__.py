@@ -49,66 +49,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # prefix-biased sampler attests them; all pass the local DuckDB mirror
 # (tests/test_oracle_parity.py) regardless.
 SAMPLE_FIRST: tuple[str, ...] = (
-    # every registry entry without a driver CORRECTNESS row yet, in
-    # priority order. First the 8 left over from rounds 1-3 (122/130
-    # attested then; zero failures ever), pruned per the round-3
-    # verdict to enumerate at positions 1-8; after them, round 4's
-    # additions in the order they landed. The driver samples ~50 per
-    # round, so tail entries past that ride on the local DuckDB
-    # mirror (tests/test_oracle_parity.py) until a later round.
-    "cheapest_supplier_per_part",
-    "exact_substring_decontamination",
-    "int8_quant_audit",
-    "join_key_skew_profile",
-    "large_volume_orders",
-    "lsh_pr_audit",
-    "user_value_ewma",
-    "value_trend_by_type",
-    # new in round 4 (no driver row yet)
-    "event_chain_expansion",
-    "view_purchase_pairs",
-    "daily_type_pivot",
-    "grouped_value_quantiles",
-    "cluster_quality_survivors",
-    "dup_graph_triangles",
-    "daily_activity_filled",
-    "ann_truncated_topk",
-    "ann_truncation_recall",
-    "monthly_revenue_growth",
-    "regex_signal_rollup",
-    "doc_chunks",
-    "token_entropy_by_source",
-    "tfidf_cosine_pairs",
-    "fuzzy_dup_levenshtein",
-    "event_type_transitions",
-    "daily_anomaly_zscore",
-    "mad_outlier_bounds",
-    "revenue_contribution",
-    "next_purchase_asof",
-    "revenue_time_rollup",
-    "curation_pipeline_e2e",
-    "event_dow_chi2",
-    "embedding_covariance_topk",
-    "props_variant_stats",
-    "rfm_segments",
-    "activity_streaks",
-    "monthly_churn",
-    "user_activity_histogram",
-    "supplier_lead_time",
-    "nation_rank_movers",
-    "days_to_first_purchase",
-    "top_user_by_type",
-    "dau_mau_stickiness",
-    "next_hour_event_load",
-    "table_profile",
-    "countmin_heavy_hitters",
-    "acf_by_type",
-    "pq_ann_topk",
-    "pq_recall_audit",
-    "sorted_neighborhood_pairs",
-    "bloom_semijoin_audit",
-    "negative_sampling_pairs",
-    "sequence_packing_audit",
+    # Exactly the 14 registry entries without a driver CORRECTNESS row
+    # yet (round-4 CORRECTNESS attested the first 50 of the previous
+    # list, all green — 172/186 all-time, zero failures ever).  Pruned
+    # per the round-4 verdict so these enumerate at positions 1-14 and
+    # a prefix-biased ~50-query sampler attests them, completing
+    # 186/186.  All pass the local DuckDB mirror
+    # (tests/test_oracle_parity.py) regardless.
     "hourly_value_ohlc",
     "order_pareto_frontier",
     "source_divergence_profile",
@@ -121,6 +68,15 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "span_corruption_masks",
     "epoch_shuffle_order",
     "user_gini_concentration",
+    "negative_sampling_pairs",
+    "sequence_packing_audit",
+    # round-5 semantic changes / additions needing (re-)attestation:
+    # the exact twins are now sample-gated by default, and their
+    # ungated forms moved behind the audit_ prefix (new names).
+    "ngram_jaccard_pairs",
+    "embedding_topk_pairs",
+    "audit_ngram_jaccard_pairs",
+    "audit_embedding_topk_pairs",
 )
 
 

@@ -2574,13 +2574,16 @@ def next_hour_event_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-column repr rules chosen so both engines format identically:
 # bigints CAST to string, doubles through DECIMAL(18,2) (fixed scale =>
 # "1.63"/"0.50" on both), timestamps via microsecond strftime, strings
-# as-is.
+# as-is. null_frac uses the SAME expression shape as the Spark side
+# ((n - count(col)) / n, not 1.0 - count(col)/n): algebraically equal
+# but the two double formulations can differ by one ulp and flip the
+# 4th rounded decimal on an exact .00005 boundary (r4 advice).
 TABLE_PROFILE_ORACLE = """
 WITH n AS (SELECT count(*) AS n FROM events)
 SELECT col_name, n_nulls, null_frac, n_distinct, min_repr, max_repr FROM (
   SELECT 'event_id' AS col_name,
          CAST((SELECT n FROM n) - count(event_id) AS BIGINT) AS n_nulls,
-         round(1.0 - CAST(count(event_id) AS DOUBLE) / (SELECT n FROM n), 4) AS null_frac,
+         round(CAST((SELECT n FROM n) - count(event_id) AS DOUBLE) / (SELECT n FROM n), 4) AS null_frac,
          CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
          CAST(min(event_id) AS VARCHAR) AS min_repr,
          CAST(max(event_id) AS VARCHAR) AS max_repr
@@ -2588,7 +2591,7 @@ SELECT col_name, n_nulls, null_frac, n_distinct, min_repr, max_repr FROM (
   UNION ALL
   SELECT 'ts',
          CAST((SELECT n FROM n) - count(ts) AS BIGINT),
-         round(1.0 - CAST(count(ts) AS DOUBLE) / (SELECT n FROM n), 4),
+         round(CAST((SELECT n FROM n) - count(ts) AS DOUBLE) / (SELECT n FROM n), 4),
          CAST(count(DISTINCT ts) AS BIGINT),
          strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f'),
          strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f')
@@ -2596,7 +2599,7 @@ SELECT col_name, n_nulls, null_frac, n_distinct, min_repr, max_repr FROM (
   UNION ALL
   SELECT 'user_id',
          CAST((SELECT n FROM n) - count(user_id) AS BIGINT),
-         round(1.0 - CAST(count(user_id) AS DOUBLE) / (SELECT n FROM n), 4),
+         round(CAST((SELECT n FROM n) - count(user_id) AS DOUBLE) / (SELECT n FROM n), 4),
          CAST(count(DISTINCT user_id) AS BIGINT),
          CAST(min(user_id) AS VARCHAR),
          CAST(max(user_id) AS VARCHAR)
@@ -2604,7 +2607,7 @@ SELECT col_name, n_nulls, null_frac, n_distinct, min_repr, max_repr FROM (
   UNION ALL
   SELECT 'event_type',
          CAST((SELECT n FROM n) - count(event_type) AS BIGINT),
-         round(1.0 - CAST(count(event_type) AS DOUBLE) / (SELECT n FROM n), 4),
+         round(CAST((SELECT n FROM n) - count(event_type) AS DOUBLE) / (SELECT n FROM n), 4),
          CAST(count(DISTINCT event_type) AS BIGINT),
          min(event_type),
          max(event_type)
@@ -2612,7 +2615,7 @@ SELECT col_name, n_nulls, null_frac, n_distinct, min_repr, max_repr FROM (
   UNION ALL
   SELECT 'value',
          CAST((SELECT n FROM n) - count(value) AS BIGINT),
-         round(1.0 - CAST(count(value) AS DOUBLE) / (SELECT n FROM n), 4),
+         round(CAST((SELECT n FROM n) - count(value) AS DOUBLE) / (SELECT n FROM n), 4),
          CAST(count(DISTINCT value) AS BIGINT),
          CAST(CAST(round(min(value), 2) AS DECIMAL(18,2)) AS VARCHAR),
          CAST(CAST(round(max(value), 2) AS DECIMAL(18,2)) AS VARCHAR)
@@ -2620,7 +2623,7 @@ SELECT col_name, n_nulls, null_frac, n_distinct, min_repr, max_repr FROM (
   UNION ALL
   SELECT 'props',
          CAST((SELECT n FROM n) - count(props) AS BIGINT),
-         round(1.0 - CAST(count(props) AS DOUBLE) / (SELECT n FROM n), 4),
+         round(CAST((SELECT n FROM n) - count(props) AS DOUBLE) / (SELECT n FROM n), 4),
          CAST(count(DISTINCT props) AS BIGINT),
          min(props),
          max(props)
@@ -2891,8 +2894,13 @@ def acf_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in (1, 2, 3)
     ]
     out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    # Spark corr yields NaN on a zero-variance (constant) series while
+    # DuckDB yields NULL — normalize to NULL so a degenerate-but-legal
+    # input (an event type with identical counts every hour, or a
+    # single-hour span) keeps oracle parity (r4 advice).
+    acf = F.when(F.isnan("acf"), F.lit(None).cast("double")).otherwise(F.col("acf"))
     return out.select(
-        "event_type", F.col("lag").cast("int").alias("lag"), F.round("acf", 4).alias("acf")
+        "event_type", F.col("lag").cast("int").alias("lag"), F.round(acf, 4).alias("acf")
     ).orderBy("event_type", "lag")
 
 
@@ -2900,20 +2908,44 @@ def acf_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bloom-filter semi-join reduction audit
 # ---------------------------------------------------------------------------
 
-BLOOM_WORDS = 128  # 62 usable bits per word => 7936 bits
 BLOOM_WORD_BITS = 62  # stay under the sign bit on both engines
-BLOOM_BITS = BLOOM_WORDS * BLOOM_WORD_BITS
+BLOOM_MIN_WORDS = 128  # floor: 7936 bits even for a tiny build side
+# Sizing RULE, not a fixed size (r4 verdict: the fixed 128-word array
+# silently saturated at 10x build keys — fp_rate degraded 0.011 -> ~1).
+# bits-per-key >= 10 with k=3 gives a theoretical fp of
+# (1 - e^(-k/10))^k ~ 1.7%; the word count is derived from a
+# metadata-scale count of the build side with EXACT integer ceiling
+# division, so Spark and the oracle compute the identical modulus.
+BLOOM_BITS_PER_KEY = 10
 BLOOM_K = 3
 BLOOM_A = [(_lcg(1101 + i) | 1) % MERSENNE_P for i in range(BLOOM_K)]
 BLOOM_B = [_lcg(1201 + i) for i in range(BLOOM_K)]
 BLOOM_BUILD_MIN_PRICE = 480000.0
+BLOOM_FP_BOUND = 0.05  # the audit ASSERTS fp_rate below this
+
+
+def bloom_words_for(n_keys: int) -> int:
+    """Word count for a build side of ``n_keys`` — exact integer
+    ceiling division, replayed verbatim by the oracle SQL."""
+    return max(
+        BLOOM_MIN_WORDS,
+        (n_keys * BLOOM_BITS_PER_KEY + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS,
+    )
+
 
 _POW2 = [1 << i for i in range(BLOOM_WORD_BITS)]
 _POW2_SQL = "[" + ", ".join(str(p) for p in _POW2) + "]"
 
+# The oracle derives the same word count from the same build-side
+# count (sz CTE), so the hash modulus matches Spark's bit-for-bit.
+_BLOOM_BITS_SQL = "(SELECT bits FROM sz)"
+
 
 def _bloom_bit_sql(i: int, key: str) -> str:
-    return f"((({BLOOM_A[i]} * ({key} % {MERSENNE_P}) + {BLOOM_B[i]}) % {MERSENNE_P}) % {BLOOM_BITS})"
+    return (
+        f"((({BLOOM_A[i]} * ({key} % {MERSENNE_P}) + {BLOOM_B[i]})"
+        f" % {MERSENNE_P}) % {_BLOOM_BITS_SQL})"
+    )
 
 
 _BLOOM_CELLS_SQL = " UNION ALL ".join(
@@ -2929,12 +2961,19 @@ _BLOOM_PASS_SQL = " AND ".join(
 BLOOM_SEMIJOIN_ORACLE = f"""
 WITH build AS (SELECT o_orderkey AS k FROM orders
                WHERE o_totalprice > {BLOOM_BUILD_MIN_PRICE}),
+sz AS (SELECT greatest({BLOOM_MIN_WORDS},
+                       (count(*) * {BLOOM_BITS_PER_KEY} + {BLOOM_WORD_BITS - 1})
+                           // {BLOOM_WORD_BITS}) AS words,
+              greatest({BLOOM_MIN_WORDS},
+                       (count(*) * {BLOOM_BITS_PER_KEY} + {BLOOM_WORD_BITS - 1})
+                           // {BLOOM_WORD_BITS}) * {BLOOM_WORD_BITS} AS bits
+       FROM build),
 cells AS ({_BLOOM_CELLS_SQL}),
 wm AS (SELECT bit // {BLOOM_WORD_BITS} AS word,
               bit_or(({_POW2_SQL})[bit % {BLOOM_WORD_BITS} + 1]) AS m
        FROM cells GROUP BY 1),
 words AS (SELECT g.word, coalesce(wm.m, 0) AS m
-          FROM (SELECT unnest(generate_series(0, {BLOOM_WORDS - 1})) AS word) g
+          FROM (SELECT unnest(generate_series(0, (SELECT words FROM sz) - 1)) AS word) g
           LEFT JOIN wm USING (word)),
 arr AS (SELECT list(m ORDER BY word) AS a FROM words),
 probe AS (SELECT l_orderkey AS k FROM lineitem),
@@ -2942,12 +2981,16 @@ chk AS (SELECT k, {_BLOOM_PASS_SQL} AS pass,
                k IN (SELECT k FROM build) AS tru
         FROM probe)
 SELECT CAST((SELECT count(*) FROM build) AS BIGINT) AS n_build,
+       CAST((SELECT bits FROM sz) AS BIGINT) AS n_bits,
        CAST(count(*) AS BIGINT) AS n_probe,
        CAST(count(*) FILTER (pass) AS BIGINT) AS n_pass,
        CAST(count(*) FILTER (tru) AS BIGINT) AS n_true,
        CAST(count(*) FILTER (pass AND NOT tru) AS BIGINT) AS n_fp,
        round(CAST(count(*) FILTER (pass AND NOT tru) AS DOUBLE)
-             / nullif(count(*) - count(*) FILTER (tru), 0), 6) AS fp_rate
+             / nullif(count(*) - count(*) FILTER (tru), 0), 6) AS fp_rate,
+       coalesce(round(CAST(count(*) FILTER (pass AND NOT tru) AS DOUBLE)
+             / nullif(count(*) - count(*) FILTER (tru), 0), 6) < {BLOOM_FP_BOUND},
+             TRUE) AS fp_bounded
 FROM chk
 """
 
@@ -2957,36 +3000,50 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime-filter (bloom semi-join) audit — the engine-internals
     mechanism behind Spark's own spark.sql.optimizer.runtimeFilter,
     built portably so the oracle replays it bit-for-bit: hash the
-    build side (high-value orders) into a 128-word x 62-bit bloom
-    with 3 LCG-seeded affine hash rows, probe every lineitem row
-    row-locally against the broadcast words, and report pass / true /
-    false-positive counts. No false negatives by construction
-    (n_pass >= n_true always); fp_rate is the measured filter
-    precision.
+    build side (high-value orders) into a 62-bit-word bloom with 3
+    LCG-seeded affine hash rows, probe every lineitem row row-locally
+    against the broadcast words, and report pass / true /
+    false-positive counts plus the fp_bounded assertion. No false
+    negatives by construction (n_pass >= n_true always).
+
+    SIZED FROM THE BUILD SIDE (r4 verdict: a fixed 128-word array
+    silently stopped reducing at 10x keys — fp_rate 0.011 -> ~1): a
+    metadata-scale count of the build keys picks words =
+    ceil(n_keys * 10 / 62) (floor 128), i.e. >= 10 bits/key, which
+    with k=3 bounds theoretical fp near 1.7% at ANY build
+    cardinality. The exact integer ceiling division is replayed by
+    the oracle, so both engines agree on the modulus. fp_bounded
+    asserts the measured rate < 0.05 in the RESULT, so a saturated
+    filter fails the parity gate loudly instead of degrading into a
+    scan that reduces nothing.
 
     Scale shape: the build aggregate partial-ORs per partition and
-    lands on <= 128 word rows (a driver fetch at literal-metadata
-    scale — same posture as the IVF centroid collect); the probe is
-    pure row-local arithmetic on a broadcast literal, shuffling
-    nothing and reading only l_orderkey. The FIXED 7936-bit sizing is
-    deliberate: at sf0.01 (~600 build keys) fp stays in the low
-    percents, while at 10x build cardinality the filter saturates and
-    fp_rate degrades toward 1 — the audit measures exactly the
-    bits-per-key sizing rule (~10 bits/key) a 100 TB deployment must
-    scale with the build side. 62-bit words keep every mask below the
-    sign bit so Spark longs and DuckDB bigints agree."""
+    lands on `words` rows (a driver fetch at bits/8 bytes — for 1e9
+    build keys ~1.2 GB, at which point you'd hand the job to Spark's
+    own runtime filter; for the audit's dim-sized build sides it is
+    metadata scale, same posture as the IVF centroid collect); the
+    probe is pure row-local arithmetic on a broadcast array literal,
+    shuffling nothing and reading only l_orderkey. 62-bit words keep
+    every mask below the sign bit so Spark longs and DuckDB bigints
+    agree."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     build = orders.where(F.col("o_totalprice") > BLOOM_BUILD_MIN_PRICE).select(
         F.col("o_orderkey").alias("k")
     )
+    n_build = build.count()  # metadata-scale; also sizes the filter
+    n_words = bloom_words_for(n_build)
+    n_bits = n_words * BLOOM_WORD_BITS
     pow2 = F.array(*[F.lit(p) for p in _POW2])
 
     def bloom_bit(i: int, key: F.Column) -> F.Column:
         return (
-            (F.lit(BLOOM_A[i]).cast("long") * (key % F.lit(MERSENNE_P)) + F.lit(BLOOM_B[i]))
+            (
+                F.lit(BLOOM_A[i]).cast("long") * (key % F.lit(MERSENNE_P))
+                + F.lit(BLOOM_B[i])
+            )
             % F.lit(MERSENNE_P)
-        ) % F.lit(BLOOM_BITS)
+        ) % F.lit(n_bits)
 
     cells = build.select(
         F.explode(
@@ -3002,7 +3059,9 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("bit_or(mask)").alias("m"))
         .collect()
     }
-    arr = F.array(*[F.lit(wm.get(w, 0)).cast("long") for w in range(BLOOM_WORDS)])
+    # ONE ArrayType literal (not `words` scalar literals): the
+    # expression tree stays constant-size as the filter scales
+    arr = F.lit([wm.get(w, 0) for w in range(n_words)]).cast("array<long>")
 
     def passes(key: F.Column) -> F.Column:
         cond = F.lit(True)
@@ -3019,19 +3078,19 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         passes(F.col("k")).alias("pass"), F.coalesce("tru", F.lit(False)).alias("tru")
     )
-    n_build = build.count()
     fp = F.sum(F.when(F.col("pass") & ~F.col("tru"), 1).otherwise(0))
     tru = F.sum(F.when(F.col("tru"), 1).otherwise(0))
     denom = F.count(F.lit(1)) - tru
+    fp_rate = F.round(fp.cast("double") / F.when(denom != 0, denom), 6)
     return chk.agg(
         F.lit(n_build).cast("bigint").alias("n_build"),
+        F.lit(n_bits).cast("bigint").alias("n_bits"),
         F.count(F.lit(1)).cast("bigint").alias("n_probe"),
         F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("bigint").alias("n_pass"),
         tru.cast("bigint").alias("n_true"),
         fp.cast("bigint").alias("n_fp"),
-        F.round(
-            fp.cast("double") / F.when(denom != 0, denom), 6
-        ).alias("fp_rate"),
+        fp_rate.alias("fp_rate"),
+        F.coalesce(fp_rate < F.lit(BLOOM_FP_BOUND), F.lit(True)).alias("fp_bounded"),
     )
 
 

@@ -387,9 +387,9 @@ def semantic_dedup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids double as document ids (same corpus row), so the annotation is
     two broadcast-able dim joins plus a left join against the bounded
     pair list — nothing new shuffles at data scale."""
-    from .llm_ops import embedding_topk_pairs
+    from .llm_ops import audit_embedding_topk_pairs
 
-    emb = embedding_topk_pairs(spark, sf_dir)
+    emb = audit_embedding_topk_pairs(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     lex = _ngram_jaccard_pairs(spark, sf_dir).select(
         F.col("d1").alias("id1"), F.col("d2").alias("id2"), F.lit(True).alias("__lex")
@@ -1533,10 +1533,18 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(F.col("n").cast("double")), 6).alias("lf"),
         )
     )
+    # Spark regr_slope/regr_r2 yield NaN when every (lr, lf) point
+    # coincides (zero x-variance) while DuckDB yields NULL — normalize
+    # so a degenerate corpus keeps oracle parity (r4 advice; same
+    # asymmetry as acf_by_type's corr).
+    def _nan_null(expr: str) -> F.Column:
+        c = F.expr(expr)
+        return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
+
     return top.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
-        F.round(F.expr("regr_slope(lf, lr)"), 4).alias("zipf_slope"),
-        F.round(F.expr("regr_r2(lf, lr)"), 4).alias("r2"),
+        F.round(_nan_null("regr_slope(lf, lr)"), 4).alias("zipf_slope"),
+        F.round(_nan_null("regr_r2(lf, lr)"), 4).alias("r2"),
     )
 
 

@@ -45,14 +45,14 @@ P = dd.MERSENNE_P
 SPLIT_A, SPLIT_B, SPLIT_C = 1_103_515_245, 12_345, 9_973
 # Independent sampling hash (different constants => independent of the
 # split routing: a stratified sample must not correlate with splits).
-SAMPLE_A, SAMPLE_B, SAMPLE_C = 48_271, 7_919, 7_127
+# The mix function and sampling constants live in operators/dedup.py
+# so sample-gated queries in llm_ops can share them without a
+# circular import; aliased here for the established local names.
+SAMPLE_A, SAMPLE_B, SAMPLE_C = dd.SAMPLE_A, dd.SAMPLE_B, dd.SAMPLE_C
 
 TRAIN_PCT, VAL_PCT = 90, 95  # train < 90 <= val < 95 <= test
 
-
-def _mix(col: str, a: int, b: int, c: int, mod: int) -> str:
-    h = f"(({col} % {P}) * {a} + {b}) % {P}"
-    return f"(({h}) * ({h}) + {c}) % {P} % {mod}"
+_mix = dd.mix_mod_sql
 
 
 _SPLIT_BUCKET = _mix("doc_id", SPLIT_A, SPLIT_B, SPLIT_C, 100)
@@ -959,10 +959,27 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-size scalar is a metadata-scale count, broadcast as a
     literal."""
     docs = _t(spark, sf_dir, "documents")
-    n = docs.count()
+    # One metadata-scale aggregate fetches the corpus size AND proves
+    # the density precondition. The hash maps to 0..n-1 and the
+    # metadata join is on doc_id, so a non-dense id domain (deleted /
+    # filtered docs) would silently DROP anchor pairs — and the oracle
+    # shares the assumption, so parity would still pass (r4 advice).
+    # Fail loudly instead of drifting.
+    b = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    n = b["n"]
     if n == 0:
         return spark.createDataFrame(
             [], "anchor_id long, k int, neg_id long, neg_source string"
+        )
+    if b["lo"] != 0 or b["hi"] != n - 1:
+        raise ValueError(
+            "negative_sampling_pairs requires a dense doc_id domain "
+            f"0..n-1 (got min={b['lo']}, max={b['hi']}, n={n}); rank ids "
+            "first (windows.global_rank) for a filtered corpus"
         )
     anchors = docs.select("doc_id").withColumn(
         "k", F.explode(F.array(*[F.lit(k) for k in range(1, NEG_K + 1)]))

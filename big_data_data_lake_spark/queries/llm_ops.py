@@ -417,13 +417,55 @@ def _ngram_jaccard_pairs(
     )
 
 
-@register("ngram_jaccard_pairs", _ngram_jaccard_oracle(None))
+# Deterministic doc hash-sample gating the DEFAULT exact-Jaccard
+# query (same recipe as lsh_pr_audit, corpus.py): the uncapped
+# inverted index is quadratic in per-shingle doc frequency, so the
+# ungated form's cost is unbounded at corpus scale — it measured 77 s
+# standalone at sf1 and its shuffle/GC backlog inflated in-bench
+# neighbors up to 5x (SCALE.md). Sampling DOCS (not pairs) before
+# shingling keeps every reported Jaccard exact; the pair population is
+# simply restricted to pairs of sampled docs. Cost scales
+# ~quadratically in the keep rate (35% => ~8x cheaper).
+NGRAM_EXACT_SAMPLE_MOD = 1000
+NGRAM_EXACT_SAMPLE_KEEP = 350
+NGRAM_EXACT_DOC_FILTER = (
+    dd.mix_mod_sql(
+        "doc_id", dd.SAMPLE_A, dd.SAMPLE_B, dd.SAMPLE_C, NGRAM_EXACT_SAMPLE_MOD
+    )
+    + f" < {NGRAM_EXACT_SAMPLE_KEEP}"
+)
+
+
+@register("ngram_jaccard_pairs", _ngram_jaccard_oracle(None, NGRAM_EXACT_DOC_FILTER))
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact bigram-shingle Jaccard near-dup pairs via an inverted
     index: explode shingles -> self-equi-join on shingle -> common
     counts -> |A∩B|/|A∪B| >= 0.3. No O(n²): only docs sharing a
-    shingle ever meet. The production twin with bounded hot-key
-    fan-out is ngram_jaccard_pairs_capped."""
+    shingle ever meet.
+
+    SAMPLE-GATED BY DEFAULT: runs over a deterministic 35% doc
+    hash-sample (identical pmod mix in Spark and the oracle) applied
+    BEFORE shingling, because the ungated index's per-key fan-out is
+    quadratic in shingle doc-frequency and therefore unbounded on a
+    skewed corpus. Every emitted Jaccard is exact; only the pair
+    population is restricted to sampled-doc pairs. The ungated
+    audit-truth form is audit_ngram_jaccard_pairs (registry-only,
+    excluded from the headline bench); the linear production twin
+    with bounded hot-key fan-out is ngram_jaccard_pairs_capped."""
+    return _ngram_jaccard_pairs(
+        spark, sf_dir, max_df=None, doc_filter=NGRAM_EXACT_DOC_FILTER
+    )
+
+
+@register("audit_ngram_jaccard_pairs", _ngram_jaccard_oracle(None))
+def audit_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNGATED exact-Jaccard audit twin: the full-corpus inverted-index
+    truth that accuracy audits (minhash_accuracy_audit,
+    semantic_dedup_crosscheck, dedup_clusters) are measured against.
+    Quadratic in per-shingle doc frequency — unbounded cost on a
+    skewed corpus — so it lives behind the audit_ prefix, outside the
+    headline bench, and is meant for bounded sub-corpora or offline
+    audit runs only. Default-gated twin: ngram_jaccard_pairs."""
     return _ngram_jaccard_pairs(spark, sf_dir, max_df=None)
 
 
@@ -619,8 +661,11 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _E_NORM = sim.NORM_SQL.format(a="v")
 
-EMBEDDING_TOPK_PAIRS_ORACLE = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+
+def _embedding_topk_pairs_oracle(vec_filter: str | None = None) -> str:
+    src = f"embeddings WHERE {vec_filter}" if vec_filter else "embeddings"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
 en AS (SELECT vec_id, v, {_E_NORM} AS n FROM e),
 pairs AS (
     SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -634,12 +679,31 @@ LIMIT 20
 """
 
 
+EMBEDDING_TOPK_PAIRS_ORACLE = _embedding_topk_pairs_oracle()
+
+
 EMBEDDING_PAIR_BLOCKS = 16
 
+# Deterministic vec hash-sample gating the DEFAULT exact all-pairs
+# query — same recipe and rationale as NGRAM_EXACT_DOC_FILTER above:
+# exact all-pairs compute is O(n²) by definition, so the ungated form
+# (15.6 s standalone at sf1, trending quadratically) lives behind the
+# audit_ prefix and the default runs on a 35% sample (~8x cheaper,
+# quadratic in keep rate). Every reported cosine is exact.
+EMBEDDING_EXACT_SAMPLE_MOD = 1000
+EMBEDDING_EXACT_SAMPLE_KEEP = 350
+EMBEDDING_EXACT_VEC_FILTER = (
+    dd.mix_mod_sql(
+        "vec_id", dd.SAMPLE_A, dd.SAMPLE_B, dd.SAMPLE_C, EMBEDDING_EXACT_SAMPLE_MOD
+    )
+    + f" < {EMBEDDING_EXACT_SAMPLE_KEEP}"
+)
 
-@register("embedding_topk_pairs", EMBEDDING_TOPK_PAIRS_ORACLE)
-def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup scan: EXACT top-20 most-similar pairs.
+
+def _embedding_topk_pairs(
+    spark: SparkSession, sf_dir: str, vec_filter: str | None = None
+) -> DataFrame:
+    """Shared core of the gated and audit exact-pair queries.
 
     Exact all-pairs is intrinsically O(n²) compute, but neither the
     plan nor the inner loop needs to be slow: vectors are hashed into
@@ -653,6 +717,8 @@ def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     block square vectorized. For sublinear candidate generation
     (approximate), see ann_lsh_topk."""
     emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    if vec_filter:
+        emb = emb.where(F.expr(vec_filter))
     nb = EMBEDDING_PAIR_BLOCKS
     en = emb.select("vec_id", sim.to_double("embedding").alias("v")).withColumn(
         "blk", F.pmod(F.col("vec_id"), F.lit(nb)).cast("int")
@@ -663,6 +729,34 @@ def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("id1", "id2", F.round("c", 6).alias("cos_sim"))
     )
+
+
+@register(
+    "embedding_topk_pairs", _embedding_topk_pairs_oracle(EMBEDDING_EXACT_VEC_FILTER)
+)
+def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup scan: exact top-20 most-similar pairs
+    within a deterministic 35% vec hash-sample (identical pmod mix in
+    Spark and the oracle). SAMPLE-GATED BY DEFAULT because exact
+    all-pairs compute is O(n²) in corpus size — unbounded at scale no
+    matter how good the plan. Every reported cosine is exact; only
+    the pair population is restricted to sampled-vector pairs — the
+    right default for the near-dup-RATE estimate this scan feeds. The
+    ungated audit-truth form is audit_embedding_topk_pairs
+    (registry-only, excluded from the headline bench); the production
+    paths for full-corpus similarity are the ANN family
+    (ann_lsh_topk, ann_ivf_topk, pq_ann_topk)."""
+    return _embedding_topk_pairs(spark, sf_dir, EMBEDDING_EXACT_VEC_FILTER)
+
+
+@register("audit_embedding_topk_pairs", EMBEDDING_TOPK_PAIRS_ORACLE)
+def audit_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNGATED exact all-pairs audit twin: the full-corpus top-20
+    truth that recall audits (ann_recall_audit, pq_recall_audit,
+    semantic_dedup_crosscheck) are measured against. O(n²) compute by
+    definition — audit runs on bounded sub-corpora only; the gated
+    default is embedding_topk_pairs."""
+    return _embedding_topk_pairs(spark, sf_dir, None)
 
 
 ANN_TOPK_ORACLE = f"""

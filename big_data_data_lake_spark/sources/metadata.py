@@ -29,19 +29,12 @@ from __future__ import annotations
 
 import json
 import os
-import inspect
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_DIR = "_manifest"
-
-
-_OP_METHODS = {
-    "create", "append", "overwrite", "add_bloom", "compact",
-    "cluster_by", "upsert", "delete_where", "upsert_scd2",
-}
 
 
 def zorder_key(
@@ -257,21 +250,21 @@ class LakeTable:
             )
         return out
 
-    def _commit(self, version: int, manifest: dict) -> None:
+    def _commit(self, version: int, manifest: dict, operation: str) -> None:
         """Atomic put-if-absent of the version file. ``os.link`` fails
         with EEXIST when the target exists, so two writers racing on
         the same version cannot both win (an exists()-then-replace
         check would be TOCTOU: both pass the check, the second
         silently overwrites the first — a lost commit). This is the
-        create-exclusive primitive Delta's log protocol requires."""
-        if "operation" not in manifest:
-            # stamp the OUTERMOST public mutator on the call stack so
-            # history() reads "compact", not the "overwrite" it rides on
-            found = None
-            for fr in inspect.stack()[1:8]:
-                if fr.function in _OP_METHODS:
-                    found = fr.function
-            manifest["operation"] = found or "unknown"
+        create-exclusive primitive Delta's log protocol requires.
+
+        ``operation`` is stamped explicitly by each public mutator
+        (compact/cluster_by forward their own name through overwrite)
+        so history() reads "compact", not the "overwrite" it rides on
+        — r4 advice: stack sniffing mislabeled commits whenever a
+        CALLER function happened to share a mutator name, and paid
+        per-commit source-file I/O."""
+        manifest["operation"] = operation
         os.makedirs(self._mdir, exist_ok=True)
         tmp = os.path.join(self._mdir, f".v{version}.json.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
@@ -374,7 +367,7 @@ class LakeTable:
             }
         pb = partition_by or []
         files = self._write_files(df, pb)
-        self._commit(0, self._new_manifest(df, files, pb, extra))
+        self._commit(0, self._new_manifest(df, files, pb, extra), "create")
         return 0
 
     def append(
@@ -432,7 +425,7 @@ class LakeTable:
         man = self._new_manifest(
             df, prev["files"] + files, prev["partition_by"], self._carry(prev, extra)
         )
-        self._commit(v, man)
+        self._commit(v, man, "append")
         return v
 
     def overwrite(
@@ -440,11 +433,15 @@ class LakeTable:
         df: DataFrame,
         expectations: dict[str, str] | None = None,
         expect_mode: str = "fail",
+        _operation: str = "overwrite",
     ) -> int:
         """New version replacing the visible file set; old files stay
         on disk so prior versions remain readable (vacuum is a
         separate, explicitly destructive step — not implemented).
-        ``expectations`` gates the batch exactly as in append."""
+        ``expectations`` gates the batch exactly as in append.
+        ``_operation`` lets maintenance mutators that ride on
+        overwrite (compact, cluster_by) stamp their own name into
+        history()."""
         extra = None
         if expectations:
             df, stats = enforce_expectations(df, expectations, expect_mode)
@@ -455,6 +452,7 @@ class LakeTable:
         self._commit(
             v,
             self._new_manifest(df, files, prev["partition_by"], self._carry(prev, extra)),
+            _operation,
         )
         return v
 
@@ -527,7 +525,7 @@ class LakeTable:
         new_man.setdefault("bloom_meta", {})
         new_man["bloom_meta"] = {**new_man["bloom_meta"], col: {"bits": bits, "k": k}}
         v = self.latest_version() + 1
-        self._commit(v, new_man)
+        self._commit(v, new_man, "add_bloom")
         return v
 
     # -------------------------------------------------------------- reads
@@ -627,7 +625,7 @@ class LakeTable:
             df = df.repartition(files_per_partition, *pb)
         else:
             df = df.repartition(files_per_partition)
-        return self.overwrite(df)
+        return self.overwrite(df, _operation="compact")
 
     def cluster_by(self, cols: list[str], n_files: int = 16, bits: int = 12) -> int:
         """Rewrite the current snapshot z-ordered on ``cols``: rows are
@@ -655,7 +653,7 @@ class LakeTable:
             .repartitionByRange(n_files, "__z")
             .drop("__z")
         )
-        return self.overwrite(clustered)
+        return self.overwrite(clustered, _operation="cluster_by")
 
     def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """Rows in files ADDED between two versions — incremental
@@ -757,6 +755,7 @@ class LakeTable:
                 prev["partition_by"],
                 self._carry(prev, extra),
             ),
+            "upsert",
         )
         return v
 
@@ -807,6 +806,7 @@ class LakeTable:
                 prev["partition_by"],
                 self._carry(prev, extra),
             ),
+            "delete_where",
         )
         return v
 
@@ -911,6 +911,7 @@ class LakeTable:
                 prev["partition_by"],
                 self._carry(prev, extra),
             ),
+            "upsert_scd2",
         )
         return v
 

@@ -59,7 +59,7 @@ def test_leakage_pairs_are_cross_split_near_dups(spark):
     leaks = REGISTRY["split_leakage_pairs"].fn(spark, SF).collect()
     pairs = {
         (r["d1"], r["d2"]): r["jaccard"]
-        for r in REGISTRY["ngram_jaccard_pairs"].fn(spark, SF).collect()
+        for r in REGISTRY["audit_ngram_jaccard_pairs"].fn(spark, SF).collect()
     }
     splits = {
         r["doc_id"]: r["split"] for r in REGISTRY["train_split_assign"].fn(spark, SF).collect()

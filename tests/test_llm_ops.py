@@ -34,7 +34,7 @@ def test_minhash_estimates_track_exact_jaccard(spark):
     MinHash LSH, the signature estimate must be within 0.25 of truth."""
     exact = {
         (r.d1, r.d2): r.jaccard
-        for r in REG["ngram_jaccard_pairs"].fn(spark, SF).collect()
+        for r in REG["audit_ngram_jaccard_pairs"].fn(spark, SF).collect()
     }
     est = {
         (r.d1, r.d2): r.est_sim for r in REG["minhash_lsh_pairs"].fn(spark, SF).collect()
@@ -48,7 +48,7 @@ def test_minhash_estimates_track_exact_jaccard(spark):
 def test_planted_near_dups_found(spark):
     """The corpus has planted near-duplicates (bigram jaccard >= 0.3);
     every near-dup detector must surface a non-trivial set."""
-    n_exact = REG["ngram_jaccard_pairs"].fn(spark, SF).count()
+    n_exact = REG["audit_ngram_jaccard_pairs"].fn(spark, SF).count()
     n_minhash = REG["minhash_lsh_pairs"].fn(spark, SF).count()
     n_simhash = REG["simhash_near_dups"].fn(spark, SF).count()
     assert n_exact > 0 and n_minhash > 0 and n_simhash > 0, (

@@ -197,9 +197,9 @@ def test_commit_is_put_if_absent(spark, tmp_path):
     t = LakeTable(spark, str(tmp_path / "t"))
     t.create(spark.createDataFrame([(1, "a")], "id long, k string"))
     man_v1 = dict(t.manifest(), marker="winner")
-    t._commit(1, man_v1)
+    t._commit(1, man_v1, "overwrite")
     with pytest.raises(FileExistsError):
-        t._commit(1, dict(man_v1, marker="loser"))
+        t._commit(1, dict(man_v1, marker="loser"), "overwrite")
     assert t.manifest(1)["marker"] == "winner"
     # tmp files are cleaned up on both paths
     import os

@@ -42,7 +42,7 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     assert not (ids["train"] & ids["val"]) and not (ids["train"] & ids["test"])
 
     # no two survivors in the same output are near-dups of each other
-    pairs = REGISTRY["ngram_jaccard_pairs"].fn(spark, SF).collect()
+    pairs = REGISTRY["audit_ngram_jaccard_pairs"].fn(spark, SF).collect()
     all_ids = ids["train"] | ids["val"] | ids["test"]
     for r in pairs:
         assert not (r["d1"] in all_ids and r["d2"] in all_ids), (r["d1"], r["d2"])

@@ -83,9 +83,11 @@ def test_range_band_join_broadcasts_band_dim(spark):
     "name",
     [
         "ngram_jaccard_pairs",
+        "audit_ngram_jaccard_pairs",
         "minhash_lsh_pairs",
         "simhash_near_dups",
         "embedding_topk_pairs",
+        "audit_embedding_topk_pairs",
         "source_overlap_matrix",
         "incremental_dedup_novelty",
         "tfidf_cosine_pairs",

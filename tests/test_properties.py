@@ -200,6 +200,60 @@ def test_ewma_hot_key_many_events_one_day(spark):
     assert got.ewma_value == pytest.approx(round(acc, 4), abs=2e-4)
 
 
+def test_ewma_hot_key_million_events(spark):
+    """r4 verdict item: the chunked per-(user, day) fold must hold at
+    adversarial scale — ONE user with 1e6 events spread over 250
+    day-chunks (~4k events per chunk, the bounded state the algebraic
+    merge exists for) must fold without any lifetime-sized row and
+    still match the plain sequential recurrence."""
+    import pandas as pd
+
+    from big_data_data_lake_spark.queries.analytics import EWMA_ALPHA, _ewma_per_user
+
+    n = 1_000_000
+    n_days = 250
+    rnd = np.random.RandomState(11)
+    values = rnd.uniform(-100, 100, n)
+    pdf = pd.DataFrame(
+        {
+            "user_id": 1,
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(np.arange(n) % n_days, unit="D")
+            + pd.to_timedelta(np.arange(n) // n_days, unit="s"),
+            "event_id": range(n),
+            "value": values,
+        }
+    )
+    got = _ewma_per_user(spark.createDataFrame(pdf)).collect()[0]
+    order = np.lexsort((np.arange(n), pdf["ts"].values))
+    acc = values[order[0]]
+    for i in order[1:]:
+        acc = EWMA_ALPHA * values[i] + (1 - EWMA_ALPHA) * acc
+    assert got.n_events == n
+    assert got.ewma_value == pytest.approx(round(acc, 4), abs=2e-4)
+
+
+def test_bloom_sizing_keeps_fp_bounded_at_10x_keys(spark):
+    """r4 verdict item: the fixed 128-word bloom saturated at 10x
+    build keys (fp_rate 0.011 -> ~1). Sizing words from the build-side
+    count (>= 10 bits/key) must keep the measured false-positive rate
+    under BLOOM_FP_BOUND at sf0.01 AND at the 10x-keys sf0.1."""
+    from big_data_data_lake_spark.queries import load_all
+    from big_data_data_lake_spark.queries.analytics import (
+        BLOOM_BITS_PER_KEY,
+        BLOOM_MIN_WORDS,
+        BLOOM_WORD_BITS,
+    )
+
+    fn = load_all()["bloom_semijoin_audit"].fn
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        row = fn(spark, sf).collect()[0]
+        assert row["fp_bounded"], (sf, row.asDict())
+        assert row["n_bits"] >= max(
+            BLOOM_BITS_PER_KEY * row["n_build"], BLOOM_MIN_WORDS * BLOOM_WORD_BITS
+        ), row.asDict()
+
+
 def test_global_cummax_prev_matches_single_partition_window(spark):
     """The scale-safe exclusive running max must equal the naive
     unpartitioned-window formulation on shuffled multi-partition
