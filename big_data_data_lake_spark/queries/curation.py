@@ -924,19 +924,22 @@ NEG_B = dd._lcg(1401)
 
 NEG_SAMPLING_ORACLE = f"""
 WITH n AS (SELECT count(*) AS n FROM documents),
-a AS (SELECT doc_id, unnest(generate_series(1, {NEG_K})) AS k FROM documents),
-c AS (SELECT doc_id AS anchor_id, k,
-             (({NEG_A} * (doc_id % {dd.MERSENNE_P} + 1) + {NEG_B} * k)
+r AS (SELECT doc_id, source,
+             row_number() OVER (ORDER BY doc_id) - 1 AS rk
+      FROM documents),
+a AS (SELECT doc_id, rk, unnest(generate_series(1, {NEG_K})) AS k FROM r),
+c AS (SELECT doc_id AS anchor_id, rk, k,
+             (({NEG_A} * (rk % {dd.MERSENNE_P} + 1) + {NEG_B} * k)
                  % {dd.MERSENNE_P})
                  % (SELECT n FROM n) AS raw
       FROM a),
 fix AS (SELECT anchor_id, CAST(k AS INT) AS k,
-               CASE WHEN raw = anchor_id
+               CASE WHEN raw = rk
                     THEN (raw + 1) % (SELECT n FROM n)
-                    ELSE raw END AS neg_id
+                    ELSE raw END AS neg_rk
         FROM c)
-SELECT anchor_id, k, neg_id, d.source AS neg_source
-FROM fix JOIN documents d ON fix.neg_id = d.doc_id
+SELECT anchor_id, k, r.doc_id AS neg_id, r.source AS neg_source
+FROM fix JOIN r ON fix.neg_rk = r.rk
 ORDER BY anchor_id, k
 """
 
@@ -946,64 +949,75 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling: every document gets K=2
     pseudo-random partner documents — the (anchor, negative) pair
     generation behind contrastive embedding training and hard-negative
-    mining. The partner id is an LCG-seeded affine hash of
-    (anchor, k) mod corpus size (doc_id is dense 0..n-1), bumped by
+    mining. The partner is drawn by an LCG-seeded affine hash of the
+    anchor's GLOBAL RANK (not its raw id) mod corpus size, bumped by
     one on self-collision, so the sample is reproducible run-to-run
-    and engine-to-engine — the property a training pipeline needs for
-    resumable data loading (same seed => same pairs).
+    and engine-to-engine — and correct on ANY id domain. The r4 draft
+    hashed raw doc_id mod n and inner-joined on it, which silently
+    drops pairs on a non-dense corpus (deleted/filtered docs, strided
+    replica ids) while the oracle shared the assumption and parity
+    kept passing; the r5 density assertion then caught exactly that
+    at the 10x sweep (doc_ids strided by 1e9). Ranking first makes
+    the draw total: every anchor gets exactly K negatives. On a dense
+    0..n-1 corpus rank == doc_id, so the output is unchanged from the
+    r4 formulation.
 
-    Scale shape: pair generation is row-local arithmetic (an explode
-    by K, no shuffle); attaching the negative's metadata is one
-    equi-join on the hashed id — the only shuffle, and exactly the
-    random-lookup pattern a distributed feature store does. The
-    corpus-size scalar is a metadata-scale count, broadcast as a
-    literal."""
+    Scale shape: the rank comes from windows.global_rank (parallel
+    range exchange + broadcast prefix offsets — no single-partition
+    window); pair generation is row-local arithmetic (an explode by
+    K); attaching the negative's metadata is one equi-join on the
+    hashed rank — the random-lookup pattern a distributed feature
+    store does. The small result materializes eagerly so the rank
+    helper's scoped persist releases deterministically (same posture
+    as budget_pack_selection); the training-scale variant would write
+    the join output straight to a sink instead."""
+    from ..operators import windows as win
+
     docs = _t(spark, sf_dir, "documents")
-    # One metadata-scale aggregate fetches the corpus size AND proves
-    # the density precondition. The hash maps to 0..n-1 and the
-    # metadata join is on doc_id, so a non-dense id domain (deleted /
-    # filtered docs) would silently DROP anchor pairs — and the oracle
-    # shares the assumption, so parity would still pass (r4 advice).
-    # Fail loudly instead of drifting.
-    b = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("doc_id").alias("lo"),
-        F.max("doc_id").alias("hi"),
-    ).collect()[0]
-    n = b["n"]
-    if n == 0:
-        return spark.createDataFrame(
-            [], "anchor_id long, k int, neg_id long, neg_source string"
-        )
-    if b["lo"] != 0 or b["hi"] != n - 1:
-        raise ValueError(
-            "negative_sampling_pairs requires a dense doc_id domain "
-            f"0..n-1 (got min={b['lo']}, max={b['hi']}, n={n}); rank ids "
-            "first (windows.global_rank) for a filtered corpus"
-        )
-    anchors = docs.select("doc_id").withColumn(
-        "k", F.explode(F.array(*[F.lit(k) for k in range(1, NEG_K + 1)]))
+    schema = "anchor_id long, k int, neg_id long, neg_source string"
+    ranked, n, release = win.global_rank(
+        docs.select("doc_id", "source"), ["doc_id"], rank_col="__rk"
     )
-    # pre-mod the id so the affine product stays under 2^62 for ANY
-    # id domain (strided 1e9-scale ids at the 10x sweep overflowed the
-    # raw multiply); identical output where ids < 2^31-1, i.e. every
-    # test SF
-    raw = (
-        (
-            F.lit(NEG_A).cast("long") * (F.col("doc_id") % F.lit(dd.MERSENNE_P) + 1)
-            + F.lit(NEG_B).cast("long") * F.col("k")
+    try:
+        if n == 0:
+            return spark.createDataFrame([], schema)
+        r = ranked.select(
+            "doc_id", "source", (F.col("__rk") - F.lit(1)).cast("long").alias("rk")
         )
-        % F.lit(dd.MERSENNE_P)
-    ) % F.lit(n)
-    fix = anchors.select(
-        F.col("doc_id").alias("anchor_id"),
-        F.col("k").cast("int").alias("k"),
-        F.when(raw == F.col("doc_id"), (raw + 1) % F.lit(n)).otherwise(raw).alias("neg_id"),
-    )
-    meta = docs.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source"))
-    return fix.join(meta, "neg_id").select(
-        "anchor_id", "k", "neg_id", "neg_source"
-    ).orderBy("anchor_id", "k")
+        anchors = r.select("doc_id", "rk").withColumn(
+            "k", F.explode(F.array(*[F.lit(k) for k in range(1, NEG_K + 1)]))
+        )
+        # rank < n <= 2^62/A, but pre-mod anyway so the affine product
+        # stays under 2^62 for any conceivable corpus size — the same
+        # overflow discipline as every portable hash here
+        raw = (
+            (
+                F.lit(NEG_A).cast("long") * (F.col("rk") % F.lit(dd.MERSENNE_P) + 1)
+                + F.lit(NEG_B).cast("long") * F.col("k")
+            )
+            % F.lit(dd.MERSENNE_P)
+        ) % F.lit(n)
+        fix = anchors.select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("k").cast("int").alias("k"),
+            F.when(raw == F.col("rk"), (raw + 1) % F.lit(n)).otherwise(raw).alias(
+                "neg_rk"
+            ),
+        )
+        meta = r.select(
+            F.col("rk").alias("neg_rk"),
+            F.col("doc_id").alias("neg_id"),
+            F.col("source").alias("neg_source"),
+        )
+        out = (
+            fix.join(meta, "neg_rk")
+            .select("anchor_id", "k", "neg_id", "neg_source")
+            .orderBy("anchor_id", "k")
+        )
+        rows = out.collect()
+    finally:
+        release()
+    return spark.createDataFrame(rows, schema).orderBy("anchor_id", "k")
 
 
 # ---------------------------------------------------------------------------

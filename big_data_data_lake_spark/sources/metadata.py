@@ -436,8 +436,8 @@ class LakeTable:
         _operation: str = "overwrite",
     ) -> int:
         """New version replacing the visible file set; old files stay
-        on disk so prior versions remain readable (vacuum is a
-        separate, explicitly destructive step — not implemented).
+        on disk so prior versions remain readable (``vacuum`` is the
+        separate, explicitly destructive retirement step).
         ``expectations`` gates the batch exactly as in append.
         ``_operation`` lets maintenance mutators that ride on
         overwrite (compact, cluster_by) stamp their own name into
@@ -689,6 +689,31 @@ class LakeTable:
         for v in vs[:-retain_last]:
             os.remove(os.path.join(self._mdir, f"v{v}.json"))
         return deleted
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF — roll the table back to
+        a prior snapshot as a NEW commit (history is preserved; nothing
+        is deleted, so a bad restore is itself restorable). The new
+        manifest references the target version's files BY REFERENCE —
+        a metadata-only operation, no data movement, which is what
+        makes "undo the bad backfill on the 100 TB table" a
+        millisecond commit rather than a rewrite. The streaming replay
+        guard's ``batch_id`` is carried from the LATEST manifest (not
+        the restore target): rolling data back must not roll the
+        exactly-once high-water mark back with it, or the next
+        micro-batch replay would double-append. A later ``vacuum``
+        keeps the restored files alive as long as any retained
+        manifest references them."""
+        target = self.manifest(version)  # raises if the version is gone
+        latest = self.manifest()
+        man = dict(target)
+        man.pop("operation", None)  # restamped by _commit
+        carried = self._carry(latest, {"restored_from": version})
+        if carried:
+            man.update(carried)
+        v = self.latest_version() + 1
+        self._commit(v, man, "restore")
+        return v
 
     def upsert(self, df: DataFrame, keys: list[str], extra: dict | None = None) -> int:
         """Copy-on-write MERGE: rows in ``df`` replace same-key rows;

@@ -122,6 +122,38 @@ def test_vacuum_drops_old_versions_and_dead_files(spark, tmp_path):
     assert [r.id for r in t.read().collect()] == [2]
 
 
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """RESTORE semantics: content returns to the target version via a
+    NEW metadata-only commit (no data movement, history preserved),
+    the streaming batch_id high-water mark does NOT roll back, and a
+    later vacuum keeps the restored files alive because the retained
+    manifest references them."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "good")], "id long, k string"))
+    t.overwrite(
+        spark.createDataFrame([(2, "bad-backfill")], "id long, k string")
+    )
+    # streaming guard state on the LATEST version
+    t.append(spark.createDataFrame([(3, "z")], "id long, k string"), extra={"batch_id": 7})
+    v = t.restore(0)
+    assert v == 3
+    assert [r.k for r in t.read().collect()] == ["good"]
+    assert t.manifest()["batch_id"] == 7  # high-water mark survives
+    assert t.manifest()["restored_from"] == 0
+    assert [e["operation"] for e in t.history()] == [
+        "create", "overwrite", "append", "restore",
+    ]
+    # the restore commit references v0's file BY REFERENCE
+    assert {f["path"] for f in t.manifest(3)["files"]} == {
+        f["path"] for f in t.manifest(0)["files"]
+    }
+    # vacuum to just the restore commit: v0's file must SURVIVE
+    # (referenced by the retained manifest); the bad-backfill file dies
+    deleted = t.vacuum(retain_last=1)
+    assert deleted, "vacuum should delete the unreferenced files"
+    assert [r.k for r in t.read().collect()] == ["good"]
+
+
 def test_upsert_rewrites_only_matching_files(spark, tmp_path):
     t = LakeTable(spark, str(tmp_path / "t"))
     lo = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, val string")
