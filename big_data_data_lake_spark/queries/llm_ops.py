@@ -424,36 +424,68 @@ def _ngram_jaccard_pairs(
 # standalone at sf1 and its shuffle/GC backlog inflated in-bench
 # neighbors up to 5x (SCALE.md). Sampling DOCS (not pairs) before
 # shingling keeps every reported Jaccard exact; the pair population is
-# simply restricted to pairs of sampled docs. Cost scales
-# ~quadratically in the keep rate (35% => ~8x cheaper).
+# simply restricted to pairs of sampled docs.
+#
+# The keep rate is RATE-CAPPED AND BUDGETED: keep_mille =
+# min(MAX_MILLE, ceil(TARGET_DOCS * 1000 / n_docs)). Small corpora
+# sample at 35%; past ~6k docs the sample converges to a ~constant
+# TARGET_DOCS budget, so the query's quadratic core stops scaling
+# with corpus size at all — at 10x data the sampled-doc count (and
+# cost) is flat, which is what lets an exact-pair audit sit in a
+# headline bench. Exact integer ceiling on both engines; the oracle
+# derives the same keep from the same count via a scalar subquery.
 NGRAM_EXACT_SAMPLE_MOD = 1000
-NGRAM_EXACT_SAMPLE_KEEP = 350
-NGRAM_EXACT_DOC_FILTER = (
-    dd.mix_mod_sql(
-        "doc_id", dd.SAMPLE_A, dd.SAMPLE_B, dd.SAMPLE_C, NGRAM_EXACT_SAMPLE_MOD
-    )
-    + f" < {NGRAM_EXACT_SAMPLE_KEEP}"
+NGRAM_EXACT_MAX_MILLE = 350
+NGRAM_EXACT_TARGET_DOCS = 2000
+
+_NGRAM_MIX = dd.mix_mod_sql(
+    "doc_id", dd.SAMPLE_A, dd.SAMPLE_B, dd.SAMPLE_C, NGRAM_EXACT_SAMPLE_MOD
 )
 
 
-@register("ngram_jaccard_pairs", _ngram_jaccard_oracle(None, NGRAM_EXACT_DOC_FILTER))
+def _budget_keep_mille(n_rows: int, target: int, max_mille: int) -> int:
+    """min(max_mille, ceil(target*1000/n)) — exact integer arithmetic,
+    mirrored verbatim by the oracle's scalar subquery."""
+    if n_rows <= 0:
+        return max_mille
+    return min(max_mille, -(-target * 1000 // n_rows))
+
+
+def _budget_keep_mille_sql(count_from: str, target: int, max_mille: int) -> str:
+    # greatest(cnt, 1) avoids a constant-folded divide-by-zero on an
+    # empty table (where the filter selects nothing regardless)
+    cnt = f"greatest((SELECT count(*) FROM {count_from}), 1)"
+    return f"least({max_mille}, ({target * 1000} + {cnt} - 1) // {cnt})"
+
+
+_NGRAM_DOC_FILTER_SQL = _NGRAM_MIX + " < " + _budget_keep_mille_sql(
+    "documents", NGRAM_EXACT_TARGET_DOCS, NGRAM_EXACT_MAX_MILLE
+)
+
+
+@register("ngram_jaccard_pairs", _ngram_jaccard_oracle(None, _NGRAM_DOC_FILTER_SQL))
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact bigram-shingle Jaccard near-dup pairs via an inverted
     index: explode shingles -> self-equi-join on shingle -> common
     counts -> |A∩B|/|A∪B| >= 0.3. No O(n²): only docs sharing a
     shingle ever meet.
 
-    SAMPLE-GATED BY DEFAULT: runs over a deterministic 35% doc
-    hash-sample (identical pmod mix in Spark and the oracle) applied
-    BEFORE shingling, because the ungated index's per-key fan-out is
+    SAMPLE-GATED BY DEFAULT: runs over a deterministic doc hash-sample
+    (identical pmod mix in Spark and the oracle) applied BEFORE
+    shingling, because the ungated index's per-key fan-out is
     quadratic in shingle doc-frequency and therefore unbounded on a
-    skewed corpus. Every emitted Jaccard is exact; only the pair
-    population is restricted to sampled-doc pairs. The ungated
-    audit-truth form is audit_ngram_jaccard_pairs (registry-only,
-    excluded from the headline bench); the linear production twin
-    with bounded hot-key fan-out is ngram_jaccard_pairs_capped."""
+    skewed corpus. The keep rate is 35% capped at a ~2000-doc budget
+    (see _budget_keep_mille), so on a large corpus the sampled-doc
+    count — and the quadratic core's cost — is CONSTANT in corpus
+    size. Every emitted Jaccard is exact; only the pair population is
+    restricted to sampled-doc pairs. The ungated audit-truth form is
+    audit_ngram_jaccard_pairs (registry-only, excluded from the
+    headline bench); the linear production twin with bounded hot-key
+    fan-out is ngram_jaccard_pairs_capped."""
+    n = _t(spark, sf_dir, "documents").count()  # metadata-scale
+    keep = _budget_keep_mille(n, NGRAM_EXACT_TARGET_DOCS, NGRAM_EXACT_MAX_MILLE)
     return _ngram_jaccard_pairs(
-        spark, sf_dir, max_df=None, doc_filter=NGRAM_EXACT_DOC_FILTER
+        spark, sf_dir, max_df=None, doc_filter=f"{_NGRAM_MIX} < {keep}"
     )
 
 
@@ -685,18 +717,18 @@ EMBEDDING_TOPK_PAIRS_ORACLE = _embedding_topk_pairs_oracle()
 EMBEDDING_PAIR_BLOCKS = 16
 
 # Deterministic vec hash-sample gating the DEFAULT exact all-pairs
-# query — same recipe and rationale as NGRAM_EXACT_DOC_FILTER above:
-# exact all-pairs compute is O(n²) by definition, so the ungated form
+# query — same recipe and rationale as the ngram gate above: exact
+# all-pairs compute is O(n²) by definition, so the ungated form
 # (15.6 s standalone at sf1, trending quadratically) lives behind the
-# audit_ prefix and the default runs on a 35% sample (~8x cheaper,
-# quadratic in keep rate). Every reported cosine is exact.
+# audit_ prefix and the default runs on a rate-capped (35%) budgeted
+# (~1000-vec) sample whose cost is constant in corpus size. Every
+# reported cosine is exact.
 EMBEDDING_EXACT_SAMPLE_MOD = 1000
-EMBEDDING_EXACT_SAMPLE_KEEP = 350
-EMBEDDING_EXACT_VEC_FILTER = (
-    dd.mix_mod_sql(
-        "vec_id", dd.SAMPLE_A, dd.SAMPLE_B, dd.SAMPLE_C, EMBEDDING_EXACT_SAMPLE_MOD
-    )
-    + f" < {EMBEDDING_EXACT_SAMPLE_KEEP}"
+EMBEDDING_EXACT_MAX_MILLE = 350
+EMBEDDING_EXACT_TARGET_VECS = 1000
+
+_EMBEDDING_MIX = dd.mix_mod_sql(
+    "vec_id", dd.SAMPLE_A, dd.SAMPLE_B, dd.SAMPLE_C, EMBEDDING_EXACT_SAMPLE_MOD
 )
 
 
@@ -731,22 +763,32 @@ def _embedding_topk_pairs(
     )
 
 
+_EMBEDDING_VEC_FILTER_SQL = _EMBEDDING_MIX + " < " + _budget_keep_mille_sql(
+    "embeddings", EMBEDDING_EXACT_TARGET_VECS, EMBEDDING_EXACT_MAX_MILLE
+)
+
+
 @register(
-    "embedding_topk_pairs", _embedding_topk_pairs_oracle(EMBEDDING_EXACT_VEC_FILTER)
+    "embedding_topk_pairs", _embedding_topk_pairs_oracle(_EMBEDDING_VEC_FILTER_SQL)
 )
 def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup scan: exact top-20 most-similar pairs
-    within a deterministic 35% vec hash-sample (identical pmod mix in
-    Spark and the oracle). SAMPLE-GATED BY DEFAULT because exact
-    all-pairs compute is O(n²) in corpus size — unbounded at scale no
-    matter how good the plan. Every reported cosine is exact; only
-    the pair population is restricted to sampled-vector pairs — the
-    right default for the near-dup-RATE estimate this scan feeds. The
-    ungated audit-truth form is audit_embedding_topk_pairs
-    (registry-only, excluded from the headline bench); the production
-    paths for full-corpus similarity are the ANN family
-    (ann_lsh_topk, ann_ivf_topk, pq_ann_topk)."""
-    return _embedding_topk_pairs(spark, sf_dir, EMBEDDING_EXACT_VEC_FILTER)
+    within a deterministic vec hash-sample (identical pmod mix in
+    Spark and the oracle; 35% capped at a ~1000-vec budget, so cost is
+    CONSTANT in corpus size — see _budget_keep_mille). SAMPLE-GATED BY
+    DEFAULT because exact all-pairs compute is O(n²) in corpus size —
+    unbounded at scale no matter how good the plan. Every reported
+    cosine is exact; only the pair population is restricted to
+    sampled-vector pairs — the right default for the near-dup-RATE
+    estimate this scan feeds. The ungated audit-truth form is
+    audit_embedding_topk_pairs (registry-only, excluded from the
+    headline bench); the production paths for full-corpus similarity
+    are the ANN family (ann_lsh_topk, ann_ivf_topk, pq_ann_topk)."""
+    n = _t(spark, sf_dir, "embeddings").count()  # metadata-scale
+    keep = _budget_keep_mille(
+        n, EMBEDDING_EXACT_TARGET_VECS, EMBEDDING_EXACT_MAX_MILLE
+    )
+    return _embedding_topk_pairs(spark, sf_dir, f"{_EMBEDDING_MIX} < {keep}")
 
 
 @register("audit_embedding_topk_pairs", EMBEDDING_TOPK_PAIRS_ORACLE)
