@@ -251,9 +251,14 @@ def main() -> None:
             # synchronous System.gc() call doesn't fully drain; without
             # a settle the NEXT query absorbs it (measured 5x on the
             # 77 s sf1 inverted-index join's successor — standalone
-            # 9.3 s, in-bench 54 s). Settle proportionally, capped.
+            # 9.3 s, in-bench 54 s). Settle proportionally; the r4 cap
+            # of 2 s was too small at sf1, where several 10-20 s
+            # queries in a row still inflated a successor 3x over its
+            # standalone median (repetition_quality_flags, SCALE.md
+            # round-5 sweep) — scale the cap with the query that
+            # produced the backlog.
             if samples[-1] > 5.0:
-                time.sleep(min(2.0, samples[-1] / 10))
+                time.sleep(min(6.0, samples[-1] / 5))
         timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)

@@ -585,6 +585,20 @@ class LakeTable:
             return self.spark.createDataFrame([], schema)
         return self._read_files(schema, files)
 
+    @staticmethod
+    def _base_of(path: str) -> str:
+        """The partition-discovery base for one data file: the path up
+        to (excluding) the first ``k=v`` hive segment, or the file's
+        directory when unpartitioned. Derived from the FILE path, not
+        the table root, so a manifest may reference files outside the
+        table directory (shallow clones) and partition-value inference
+        still works per file."""
+        parts = path.split(os.sep)
+        for i, seg in enumerate(parts[:-1]):
+            if "=" in seg:
+                return os.sep.join(parts[:i])
+        return os.path.dirname(path)
+
     def _read_files(self, schema, files: list[dict]) -> DataFrame:
         """Read a manifest file list back to the declared schema:
         mergeSchema tolerates files that pre-date evolved columns,
@@ -592,19 +606,35 @@ class LakeTable:
         (path-derived partition values are inferred; columns newer
         than a file read back as nulls). Every internal reader of
         manifest files — read() and upsert()'s touched-file path —
-        must go through this, or a schema-evolved table breaks them."""
-        df = (
-            self.spark.read.option("basePath", self.path)
-            .option("mergeSchema", "true")
-            .parquet(*[f["path"] for f in files])
-        )
-        cols = [
-            F.col(f.name).cast(f.dataType)
-            if f.name in df.columns
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in schema.fields
-        ]
-        return df.select(cols)
+        must go through this, or a schema-evolved table breaks them.
+
+        Files are grouped by their partition-discovery base
+        (``_base_of``) and each group read with its own basePath: a
+        shallow clone's manifest references the source table's files
+        by absolute path, so a single table-rooted basePath would
+        reject them. One read per distinct root (>= 1, tiny), unioned
+        by name."""
+        by_base: dict[str, list[str]] = {}
+        for f in files:
+            by_base.setdefault(self._base_of(f["path"]), []).append(f["path"])
+        frames = []
+        for base, paths in sorted(by_base.items()):
+            df = (
+                self.spark.read.option("basePath", base)
+                .option("mergeSchema", "true")
+                .parquet(*paths)
+            )
+            cols = [
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+            frames.append(df.select(cols))
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
 
     def row_count(self, version: int | None = None) -> int:
         """Manifest-only row count — answers count(*) without touching
@@ -689,6 +719,31 @@ class LakeTable:
         for v in vs[:-retain_last]:
             os.remove(os.path.join(self._mdir, f"v{v}.json"))
         return deleted
+
+    def clone_to(self, dest: str) -> "LakeTable":
+        """SHALLOW CLONE: create a new table at ``dest`` whose v0
+        manifest references THIS table's current data files by
+        absolute path — a metadata-only copy, zero data movement,
+        which is how a dev/test environment gets a writable view of a
+        100 TB production table in milliseconds. Writes to the clone
+        land under the clone's own directory (per-file basePath
+        resolution in ``_read_files`` keeps partition inference
+        correct across the mixed roots); the source is never touched.
+
+        Same hazard as Delta shallow clones, inherited deliberately:
+        VACUUM on the SOURCE can retire files the clone still
+        references — retain source versions for as long as clones of
+        them live. The clone's own vacuum only ever deletes files
+        under the clone's directory (``_list_parquet`` walks the
+        clone root), so a clone cannot damage its source."""
+        t = LakeTable(self.spark, dest)
+        if t.versions():
+            raise FileExistsError(f"table already exists at {dest}")
+        man = dict(self.manifest())
+        man.pop("operation", None)
+        man["cloned_from"] = {"path": self.path, "version": self.latest_version()}
+        t._commit(0, man, "clone")
+        return t
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF — roll the table back to

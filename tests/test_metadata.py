@@ -122,6 +122,45 @@ def test_vacuum_drops_old_versions_and_dead_files(spark, tmp_path):
     assert [r.id for r in t.read().collect()] == [2]
 
 
+def test_shallow_clone_is_zero_copy_and_independently_writable(spark, tmp_path):
+    """SHALLOW CLONE: the clone's v0 references the source's files by
+    absolute path (no data copied), reads equal the source snapshot,
+    appends to the clone land under the clone's own directory and
+    union correctly across the mixed roots (per-file basePath), the
+    source never changes, and the clone's vacuum cannot touch source
+    files."""
+    import os
+
+    src = LakeTable(spark, str(tmp_path / "src"))
+    base = spark.createDataFrame(
+        [(i, "d" + str(i % 2)) for i in range(10)], "id long, day string"
+    )
+    src.create(base.repartition(2), partition_by=["day"])
+
+    clone = src.clone_to(str(tmp_path / "clone"))
+    # zero-copy: no parquet under the clone dir, yet full content reads
+    assert not clone._list_parquet()
+    assert sorted(r.id for r in clone.read().collect()) == list(range(10))
+    assert clone.manifest()["cloned_from"]["path"] == src.path
+    assert clone.history()[0]["operation"] == "clone"
+
+    # clone is independently writable; source snapshot is unaffected
+    clone.append(
+        spark.createDataFrame([(100, "d0")], "id long, day string")
+    )
+    assert sorted(r.id for r in clone.read().collect()) == list(range(10)) + [100]
+    assert src.read().count() == 10
+    # partition pruning still works across mixed roots
+    d0 = clone.read(partition_filter={"day": "d0"})
+    assert set(r.id for r in d0.collect()) == {0, 2, 4, 6, 8, 100}
+
+    # clone vacuum retires only clone-rooted files
+    clone.overwrite(spark.createDataFrame([(7, "d1")], "id long, day string"))
+    deleted = clone.vacuum(retain_last=1)
+    assert all(p.startswith(clone.path) for p in deleted)
+    assert src.read().count() == 10  # source files all intact
+
+
 def test_restore_rolls_back_as_new_commit(spark, tmp_path):
     """RESTORE semantics: content returns to the target version via a
     NEW metadata-only commit (no data movement, history preserved),
