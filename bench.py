@@ -159,6 +159,9 @@ HEADLINE = [
     "span_corruption_masks",
     "epoch_shuffle_order",
     "user_gini_concentration",
+    "interarrival_histogram",
+    "event_type_lift",
+    "shingle_df_profile",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

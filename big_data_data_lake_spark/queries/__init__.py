@@ -77,6 +77,10 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "embedding_topk_pairs",
     "audit_ngram_jaccard_pairs",
     "audit_embedding_topk_pairs",
+    # new in round 5
+    "interarrival_histogram",
+    "event_type_lift",
+    "shingle_df_profile",
 )
 
 

@@ -3514,3 +3514,163 @@ def user_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         release()
     return spark.createDataFrame(rows, df.schema)
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time histogram (burstiness fingerprint)
+# ---------------------------------------------------------------------------
+
+INTERARRIVAL_ORACLE = """
+WITH d AS (
+    SELECT event_type,
+           (epoch_us(CAST(ts AS TIMESTAMP))
+            - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               // 1000000 AS gap_s
+    FROM events
+),
+b AS (
+    SELECT event_type,
+           CASE WHEN gap_s <= 0 THEN -1
+                ELSE CAST(floor(log2(CAST(gap_s AS DOUBLE))) AS BIGINT)
+           END AS bucket_log2,
+           gap_s
+    FROM d WHERE gap_s IS NOT NULL
+)
+SELECT event_type, bucket_log2,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s
+FROM b
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("interarrival_histogram", INTERARRIVAL_ORACLE)
+def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed histogram of per-user inter-arrival gaps,
+    attributed to the LATER event's type — the burstiness fingerprint
+    that complements fano_burstiness_by_type (which summarizes
+    variance/mean; this shows the actual gap distribution, e.g. a
+    bimodal bot signature that Fano alone hides). Bucket -1 collects
+    sub-second/simultaneous arrivals.
+
+    Scale shape: ONE keyed window (partitioned by user_id — never a
+    single-partition window) computes the lag; bucketing is row-local
+    integer arithmetic (whole-second gaps, so floor(log2(int)) is
+    bit-identical across engines, same argument as
+    user_activity_histogram); one partial-aggregated shuffle to the
+    tiny (type, bucket) domain."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap_s = F.floor((us - F.lag(us).over(w)) / F.lit(1_000_000))
+    d = ev.select("event_type", gap_s.alias("gap_s")).where(
+        F.col("gap_s").isNotNull()
+    )
+    bucket = F.when(F.col("gap_s") <= 0, F.lit(-1)).otherwise(
+        F.floor(F.log2(F.col("gap_s").cast("double")))
+    )
+    return (
+        d.groupBy("event_type", bucket.cast("bigint").alias("bucket_log2"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.min("gap_s").cast("bigint").alias("min_gap_s"),
+            F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        )
+        .orderBy("event_type", "bucket_log2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence lift (market-basket analysis)
+# ---------------------------------------------------------------------------
+
+EVENT_TYPE_LIFT_ORACLE = """
+WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+           FROM events),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT DISTINCT user_id, day FROM b)),
+singles AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+            FROM b GROUP BY 1),
+pairs AS (
+    SELECT a.event_type AS type_a, c.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_ab
+    FROM b a JOIN b c
+      ON a.user_id = c.user_id AND a.day = c.day
+     AND a.event_type < c.event_type
+    GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_ab,
+       round(CAST(n_ab AS DOUBLE) * (SELECT n FROM n) / (sa.c * sb.c), 4)
+           AS lift
+FROM pairs
+JOIN singles sa ON type_a = sa.event_type
+JOIN singles sb ON type_b = sb.event_type
+ORDER BY type_a, type_b
+"""
+
+
+@register("event_type_lift", EVENT_TYPE_LIFT_ORACLE)
+def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types: baskets are (user, day)
+    pairs, lift(a,b) = P(a,b) / (P(a)·P(b)) over baskets — >1 means
+    the types co-occur in a user-day more than independence predicts
+    (the cross-sell / funnel-adjacency signal; the association-rule
+    shape the registry lacked next to event_type_transitions'
+    sequential view).
+
+    Scale shape: the fact collapses to DISTINCT (user, day, type)
+    first — the basket frame, <= |types| rows per user-day. The pair
+    join is a self equi-join ON THE BASKET KEY, so per-key fan-out is
+    bounded by |types|² (a constant), never by corpus size; singles
+    and the basket count are partial-aggregated rollups, and the
+    lift join attaches two |types|-row dims (AQE broadcasts them).
+    Basket count is a driver literal (metadata-scale, same posture as
+    bloom sizing)."""
+    from ..caching import scoped_persist
+
+    ev = _t(spark, sf_dir, "events")
+    # the basket frame feeds four consumers (count, singles, both join
+    # sides) — scoped-persist so the distinct is computed once
+    b = scoped_persist(
+        ev.select("user_id", F.col("ts").cast("date").alias("day"), "event_type")
+        .distinct()
+    )
+    n = b.select("user_id", "day").distinct().count()
+    singles = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.user_id") == F.col("c.user_id"))
+            & (F.col("a.day") == F.col("c.day"))
+            & (F.col("a.event_type") < F.col("c.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("c.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * F.lit(n) / (F.col("ca") * F.col("cb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

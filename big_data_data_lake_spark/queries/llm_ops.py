@@ -512,6 +512,55 @@ def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_jaccard_pairs(spark, sf_dir, max_df=NGRAM_CAPPED_MAX_DF)
 
 
+SHINGLE_DF_PROFILE_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM documents),
+sh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS s FROM tok),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+df AS (SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM ex GROUP BY g)
+SELECT ex.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       round(avg(CAST(df AS DOUBLE)), 4) AS avg_df,
+       CAST(max(df) AS BIGINT) AS max_df
+FROM ex JOIN df USING (g)
+GROUP BY ex.doc_id
+ORDER BY ex.doc_id
+"""
+
+
+@register("shingle_df_profile", SHINGLE_DF_PROFILE_ORACLE)
+def shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate profile: the mean and max DOCUMENT
+    FREQUENCY of a doc's bigram shingles. High avg_df = the document
+    is assembled from corpus-common phrasing (templates, navigation
+    chrome, license boilerplate) — the per-DOC novelty complement to
+    the per-PAIR near-dup detectors, and the direct observable behind
+    choosing ngram_jaccard_pairs_capped's max_df (max_df here shows
+    what the hot-shingle cap would strip from each doc). avg over
+    integer-valued doubles < 2^53 sums exactly, so the 4-decimal
+    round is order-insensitive across engines.
+
+    Scale shape: LINEAR, unlike the pair detectors — explode, one
+    partial-aggregated distinct-count per shingle, one equi-join back
+    on the shingle key (fan-out = 1 row per occurrence, never
+    quadratic), one per-doc rollup. The shingle fold is shared via
+    _shingle_hashes' scoped persist."""
+    sh = _shingle_hashes(spark, sf_dir)
+    ex = scoped_persist(sh.select("doc_id", F.explode("hs").alias("g")))
+    df = ex.groupBy("g").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    return (
+        ex.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.round(F.avg(F.col("df").cast("double")), 4).alias("avg_df"),
+            F.max("df").cast("bigint").alias("max_df"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _minhash_lsh_oracle(doc_filter: str | None = None) -> str:
     src = f"documents WHERE {doc_filter}" if doc_filter else "documents"
     return f"""
