@@ -162,6 +162,7 @@ HEADLINE = [
     "interarrival_histogram",
     "event_type_lift",
     "shingle_df_profile",
+    "denylist_redaction_audit",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -3,12 +3,12 @@ payloads (image/audio/video bytes) with typed metadata, processed by
 Arrow-batched ``mapInPandas`` — the sanctioned Python seam for logic
 built-in functions can't express.
 
-``decode_image`` is a REAL decoder for the uncompressed raster
-formats that need no codec library — PPM (P6) and 24-bit BMP — with
-numpy nearest-neighbor resampling behind ``resize_images``; only
-compressed codecs (PNG/JPEG/video) remain a clearly-marked
-NotImplementedError stub, because libjpeg/ffmpeg are absent in this
-container. The plumbing — binary columns, Arrow batch transfer,
+``decode_image`` is a REAL decoder for every format that needs no
+codec library — PPM (P6), 24-bit BMP, and 8-bit PNG (DEFLATE is
+stdlib ``zlib``; the scanline filters are numpy) — with numpy
+nearest-neighbor resampling behind ``resize_images``; only
+JPEG/video remain a clearly-marked NotImplementedError stub, because
+libjpeg/ffmpeg are absent in this container. The plumbing — binary columns, Arrow batch transfer,
 output schema, 1→n flatMap shape — is identical either way: swapping
 in PIL/ffmpeg changes only a function body, never the plan.
 """
@@ -118,20 +118,143 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     return rows[:, :, ::-1]  # BGR -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# IHDR color types -> samples per pixel (3 = palette, unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """REAL PNG decode with no codec library: PNG's only compression
+    is DEFLATE (stdlib ``zlib``) plus five per-scanline byte filters,
+    so the whole format is parseable with zlib + numpy. Supports the
+    overwhelmingly common profile — 8-bit depth, color types
+    gray/gray+alpha/RGB/RGBA, non-interlaced — and stays a loud
+    ``NotImplementedError`` for palette, 16-bit and Adam7 (rare in
+    crawl data; a PIL swap-in changes only this function body).
+    Returns (h, w, 3) uint8 RGB (alpha dropped, gray replicated).
+
+    Filters None/Up/Sub vectorize fully (Up is a row add; Sub is a
+    per-channel cumsum mod 256). Average/Paeth recurse on the left
+    pixel, so those rows fall back to a per-pixel loop — acceptable
+    because the kernel runs inside Arrow-batched ``mapInPandas``
+    where throughput comes from row parallelism, not single-image
+    latency."""
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(blob):
+        ln = int.from_bytes(blob[pos : pos + 4], "big")
+        typ = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + payload + CRC
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG profile not supported (depth={depth}, color_type={ctype}, "
+            f"interlace={interlace}): only 8-bit non-interlaced "
+            "gray/GA/RGB/RGBA is built in"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError(
+            f"malformed PNG: inflated stream holds {len(raw)} bytes, "
+            f"needs {(stride + 1) * h}"
+        )
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, scan = arr[:, 0], arr[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    zero_row = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, row = int(filters[y]), scan[y]
+        prev = out[y - 1] if y else zero_row
+        if f == 0:  # None
+            rec = row
+        elif f == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif f == 1:  # Sub: per-channel cumsum mod 256
+            rec = np.cumsum(row.reshape(w, ch), axis=0).reshape(stride) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: left-recursive
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"malformed PNG: unknown filter type {f}")
+        out[y] = rec
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    if ctype == 2:
+        return px
+    if ctype == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    # gray / gray+alpha -> replicate luma
+    return np.repeat(px[:, :, :1], 3, axis=2)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (8-bit color type 2, filter
+    None per scanline, stdlib zlib DEFLATE + CRCs). Round-trips
+    ``decode_png`` exactly; any external PNG reader accepts it."""
+    import zlib
+
+    h, w = img.shape[:2]
+    body = np.ascontiguousarray(img, dtype=np.uint8)
+    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(blob: bytes) -> np.ndarray:
     """Decode an image blob to an (h, w, 3) uint8 RGB array.
 
-    Real for the dependency-free uncompressed formats (PPM P6, 24-bit
-    BMP). Compressed codecs stay a LOUD stub: PNG/JPEG need
-    libpng/libjpeg, which this container does not ship."""
+    Real for every dependency-free format: PPM P6, 24-bit BMP, and —
+    because DEFLATE ships in the stdlib — 8-bit non-interlaced PNG
+    (decode_png). JPEG/video stay a LOUD stub: they need
+    libjpeg/ffmpeg, which this container does not ship."""
     if blob[:2] == b"P6":
         return decode_ppm(blob)
     if blob[:2] == b"BM":
         return decode_bmp(blob)
+    if blob[:8] == _PNG_SIG:
+        return decode_png(blob)
     raise NotImplementedError(
-        "only uncompressed PPM(P6)/BMP-24 decode is built in; compressed "
-        "codecs (PNG/JPEG/video) need PIL/libjpeg/ffmpeg, absent in this "
-        "container"
+        "PPM(P6)/BMP-24/PNG-8 decode is built in; JPEG/video codecs need "
+        "PIL/libjpeg/ffmpeg, absent in this container"
     )
 
 

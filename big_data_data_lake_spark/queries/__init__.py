@@ -81,6 +81,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "interarrival_histogram",
     "event_type_lift",
     "shingle_df_profile",
+    "denylist_redaction_audit",
 )
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..caching import scoped_persist
 from ..operators import dedup as dd
+from ..operators import text as tx
 from . import register
 from .llm_ops import _ngram_jaccard_oracle, _ngram_jaccard_pairs, _spread, _t
 
@@ -1252,3 +1253,108 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "sk",
     ).orderBy("pos")
+
+
+# ---------------------------------------------------------------------------
+# Deny-list filtering + deterministic redaction (C4-style bad-words gate)
+# ---------------------------------------------------------------------------
+
+# Parameterized content deny-list (the C4 pipeline dropped any document
+# containing a term from a fixed word list; Dolma/FineWeb redact
+# instead of dropping).  Terms here are drawn from the synthetic corpus
+# vocabulary so the gate exercises real hits; "badword" shows the
+# zero-hit path.  Reference scope: the processed-zone cleansing role of
+# services/processor/processor.py.
+DENYLIST_TERMS: tuple[str, ...] = ("dup", "slow", "badword")
+
+_DENY_SQL = "(" + ", ".join(f"'{t}'" for t in DENYLIST_TERMS) + ")"
+
+DENYLIST_ORACLE = f"""
+WITH d AS (
+    SELECT source, string_split(text, ' ') AS toks FROM documents
+), r AS (
+    SELECT source,
+           len(list_filter(toks, x -> x IN {_DENY_SQL})) AS hits,
+           array_to_string(
+               list_transform(toks, x -> CASE WHEN x IN {_DENY_SQL}
+                                              THEN '[REDACTED]' ELSE x END),
+               ' ') AS red
+    FROM d
+), f AS (
+    SELECT source, hits,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(red, ''),
+                                           c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % {tx.FINGERPRINT_MOD}
+           ) AS fp
+    FROM r
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       round(CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS flag_rate,
+       CAST(sum(hits) AS BIGINT) AS tokens_removed,
+       CAST(sum(fp) % {tx.FINGERPRINT_MOD} AS BIGINT) AS fp_checksum
+FROM f
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("denylist_redaction_audit", DENYLIST_ORACLE)
+def denylist_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style deny-list gate, audited per source: how many documents
+    contain a denied term (C4 would DROP these; Raffel et al. 2020
+    §2.2's word-list filter), how many tokens a redaction pass would
+    strip (the Dolma/FineWeb-style alternative), and a rolling-hash
+    checksum of the REDACTED corpus — the cross-engine proof that two
+    independent implementations of the scrub produce byte-identical
+    output, which is the property a compliance re-run at 100 TB must
+    certify without shipping the text anywhere.
+
+    Scale shape: entirely row-local (tokenize, filter against a
+    literal array, re-concat, polynomial hash) — whole-stage codegen,
+    no Python, embarrassingly parallel — then ONE partial-aggregated
+    shuffle to the |sources| domain.  The deny-list is a compile-time
+    literal here; a 10k-term production list would broadcast a hash
+    set and swap ``isin`` for a broadcast semi-join per token, same
+    linear shape."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    hits = F.size(F.filter(toks, lambda x: x.isin(*DENYLIST_TERMS)))
+    red = F.concat_ws(
+        " ",
+        F.transform(
+            toks,
+            lambda x: F.when(
+                x.isin(*DENYLIST_TERMS), F.lit("[REDACTED]")
+            ).otherwise(x),
+        ),
+    )
+    d = docs.select("source", hits.alias("hits"), tx.fingerprint(red).alias("fp"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum("hits").cast("bigint").alias("tokens_removed"),
+            (F.sum("fp") % F.lit(tx.FINGERPRINT_MOD))
+            .cast("bigint")
+            .alias("fp_checksum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            F.round(F.col("n_flagged").cast("double") / F.col("n_docs"), 4).alias(
+                "flag_rate"
+            ),
+            "tokens_removed",
+            "fp_checksum",
+        )
+        .orderBy("source")
+    )

@@ -145,8 +145,108 @@ def test_bmp_decode_real_pixels():
 
 
 def test_compressed_decode_is_a_loud_stub():
+    # JPEG (SOI marker) still needs libjpeg — loud stub
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG\r\n\x1a\n")
+        mm.decode_image(b"\xff\xd8\xff\xe0junk")
+
+
+def test_png_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    blob = mm.encode_png(img)
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    assert (mm.decode_image(blob) == img).all()
+
+
+def _png_with_filters(img, filters):
+    """Hand-filter scanlines with the spec formulas (straight from RFC
+    2083 §6) and assemble a PNG, so decode_png's unfilter paths are
+    checked against an independent implementation."""
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = img.shape
+    px = img.astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(w * ch):
+            cur = int(px[y, x // ch, x % ch])
+            a = int(px[y, (x - ch) // ch, x % ch]) if x >= ch else 0
+            b = int(px[y - 1, x // ch, x % ch]) if y else 0
+            c = int(px[y - 1, (x - ch) // ch, x % ch]) if (y and x >= ch) else 0
+            if f == 0:
+                out = cur
+            elif f == 1:
+                out = cur - a
+            elif f == 2:
+                out = cur - b
+            elif f == 3:
+                out = cur - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out = cur - pred
+            raw.append(out & 0xFF)
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ctype, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types_unfilter_correctly():
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    # cycle through every filter type across the scanlines
+    blob = _png_with_filters(img, [0, 1, 2, 3, 4])
+    assert (mm.decode_png(blob) == img).all()
+
+
+def test_png_gray_and_rgba_normalize_to_rgb():
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    gray = rng.integers(0, 256, size=(4, 3, 1), dtype=np.uint8)
+    got = mm.decode_png(_png_with_filters(gray, [0, 1, 2]))
+    assert (got == np.repeat(gray, 3, axis=2)).all()
+
+    rgba = rng.integers(0, 256, size=(4, 3, 4), dtype=np.uint8)
+    got = mm.decode_png(_png_with_filters(rgba, [4, 3, 0]))
+    assert (got == rgba[:, :, :3]).all()
+
+
+def test_png_unsupported_profiles_are_loud():
+    import numpy as np
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    blob = bytearray(mm.encode_png(img))
+    # flip IHDR bit depth (byte 8 of the 13-byte IHDR payload) to 16
+    depth_off = 8 + 8 + 8  # sig + len/type + width/height
+    blob[depth_off] = 16
+    with pytest.raises(NotImplementedError):
+        mm.decode_png(bytes(blob))
+    with pytest.raises(ValueError):
+        mm.decode_png(b"\x89PNG\r\n\x1a\n")  # truncated: no chunks
 
 
 def test_resize_does_real_pixel_work(spark):
