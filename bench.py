@@ -163,6 +163,9 @@ HEADLINE = [
     "event_type_lift",
     "shingle_df_profile",
     "denylist_redaction_audit",
+    "variant_props_profile",
+    "cusum_changepoint",
+    "last_touch_attribution",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

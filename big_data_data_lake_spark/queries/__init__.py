@@ -82,6 +82,9 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "event_type_lift",
     "shingle_df_profile",
     "denylist_redaction_audit",
+    "variant_props_profile",
+    "cusum_changepoint",
+    "last_touch_attribution",
 )
 
 

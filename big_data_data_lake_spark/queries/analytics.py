@@ -3674,3 +3674,173 @@ def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over hourly counts
+# ---------------------------------------------------------------------------
+
+CUSUM_ORACLE = """
+WITH h AS (
+    SELECT event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_id,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY 1, 2
+), w AS (
+    SELECT event_type, hour_id, cnt,
+           row_number() OVER (PARTITION BY event_type ORDER BY hour_id) AS k,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY hour_id
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           count(*) OVER (PARTITION BY event_type) AS n_hours,
+           sum(cnt) OVER (PARTITION BY event_type) AS total
+    FROM h
+), s AS (
+    SELECT event_type, hour_id, n_hours, total,
+           n_hours * cum - k * total AS score,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(n_hours * cum - k * total) DESC, hour_id
+           ) AS rn
+    FROM w
+)
+SELECT event_type,
+       CAST(hour_id AS BIGINT) AS cp_hour,
+       CAST(score AS BIGINT) AS cusum_score,
+       CAST(n_hours AS BIGINT) AS n_hours,
+       CAST(total AS BIGINT) AS total_events
+FROM s WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+@register("cusum_changepoint", CUSUM_ORACLE)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event type: the hour where the cumulative
+    deviation of hourly counts from the series mean peaks — the
+    classic single-change-point estimator (Page 1954; argmax_k
+    |sum_{i<=k}(x_i - mean)|).  A level shift in event volume (deploy,
+    outage, bot onset) lands CUSUM's extremum at the shift hour, which
+    the pointwise detectors (hod_seasonal_zscore's cell z-scores, Fano
+    burstiness) cannot localize.
+
+    Integer-exact formulation: CUSUM_k scaled by n_hours is
+    n*cumsum_k - k*total — pure int64 arithmetic (no float mean), so
+    the argmax and the reported score are bit-identical across
+    engines; ties break to the earliest hour.
+
+    Scale shape: one partial-aggregated shuffle to the (type, hour)
+    domain — the only corpus-scale exchange — then keyed windows over
+    event_type partitions (never single-partition; |hours| rows per
+    key) and a keyed top-1.  Overflow-safe: n_hours*cum stays < 2^63
+    for any realistic series (hours-per-year * corpus rows)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hour_id = F.floor(F.unix_micros(F.col("ts")) / F.lit(3_600_000_000))
+    h = ev.groupBy(
+        "event_type", hour_id.alias("hour_id")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    by_type = Window.partitionBy("event_type")
+    ordered = by_type.orderBy("hour_id")
+    w = h.select(
+        "event_type",
+        "hour_id",
+        F.row_number().over(ordered).alias("k"),
+        F.sum("cnt").over(ordered.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.count(F.lit(1)).over(by_type).alias("n_hours"),
+        F.sum("cnt").over(by_type).alias("total"),
+    )
+    score = F.col("n_hours") * F.col("cum") - F.col("k") * F.col("total")
+    s = w.select(
+        "event_type",
+        "hour_id",
+        "n_hours",
+        "total",
+        score.alias("score"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(F.col("score")).desc(), F.col("hour_id")
+            )
+        ),
+    )
+    return (
+        s.where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hour_id").cast("bigint").alias("cp_hour"),
+            F.col("score").cast("bigint").alias("cusum_score"),
+            F.col("n_hours").cast("bigint").alias("n_hours"),
+            F.col("total").cast("bigint").alias("total_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution of purchase value
+# ---------------------------------------------------------------------------
+
+LAST_TOUCH_ORACLE = """
+WITH w AS (
+    SELECT event_type, value,
+           last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS touch
+    FROM events
+)
+SELECT coalesce(touch, 'direct') AS touch_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(value), 2) AS total_value,
+       round(sum(value) / count(*), 2) AS avg_value
+FROM w
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("last_touch_attribution", LAST_TOUCH_ORACLE)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's value is
+    credited to the most recent PRECEDING non-purchase event by the
+    same user ('direct' when the purchase is the user's first touch).
+    The credit-assignment complement to three_step_funnel (which
+    checks a fixed path) and event_type_lift (which is order-blind).
+
+    The carry-forward is ``last(..., ignorenulls=True)`` over a keyed
+    running window — the same gap-fill idiom as a forward-fill, with
+    the current row's own type masked to NULL so a purchase never
+    attributes to itself; (ts, event_id) ordering makes simultaneous
+    events deterministic.
+
+    Scale shape: one shuffle on user_id for the keyed window (never
+    single-partition), then a partial-aggregated rollup to the
+    |event_type| domain.  sum(value) is a double sum over a
+    user-bounded reorder; rounded to 2 decimals on both engines."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", "value", touch.alias("touch"))
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("direct")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum("value") / F.count(F.lit(1)), 2).alias("avg_value"),
+        )
+        .orderBy("touch_type")
+    )

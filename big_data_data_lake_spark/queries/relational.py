@@ -2718,3 +2718,56 @@ def order_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, frontier.schema).orderBy(
         F.col("price").desc(), "o_orderkey"
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 VARIANT: semi-structured profiling without a fixed schema
+# --------------------------------------------------------------------------
+
+VARIANT_PROPS_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       round(avg(k), 2) AS avg_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM (
+    SELECT event_type,
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k
+    FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("variant_props_profile", VARIANT_PROPS_ORACLE)
+def variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured profiling through Spark 4's VARIANT type:
+    ``try_parse_json`` ingests the payload once into the binary
+    VARIANT encoding, ``try_variant_get`` extracts typed fields
+    null-safely — the modern lakehouse bronze-parse (vs
+    json_props_extract's regex/get_json_object string path, which
+    re-parses the JSON text per extraction).  At 100 TB the
+    difference is material: VARIANT decodes each payload once into a
+    shredded binary form, and malformed rows degrade to NULL instead
+    of failing the job.
+
+    Scale shape: row-local parse + extract (codegen), one
+    partial-aggregated shuffle to the |event_type| domain."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
