@@ -1,0 +1,525 @@
+"""Baseline JPEG codec in pure numpy + stdlib — no libjpeg.
+
+Baseline sequential JPEG (ITU-T T.81) needs exactly four ingredients,
+none of which require a codec library: an 8x8 DCT (a numpy matrix
+product), scalar quantization (Annex K tables), zigzag run-length
+coding, and canonical Huffman coding (a pure-Python bit reader /
+writer). This module implements encode (4:4:4, standard tables) and
+decode (baseline SOF0, any sampling factors up to 2x2, gray or YCbCr),
+which covers the overwhelming majority of crawl-data JPEGs; the
+genuinely rare profiles — progressive SOF2, arithmetic coding,
+12-bit — stay loud ``NotImplementedError``s.
+
+Like the PNG codec next door (multimodal.decode_png), single-image
+latency is not the design target: these kernels run inside
+Arrow-batched ``mapInPandas``, where throughput comes from row
+parallelism across executor cores. The Huffman loops are sequential
+by nature (bit-serial entropy coding); everything block-shaped (DCT,
+quantization, color transform, upsampling) is vectorized numpy.
+
+Reference semantics ported: the reference pipeline treats image
+payloads as opaque blobs (SURVEY §2 M-family); this makes the decode
+seam real for one more major format.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Constant tables (ITU-T T.81 Annex K)
+# --------------------------------------------------------------------------
+
+QT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+QT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+# zigzag position -> row-major block index
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Standard Huffman tables: (bits[1..16], values). Only the ENCODER
+# hardcodes these; the decoder always builds its tables from the DHT
+# segments in the file, so it reads any spec-conformant baseline JPEG.
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# 8x8 DCT-II basis: dct2(b) = C @ b @ C.T, idct2(B) = C.T @ B @ C
+_k = np.arange(8)
+_C = np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16) * np.sqrt(2.0 / 8.0)
+_C[0, :] = np.sqrt(1.0 / 8.0)
+
+
+def _blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) -> (H//8 * W//8, 8, 8) row-major block view (H, W % 8 == 0)."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _unblocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+    return (
+        blocks.reshape(h // 8, w // 8, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
+    )
+
+
+# --------------------------------------------------------------------------
+# Canonical Huffman
+# --------------------------------------------------------------------------
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) via canonical assignment (T.81 C.2)."""
+    table, code, vi = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[vals[vi]] = (code, ln)
+            code += 1
+            vi += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    enc = _huff_encode_table(bits, vals)
+    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("malformed JPEG: entropy stream exhausted")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("malformed JPEG: invalid Huffman code")
+
+
+def _category(v: int) -> int:
+    """Size class: number of bits to represent |v| (0 for v == 0)."""
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _amplitude_bits(v: int, s: int) -> int:
+    """T.81 F.1.2.1: negative amplitudes use the one's-complement form."""
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def _extend(bits: int, s: int) -> int:
+    """Inverse of _amplitude_bits (T.81 F.2.2.1 EXTEND)."""
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+# --------------------------------------------------------------------------
+# Encoder (baseline, 4:4:4, standard tables)
+# --------------------------------------------------------------------------
+
+
+def encode_jpeg(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4, Annex K
+    quantization + Huffman tables). Lossy like any JPEG encode;
+    ``decode_jpeg`` recovers the image within quantization error."""
+    h, w = img.shape[:2]
+    rgb = img.astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    qts = [QT_LUMA, QT_CHROMA, QT_CHROMA]
+    dc_tabs = [
+        _huff_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+        _huff_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    ac_tabs = [
+        _huff_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
+        _huff_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]
+    # quantized zigzag coefficients per component, block row-major
+    comp_coefs = []
+    for ci, plane in enumerate(planes):
+        padded = np.empty((ph, pw))
+        padded[:h, :w] = plane
+        padded[h:, :w] = plane[-1:, :]  # edge-replicate padding
+        padded[:, w:] = padded[:, w - 1 : w]
+        blocks = _blocks(padded - 128.0)
+        coefs = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+        q = np.round(coefs / qts[ci][None]).astype(np.int64)
+        comp_coefs.append(q.reshape(-1, 64)[:, ZIGZAG])
+
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    n_blocks = (ph // 8) * (pw // 8)
+    for bi in range(n_blocks):
+        for ci in range(3):
+            ti = 0 if ci == 0 else 1
+            zz = comp_coefs[ci][bi]
+            diff = int(zz[0]) - prev_dc[ci]
+            prev_dc[ci] = int(zz[0])
+            s = _category(diff)
+            code, ln = dc_tabs[ti][s]
+            bw.put(code, ln)
+            if s:
+                bw.put(_amplitude_bits(diff, s), s)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    if k > last_nz:
+                        code, ln = ac_tabs[ti][0x00]  # EOB
+                        bw.put(code, ln)
+                        break
+                    run += 1
+                    if run == 16:
+                        code, ln = ac_tabs[ti][0xF0]  # ZRL
+                        bw.put(code, ln)
+                        run = 0
+                else:
+                    s = _category(v)
+                    code, ln = ac_tabs[ti][(run << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(_amplitude_bits(v, s), s)
+                    run = 0
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    def dqt(tid: int, qt: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(int(x) for x in qt.reshape(64)[ZIGZAG]))
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([3])
+        + bytes([1, 0x11, 0])  # Y: 1x1, qt 0
+        + bytes([2, 0x11, 1])  # Cb: 1x1, qt 1
+        + bytes([3, 0x11, 1]),  # Cr: 1x1, qt 1
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, QT_LUMA)
+        + dqt(1, QT_CHROMA)
+        + dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        + dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+        + dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        + dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        + sof
+        + sos
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+# --------------------------------------------------------------------------
+# Decoder (baseline SOF0, 1 or 3 components, sampling factors <= 2)
+# --------------------------------------------------------------------------
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Baseline JPEG -> (h, w, 3) uint8 RGB. Reads quantization and
+    Huffman tables from the stream (any spec-conformant baseline
+    file, not just this module's encoder). Progressive (SOF2),
+    arithmetic coding, 12-bit, restart intervals and >2x sampling
+    factors raise loudly."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict] = []
+    h = w = 0
+    scan_comps: list[tuple[int, int, int]] = []
+    scan_data = b""
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("malformed JPEG: expected marker")
+        marker = blob[pos + 1]
+        if marker in (0xD8, 0xD9):
+            pos += 2
+            continue
+        ln = int.from_bytes(blob[pos + 2 : pos + 4], "big")
+        payload = blob[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                prec, tid = payload[p] >> 4, payload[p] & 0xF
+                if prec:
+                    raise NotImplementedError("16-bit quantization tables")
+                qt = np.zeros(64, dtype=np.int32)
+                qt[ZIGZAG] = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8)
+                qtabs[tid] = qt.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nv])
+                htabs[(cls, tid)] = _huff_decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:
+            if payload[0] != 8:
+                raise NotImplementedError("only 8-bit precision")
+            h = int.from_bytes(payload[1:3], "big")
+            w = int.from_bytes(payload[3:5], "big")
+            nc = payload[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG")
+            for i in range(nc):
+                cid, hv, qid = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "q": qid}
+                )
+            if any(c["h"] > 2 or c["v"] > 2 for c in comps):
+                raise NotImplementedError("sampling factors > 2")
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only baseline sequential (SOF0) JPEG")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals (DRI)")
+        elif marker == 0xDA:
+            ns = payload[0]
+            for i in range(ns):
+                cid, tt = payload[1 + 2 * i], payload[2 + 2 * i]
+                scan_comps.append((cid, tt >> 4, tt & 0xF))
+            # entropy stream runs to the next real marker (skip 0xFF00
+            # stuffing); collect and un-stuff
+            raw = bytearray()
+            while pos < len(blob):
+                bch = blob[pos]
+                if bch == 0xFF:
+                    nxt = blob[pos + 1] if pos + 1 < len(blob) else 0xD9
+                    if nxt == 0x00:
+                        raw.append(0xFF)
+                        pos += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        raise NotImplementedError("restart markers in scan")
+                    break
+                raw.append(bch)
+                pos += 1
+            scan_data = bytes(raw)
+            break
+        # other segments (APPn, COM) are metadata — skipped
+    if not comps or not scan_data:
+        raise ValueError("truncated JPEG: missing SOF/SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component plane dims in blocks (MCU-padded)
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]
+        c["bh"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 8, 8), dtype=np.float64)
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cid, dc_t, ac_t in scan_comps:
+        c = by_id[cid]
+        c["dc_t"], c["ac_t"] = dc_t, ac_t
+        order.append(c)
+
+    br = _BitReader(scan_data)
+    prev_dc = {c["id"]: 0 for c in comps}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in order:
+                dct = htabs[(0, c["dc_t"])]
+                act = htabs[(1, c["ac_t"])]
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        s = br.symbol(dct)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        prev_dc[c["id"]] += diff
+                        zz[0] = prev_dc[c["id"]]
+                        k = 1
+                        while k < 64:
+                            sym = br.symbol(act)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("malformed JPEG AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("malformed JPEG: AC overrun")
+                            zz[k] = _extend(br.bits(size), size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[ZIGZAG] = zz
+                        by = my * c["v"] + vy
+                        bx = mx * c["h"] + vx
+                        c["coef"][by * c["bw"] + bx] = block.reshape(8, 8) * qtabs[
+                            c["q"]
+                        ]
+
+    planes = []
+    for c in comps:
+        spatial = np.einsum("xu,nuv,yv->nxy", _C.T, c["coef"], _C.T) + 128.0
+        plane = _unblocks(spatial, c["bh"] * 8, c["bw"] * 8)
+        # nearest upsample to full MCU-padded resolution, then crop
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)

@@ -3,12 +3,13 @@ payloads (image/audio/video bytes) with typed metadata, processed by
 Arrow-batched ``mapInPandas`` — the sanctioned Python seam for logic
 built-in functions can't express.
 
-``decode_image`` is a REAL decoder for every format that needs no
-codec library — PPM (P6), 24-bit BMP, and 8-bit PNG (DEFLATE is
-stdlib ``zlib``; the scanline filters are numpy) — with numpy
-nearest-neighbor resampling behind ``resize_images``; only
-JPEG/video remain a clearly-marked NotImplementedError stub, because
-libjpeg/ffmpeg are absent in this container. The plumbing — binary columns, Arrow batch transfer,
+``decode_image`` is a REAL decoder for every major still format,
+with no codec library — PPM (P6), 24-bit BMP, 8-bit PNG (DEFLATE is
+stdlib ``zlib``; the scanline filters are numpy), and baseline JPEG
+(numpy DCT + pure-Python Huffman, ``operators/jpeg.py``) — with
+numpy nearest-neighbor resampling behind ``resize_images``; only
+video containers remain a clearly-marked NotImplementedError stub,
+because ffmpeg is absent in this container. The plumbing — binary columns, Arrow batch transfer,
 output schema, 1→n flatMap shape — is identical either way: swapping
 in PIL/ffmpeg changes only a function body, never the plan.
 """
@@ -242,19 +243,25 @@ def encode_png(img: np.ndarray) -> bytes:
 def decode_image(blob: bytes) -> np.ndarray:
     """Decode an image blob to an (h, w, 3) uint8 RGB array.
 
-    Real for every dependency-free format: PPM P6, 24-bit BMP, and —
-    because DEFLATE ships in the stdlib — 8-bit non-interlaced PNG
-    (decode_png). JPEG/video stay a LOUD stub: they need
-    libjpeg/ffmpeg, which this container does not ship."""
+    Real for every major still format, with no codec library: PPM P6,
+    24-bit BMP, 8-bit non-interlaced PNG (stdlib zlib + numpy
+    unfilter), and baseline JPEG (numpy DCT + pure-Python Huffman;
+    ``operators/jpeg.py``). Video containers stay a LOUD stub — they
+    need ffmpeg, absent in this container — as do the rare image
+    profiles (progressive JPEG, Adam7/palette PNG)."""
     if blob[:2] == b"P6":
         return decode_ppm(blob)
     if blob[:2] == b"BM":
         return decode_bmp(blob)
     if blob[:8] == _PNG_SIG:
         return decode_png(blob)
+    if blob[:2] == b"\xff\xd8":
+        from . import jpeg as _jpeg
+
+        return _jpeg.decode_jpeg(blob)
     raise NotImplementedError(
-        "PPM(P6)/BMP-24/PNG-8 decode is built in; JPEG/video codecs need "
-        "PIL/libjpeg/ffmpeg, absent in this container"
+        "PPM(P6)/BMP-24/PNG-8/baseline-JPEG decode is built in; video "
+        "containers need ffmpeg, absent in this container"
     )
 
 

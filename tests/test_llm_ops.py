@@ -145,9 +145,56 @@ def test_bmp_decode_real_pixels():
 
 
 def test_compressed_decode_is_a_loud_stub():
-    # JPEG (SOI marker) still needs libjpeg — loud stub
+    # video containers (here: an MP4 ftyp box) still need ffmpeg
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\xff\xd8\xff\xe0junk")
+        mm.decode_image(b"\x00\x00\x00\x18ftypisom....")
+
+
+def test_jpeg_roundtrip_smooth_image():
+    import numpy as np
+
+    from big_data_data_lake_spark.operators import jpeg as J
+
+    h, w = 24, 33  # non-multiple-of-8 width exercises edge padding
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(yy * 7) % 256, (xx * 5) % 256, ((yy + xx) * 3) % 256], axis=2
+    ).astype(np.uint8)
+    blob = J.encode_jpeg(img)
+    # spec structure: SOI ... EOI, with DQT/SOF0/DHT/SOS segments
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in blob
+    dec = mm.decode_image(blob)  # dispatches through decode_image
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # smooth content survives Annex-K quantization nearly intact
+    assert err.max() <= 12 and err.mean() < 3.0
+
+
+def test_jpeg_flat_block_is_near_exact():
+    import numpy as np
+
+    from big_data_data_lake_spark.operators import jpeg as J
+
+    flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg(flat))
+    assert np.abs(dec.astype(int) - 77).max() <= 2
+
+
+def test_jpeg_unsupported_profiles_are_loud():
+    import numpy as np
+
+    from big_data_data_lake_spark.operators import jpeg as J
+
+    blob = bytearray(J.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    # rewrite the SOF0 marker (FFC0) to SOF2 (progressive)
+    i = bytes(blob).find(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        J.decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\xff\xd8\xff\xd9")  # no SOF/SOS at all
 
 
 def test_png_roundtrip():
