@@ -533,6 +533,26 @@ def split_ppm_stream(blob: bytes) -> list[bytes]:
     return frames
 
 
+def split_mjpeg_stream(blob: bytes) -> list[bytes]:
+    """Split an MJPEG stream (concatenated baseline JPEGs — the
+    ``ffmpeg -f image2pipe -vcodec mjpeg`` / motion-JPEG-over-HTTP
+    wire format) into its frames on SOI..EOI extents. Entropy-coded
+    bytes never contain a bare ``FF D9`` (the encoder stuffs ``FF`` as
+    ``FF 00``), so scanning for EOI is exact, not heuristic; a
+    missing EOI raises instead of yielding a torn frame."""
+    frames = []
+    pos = 0
+    while pos < len(blob):
+        if blob[pos : pos + 2] != b"\xff\xd8":
+            raise ValueError(f"not a JPEG frame at offset {pos}")
+        end = blob.find(b"\xff\xd9", pos + 2)
+        if end == -1:
+            raise ValueError(f"truncated MJPEG frame at offset {pos}")
+        frames.append(bytes(blob[pos : end + 2]))
+        pos = end + 2
+    return frames
+
+
 def sample_frames(
     df: DataFrame,
     n_frames: int = 4,
@@ -544,10 +564,11 @@ def sample_frames(
     flatMap shape of an ffmpeg-backed keyframe sampler).
 
     Blobs that are concatenated-PPM video streams (image2pipe format,
-    magic ``P6``) get REAL frame extraction: the stream is split on
+    magic ``P6``) or MJPEG streams (concatenated JPEGs, magic
+    ``FF D8``) get REAL frame extraction: the stream is split on
     frame boundaries and ``n_frames`` equally-spaced WHOLE frames come
     back, each independently decodable by ``decode_image`` (round-trip
-    tested). Compressed containers (MP4/AVI) would need ffmpeg —
+    tested). Inter-coded containers (MP4/AVI) would need ffmpeg —
     absent here — so any other blob falls back to the deterministic
     equally-spaced byte-slice stand-in, keeping the operator total on
     mixed corpora."""
@@ -556,8 +577,13 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                if bytes(blob[:2]) == b"P6":
-                    all_frames = split_ppm_stream(bytes(blob))
+                magic = bytes(blob[:2])
+                if magic == b"P6" or magic == b"\xff\xd8":
+                    all_frames = (
+                        split_ppm_stream(bytes(blob))
+                        if magic == b"P6"
+                        else split_mjpeg_stream(bytes(blob))
+                    )
                     # equally-spaced sample over the real frame list
                     take = min(n_frames, len(all_frames))
                     picks = [

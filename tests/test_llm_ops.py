@@ -489,6 +489,51 @@ def test_sample_frames_extracts_real_ppm_video_frames(spark):
         mm.split_ppm_stream(stream[:-10])
 
 
+def test_sample_frames_extracts_real_mjpeg_frames(spark):
+    """Concatenated-JPEG (MJPEG) blobs get the same real frame
+    extraction: split on SOI..EOI extents, every sampled frame decodes
+    to a close reconstruction of its source image."""
+    import numpy as np
+
+    from big_data_data_lake_spark.operators import jpeg as J
+    from big_data_data_lake_spark.operators import multimodal as mm
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    imgs = [
+        np.stack(
+            [(yy * 9 + k * 40) % 256, (xx * 6) % 256, ((yy + xx) * 4) % 256],
+            axis=2,
+        ).astype(np.uint8)
+        for k in range(6)
+    ]
+    stream = b"".join(J.encode_jpeg(im) for im in imgs)
+    assert len(mm.split_mjpeg_stream(stream)) == 6
+
+    df = spark.createDataFrame([(1, bytearray(stream))], "doc_id long, blob binary")
+    rows = sorted(
+        mm.sample_frames(df, n_frames=3).collect(), key=lambda r: r.frame_idx
+    )
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    # equally spaced picks out of 6 frames: 0, 2, 4
+    for row, src_idx in zip(rows, [0, 2, 4]):
+        dec = mm.decode_image(bytes(row.frame))
+        err = np.abs(dec.astype(int) - imgs[src_idx].astype(int))
+        assert err.mean() < 8.0  # lossy, within quantization error
+        # and it is THIS frame, not a neighbor: distance to the right
+        # source is far below distance to any other frame
+        other = min(
+            np.abs(dec.astype(int) - imgs[j].astype(int)).mean()
+            for j in range(6)
+            if j != src_idx
+        )
+        assert err.mean() < other / 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated"):
+        mm.split_mjpeg_stream(stream[:-4])
+
+
 def test_dhash_invariant_to_brightness_shift():
     rng = np.random.default_rng(7)
     base = rng.integers(0, 200, size=(32, 32, 3)).astype(np.uint8)
