@@ -98,3 +98,38 @@ def check_query(spark, name: str, sf_dir: str = DEFAULT_SF_DIR) -> list[str]:
     finally:
         con.close()
     return compare_frames(spark_pdf, oracle_pdf)
+
+
+# Perturbed execution configs for the partitioning-invariance check:
+# a tiny shuffle-partition count plus a scan split size small enough
+# to break every parquet file into many input partitions. Together
+# they reorder both scan-side and shuffle-side row arrival — any
+# query whose result depends on partition layout or input order
+# (non-commutative float folds, first-without-order, etc.) diverges.
+INVARIANCE_PERTURB = {
+    "spark.sql.shuffle.partitions": "3",
+    "spark.sql.files.maxPartitionBytes": "65536",
+}
+
+
+def check_query_invariance(spark, name: str, sf_dir: str = DEFAULT_SF_DIR) -> list[str]:
+    """Run one registered query under the session's normal configs and
+    under INVARIANCE_PERTURB; [] means the results are identical
+    (same rows, schema, exact values). This is the Spark-vs-Spark
+    determinism gate: at 1000 executors the partition layout is
+    whatever the cluster manager makes it, so a result that shifts
+    with layout is wrong even if some layout matches the oracle."""
+    from .queries import load_all
+
+    qd = load_all()[name]
+    olds = {k: spark.conf.get(k, None) for k in INVARIANCE_PERTURB}
+    try:
+        for k, v in INVARIANCE_PERTURB.items():
+            spark.conf.set(k, v)
+        alt = qd.fn(spark, sf_dir).toPandas()
+    finally:
+        for k, v in olds.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    base = qd.fn(spark, sf_dir).toPandas()
+    return compare_frames(base, alt)
