@@ -718,6 +718,18 @@ class LakeTable:
             deleted.append(path)
         for v in vs[:-retain_last]:
             os.remove(os.path.join(self._mdir, f"v{v}.json"))
+        # Crash debris: a writer that died between writing its temp
+        # manifest and linking it leaves a ``.v*.tmp`` behind. Readers
+        # never see it (versions() lists only ``v*.json``), but it
+        # accumulates — vacuum is the documented no-concurrent-writer
+        # maintenance window, so sweep them here. Orphaned DATA files
+        # from the same crash are already covered by the
+        # unreferenced-parquet sweep above.
+        for f in os.listdir(self._mdir):
+            if f.startswith(".v") and f.endswith(".tmp"):
+                path = os.path.join(self._mdir, f)
+                os.remove(path)
+                deleted.append(path)
         return deleted
 
     def clone_to(self, dest: str) -> "LakeTable":

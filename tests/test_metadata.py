@@ -651,3 +651,36 @@ def test_history_records_operations(spark, events, tmp_path):
     assert [e["operation"] for e in h] == ["create", "append", "compact"]
     assert h[1]["rows"] > h[0]["rows"]
     assert all(e["n_files"] >= 1 for e in h)
+
+
+def test_crash_debris_invisible_to_readers_and_vacuumed(spark, events, tmp_path):
+    """Crash consistency: a writer that dies mid-commit leaves (a) a
+    torn temp manifest and (b) orphaned data files. Readers must never
+    see either; the next commit must proceed; vacuum must sweep both."""
+    path = str(tmp_path / "t")
+    t = LakeTable(spark, path)
+    t.create(events)
+    before = t.read().count()
+
+    # simulate the crash: torn (invalid-JSON) temp manifest + an
+    # orphan parquet the dead writer had staged but never committed
+    mdir = os.path.join(path, "_manifest")
+    torn = os.path.join(mdir, ".v1.json.deadbeef.tmp")
+    with open(torn, "w") as fh:
+        fh.write('{"files": [')  # truncated mid-write
+    orphan = os.path.join(path, "part-orphan-from-dead-writer.parquet")
+    events.limit(1).toPandas().to_parquet(orphan)
+
+    # readers: same rows, same versions — debris is invisible
+    assert t.read().count() == before
+    assert t.versions() == [0]
+
+    # the next writer is unaffected by the torn tmp (fresh uuid name)
+    t.append(events)
+    assert t.read().count() == 2 * before
+
+    deleted = t.vacuum(retain_last=1)
+    assert torn in deleted and orphan in deleted
+    assert not os.path.exists(torn) and not os.path.exists(orphan)
+    # table still reads after the sweep
+    assert t.read().count() == 2 * before
