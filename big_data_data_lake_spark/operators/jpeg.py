@@ -366,7 +366,19 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     Huffman tables from the stream (any spec-conformant baseline
     file, not just this module's encoder). Progressive (SOF2),
     arithmetic coding, 12-bit, restart intervals and >2x sampling
-    factors raise loudly."""
+    factors raise NotImplementedError; every malformation raises
+    ValueError (never IndexError/KeyError — crawl blobs are hostile,
+    and the mapInPandas fallback paths catch exactly these two
+    types)."""
+    try:
+        return _decode_jpeg_impl(blob)
+    except (IndexError, KeyError) as e:
+        raise ValueError(
+            f"malformed JPEG: {type(e).__name__}: {e}"
+        ) from None
+
+
+def _decode_jpeg_impl(blob: bytes) -> np.ndarray:
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2

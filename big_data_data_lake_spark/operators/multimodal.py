@@ -169,7 +169,13 @@ def decode_png(blob: bytes) -> np.ndarray:
         )
     ch = _PNG_CHANNELS[ctype]
     stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # crawl data is full of truncated/bit-rotted files; the kernel
+        # contract is ValueError so mapInPandas fallbacks catch it
+        # instead of the job dying on a zlib.error
+        raise ValueError(f"malformed PNG deflate stream: {e}") from None
     if len(raw) != (stride + 1) * h:
         raise ValueError(
             f"malformed PNG: inflated stream holds {len(raw)} bytes, "

@@ -276,3 +276,52 @@ def test_global_cummax_prev_matches_single_partition_window(spark):
     want = {r.k: r.pm for r in df.withColumn("pm", F.max("v").over(w)).collect()}
     assert got == want
     assert got[0] is None
+
+
+# ---------------------------------------------------------------------------
+# Decoder hostility: crawl blobs are adversarial by default
+# ---------------------------------------------------------------------------
+
+_DECODER_OK = (ValueError, NotImplementedError)
+
+
+def _assert_decoders_contained(blob: bytes) -> None:
+    """Every decoder either returns an array or raises one of the two
+    contract exception types — never IndexError/KeyError/zlib.error,
+    which would bypass the mapInPandas fallback paths and kill the
+    job on the first bit-rotted file in 100 TB of crawl data."""
+    from big_data_data_lake_spark.operators import jpeg as J
+
+    for fn in (mm.decode_image, mm.decode_png, J.decode_jpeg,
+               mm.decode_ppm, mm.decode_bmp, mm.decode_wav,
+               mm.split_ppm_stream, mm.split_mjpeg_stream):
+        try:
+            fn(blob)
+        except _DECODER_OK:
+            pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=300))
+def test_decoders_never_leak_on_garbage(data):
+    _assert_decoders_contained(data)
+    # same garbage behind each real magic: exercises the parsers past
+    # the dispatch check
+    for magic in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"P6", b"BM", b"RIFF"):
+        _assert_decoders_contained(magic + data)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 10_000), st.integers(0, 255))
+def test_decoders_never_leak_on_corrupted_valid_files(pos, xor):
+    """Single-byte corruptions of genuinely valid files: the parser
+    gets deep into real structure before hitting the flipped byte."""
+    from big_data_data_lake_spark.operators import jpeg as J
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    for blob in (mm.encode_png(img), J.encode_jpeg(img), mm.encode_ppm(img),
+                 mm.encode_wav(np.zeros(50, np.int16), 8000)):
+        b = bytearray(blob)
+        b[pos % len(b)] ^= xor
+        _assert_decoders_contained(bytes(b))
+        _assert_decoders_contained(bytes(b[: pos % len(b)]))  # truncation
