@@ -71,3 +71,31 @@ def test_orc_roundtrip_preserves_schema_and_pushdown(spark, tmp_path):
     filtered = back.where(back.event_type == "purchase").select("event_id")
     pushed = " ".join(plans.pushed_filters(filtered))
     assert "event_type" in pushed, pushed
+
+
+def test_gzip_jsonl_ingest_transparent(spark, tmp_path):
+    """Compressed text ingest: crawl corpora arrive as .jsonl.gz, and
+    Spark's text sources decode by file extension with no config — the
+    read path (schema, pruning, downstream operators) is identical to
+    uncompressed. Pinned here so the catalog's JSONL contract is known
+    to cover the compressed form (gzip is NOT splittable: at 100 TB,
+    many medium .gz files parallelize; one giant .gz serializes — the
+    docstring guidance in sources/catalog.py)."""
+    import gzip
+    import json as _json
+
+    from big_data_data_lake_spark.sources.catalog import read_jsonl
+
+    rows = [{"doc_id": i, "text": f"doc {i}", "lang": "en"} for i in range(50)]
+    d = tmp_path / "gz"
+    d.mkdir()
+    for part in range(3):  # several members -> several input splits
+        with gzip.open(d / f"part-{part}.jsonl.gz", "wt") as fh:
+            for r in rows[part * 17 : (part + 1) * 17]:
+                fh.write(_json.dumps(r) + "\n")
+    back = read_jsonl(
+        spark, str(d), schema="doc_id long, text string, lang string",
+        glob="*.jsonl.gz",
+    )
+    got = sorted(r.doc_id for r in back.collect())
+    assert got == list(range(50))
