@@ -166,6 +166,7 @@ HEADLINE = [
     "variant_props_profile",
     "cusum_changepoint",
     "last_touch_attribution",
+    "semantic_dedup_clusters",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

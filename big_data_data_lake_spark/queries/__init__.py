@@ -85,6 +85,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "variant_props_profile",
     "cusum_changepoint",
     "last_touch_attribution",
+    "semantic_dedup_clusters",
 )
 
 

@@ -183,62 +183,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     mislabeling if it hasn't converged in 20.
 
     The oracle reproduces the same components with a recursive CTE
-    (transitive closure, fine at oracle SF)."""
+    (transitive closure, fine at oracle SF).
+
+    The propagation loop itself lives in ``operators/graph.py::
+    min_label_components`` (extracted round 5, shared with the
+    embedding-side ``semantic_dedup_clusters``): convergence via the
+    exact decimal(38,0) label sum, eager localCheckpoint to cut the
+    iterative lineage and free every loop cache per invocation
+    (ADVICE r2)."""
+    from ..operators.graph import min_label_components
+
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     pairs = _ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
-    edges = (
-        pairs.union(pairs.select(F.col("d2"), F.col("d1")))
-        .toDF("src", "dst")
-        .persist()
-    )
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
-
-    # Convergence check: labels only ever DECREASE under min-propagation,
-    # so the label sum strictly decreases iff any label changed — one
-    # single-row aggregate per round instead of a join + count.
-    # decimal(38,0) keeps the sum exact at any corpus size (int64 sums
-    # overflow around 1e12 docs × 1e12 ids).
-    def _label_sum(df: DataFrame):
-        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-
-    try:
-        prev_sum = _label_sum(labels)
-        for _ in range(20):
-            prop = (
-                edges.join(labels, edges.src == labels.doc_id)
-                .groupBy("dst")
-                .agg(F.min("label").alias("nlabel"))
-            )
-            merged = (
-                labels.join(prop, labels.doc_id == prop.dst, "left")
-                .select(
-                    labels.doc_id,
-                    F.least(
-                        F.col("label"), F.coalesce("nlabel", "label")
-                    ).alias("label"),
-                )
-                .persist()
-            )
-            new_sum = _label_sum(merged)
-            labels.unpersist()
-            labels = merged
-            if new_sum == prev_sum:
-                break
-            prev_sum = new_sum
-        else:
-            raise RuntimeError("label propagation did not converge in 20 rounds")
-        # Eager localCheckpoint cuts the 20-round join lineage (without
-        # it the caller's collect would re-execute every round once the
-        # caches below are released) and lets ALL loop caches be freed
-        # here instead of leaking per invocation (ADVICE r2). The
-        # checkpoint's own blocks are reclaimed by Spark's
-        # ContextCleaner when the returned DataFrame is dereferenced.
-        return labels.select(
-            "doc_id", F.col("label").alias("cluster")
-        ).localCheckpoint(eager=True)
-    finally:
-        edges.unpersist()
-        labels.unpersist()
+    labels = min_label_components(docs.select("doc_id"), pairs)
+    return labels.select("doc_id", F.col("label").alias("cluster"))
 
 
 DEDUP_SURVIVORS_ORACLE = f"""

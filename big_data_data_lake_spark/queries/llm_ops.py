@@ -1807,3 +1807,111 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         release()
     return spark.createDataFrame(rows, pairs.schema).orderBy("d1", "d2")
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster embeddings, dedup within cells
+# --------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.35
+_SEMDEDUP_MIN_CELLS = 8
+_SEMDEDUP_CELL_TARGET = 250  # target vectors per cell: k = max(8, ceil(n/250))
+
+_SEMDEDUP_K = (
+    f"(SELECT greatest({_SEMDEDUP_MIN_CELLS}, "
+    f"CAST(ceil(count(*) / {_SEMDEDUP_CELL_TARGET}.0) AS BIGINT)) FROM e)"
+)
+
+_SEMDEDUP_CENTS = f"""
+cents AS (SELECT rn - 1 AS cen, v AS cv
+          FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+          WHERE rn <= {_SEMDEDUP_K})"""
+
+SEMDEDUP_ORACLE = f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),{_SEMDEDUP_CENTS},
+assign AS (SELECT vec_id, v, {sim.NORM_SQL.format(a="v")} AS n, cen FROM (
+    SELECT vec_id, v, cen,
+           row_number() OVER (PARTITION BY vec_id
+               ORDER BY {sim.DIST2_SQL.format(a="v", b="cv")}, cen) AS rn
+    FROM e CROSS JOIN cents) WHERE rn = 1),
+pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+          FROM assign a JOIN assign b
+            ON a.cen = b.cen AND a.vec_id < b.vec_id
+          WHERE {sim.DOT_SQL.format(a="a.v", b="b.v")} / (a.n * b.n)
+                >= {SEMDEDUP_TAU}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach(s, t) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.s, e2.b FROM reach r JOIN edges e2 ON r.t = e2.a
+)
+SELECT x.vec_id,
+       CAST(least(x.vec_id, coalesce(min(r.t), x.vec_id)) AS BIGINT) AS cluster
+FROM e x LEFT JOIN reach r ON x.vec_id = r.s
+GROUP BY x.vec_id
+ORDER BY x.vec_id
+"""
+
+
+@register("semantic_dedup_clusters", SEMDEDUP_ORACLE)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with a coarse quantizer, then connect vectors
+    whose cosine exceeds tau WITHIN each cell and keep one
+    representative per connected component — semantic near-dup removal
+    that byte- and shingle-level dedup cannot see (paraphrases,
+    translations, re-renders). Output: every vector labeled with its
+    component (cluster == vec_id means survivor), exactly the
+    keep/drop frame dedup_clusters produces on the text side.
+
+    The quantizer is the deterministic sampled-centroid one the IVF
+    family uses (lowest-id vectors; at 100 TB, k-means-on-a-sample
+    broadcast the same way) so DuckDB replays assignment bit-exactly.
+    Tie-break and threshold comparisons are on the same left-fold
+    doubles both engines compute.
+
+    Scale shape, per the paper's own design: the all-pairs step runs
+    INSIDE cells only, and k SCALES WITH n (k = max(8, ceil(n/250)),
+    replayed by the oracle's scalar subquery) so per-cell cost is
+    constant as the corpus grows. The within-cell square is ONE numpy
+    matmul per cell (sim.cell_threshold_pairs, Arrow group kernel) —
+    the HOF-fold predicate formulation measured ~ms per PAIR
+    interpreted (minutes at 20k vectors); BLAS does the cell in one
+    shot, the same lesson block_pair_topk encodes. Assignment is
+    row-local against broadcast centroid literals (zero shuffle);
+    components come from operators/graph.py::min_label_components
+    (partial-aggregated min-propagation, label-sum convergence)."""
+    import math
+
+    from ..operators.graph import min_label_components
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    e = emb.select("vec_id", sim.to_double("embedding").alias("v"))
+    n_vecs = e.count()  # metadata-scale driver scalar, sizes the quantizer
+    k = max(_SEMDEDUP_MIN_CELLS, math.ceil(n_vecs / _SEMDEDUP_CELL_TARGET))
+    cents = e.orderBy("vec_id").limit(k).select("v").collect()
+    if not cents:
+        return spark.createDataFrame([], "vec_id long, cluster long")
+    cent_lits = [F.array(*[F.lit(float(x)) for x in row.v]) for row in cents]
+
+    def nearest_cell(vec: F.Column) -> F.Column:
+        pairs = F.array(
+            *[
+                F.struct(sim.dist2(vec, cent_lits[j]).alias("d"), F.lit(j).alias("cen"))
+                for j in range(len(cent_lits))
+            ]
+        )
+        return F.array_sort(pairs)[0]["cen"]
+
+    assign = e.select("vec_id", "v", nearest_cell(F.col("v")).alias("cen"))
+    pairs = sim.cell_threshold_pairs(assign, SEMDEDUP_TAU)
+    # tau-chains through a cell can be long (random-ish vectors chain
+    # transitively at moderate tau), so allow a deeper propagation
+    # than the text-side near-dup clusters need — rounds are cheap
+    # (constant-size plans, see min_label_components)
+    labels = min_label_components(e.select("vec_id"), pairs, max_rounds=64)
+    return labels.select(
+        "vec_id", F.col("label").cast("bigint").alias("cluster")
+    ).orderBy("vec_id")
