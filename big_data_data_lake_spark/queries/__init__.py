@@ -86,6 +86,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "cusum_changepoint",
     "last_touch_attribution",
     "semantic_dedup_clusters",
+    "semantic_dedup_recall",
 )
 
 

@@ -1915,3 +1915,111 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "vec_id", F.col("label").cast("bigint").alias("cluster")
     ).orderBy("vec_id")
+
+
+_SEMDEDUP_SAMPLE_FILTER_SQL = _EMBEDDING_MIX + " < " + _budget_keep_mille_sql(
+    "embeddings", EMBEDDING_EXACT_TARGET_VECS, EMBEDDING_EXACT_MAX_MILLE
+)
+
+SEMDEDUP_RECALL_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),{_SEMDEDUP_CENTS},
+samp AS (SELECT vec_id, v FROM e WHERE {_SEMDEDUP_SAMPLE_FILTER_SQL}),
+sn AS (SELECT vec_id, v, {sim.NORM_SQL.format(a="v")} AS n FROM samp),
+exact AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+          FROM sn a JOIN sn b ON a.vec_id < b.vec_id
+          WHERE {sim.DOT_SQL.format(a="a.v", b="b.v")} / (a.n * b.n)
+                >= {SEMDEDUP_TAU}),
+assign AS (SELECT vec_id, cen FROM (
+    SELECT s.vec_id, cen,
+           row_number() OVER (PARTITION BY s.vec_id
+               ORDER BY {sim.DIST2_SQL.format(a="s.v", b="cv")}, cen) AS rn
+    FROM samp s CROSS JOIN cents) WHERE rn = 1),
+j AS (SELECT a1.cen AS c1, a2.cen AS c2
+      FROM exact JOIN assign a1 ON exact.d1 = a1.vec_id
+                 JOIN assign a2 ON exact.d2 = a2.vec_id)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_sample,
+       CAST(count(*) AS BIGINT) AS exact_pairs,
+       CAST(coalesce(sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS captured_pairs,
+       CASE WHEN count(*) > 0
+            THEN round(CAST(coalesce(sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END), 0)
+                            AS DOUBLE) / count(*), 4)
+       END AS recall
+FROM j
+"""
+
+
+@register("semantic_dedup_recall", SEMDEDUP_RECALL_ORACLE)
+def semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest-measurement audit for semantic_dedup_clusters: the
+    cell-bounded design (SemDeDup's own) can only see within-cell
+    pairs, so some cross-cell tau-pairs are missed. This measures the
+    miss directly — exact tau-pairs among a deterministic hash-sample
+    (the embedding_topk_pairs budget recipe: ~1000 vecs, cost constant
+    in corpus size) vs the subset whose endpoints share a quantizer
+    cell. One row: sample size, exact pair count, captured count,
+    recall — the number a data engineer checks before trusting the
+    dedup rate, same audit posture as lsh_pr_audit / ann_*_recall /
+    pq_recall_audit.
+
+    Scale shape: the exact square runs on the SAMPLE only (one BLAS
+    cell via cell_threshold_pairs); assignment reuses the full-corpus
+    quantizer (k scales with n); the intersection is two broadcast
+    joins of a <=sample-sized frame."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    e = emb.select("vec_id", sim.to_double("embedding").alias("v"))
+    n_vecs = e.count()  # metadata-scale driver scalar
+    k = max(_SEMDEDUP_MIN_CELLS, math.ceil(n_vecs / _SEMDEDUP_CELL_TARGET))
+    keep = _budget_keep_mille(
+        n_vecs, EMBEDDING_EXACT_TARGET_VECS, EMBEDDING_EXACT_MAX_MILLE
+    )
+    cents = e.orderBy("vec_id").limit(k).select("v").collect()
+    if not cents:
+        return spark.createDataFrame(
+            [(0, 0, 0, None)],
+            "n_sample bigint, exact_pairs bigint, captured_pairs bigint, recall double",
+        )
+    cent_lits = [F.array(*[F.lit(float(x)) for x in row.v]) for row in cents]
+
+    def nearest_cell(vec: F.Column) -> F.Column:
+        pairs = F.array(
+            *[
+                F.struct(sim.dist2(vec, cent_lits[j]).alias("d"), F.lit(j).alias("cen"))
+                for j in range(len(cent_lits))
+            ]
+        )
+        return F.array_sort(pairs)[0]["cen"]
+
+    samp = scoped_persist(e.where(F.expr(f"{_EMBEDDING_MIX} < {keep}")))
+    n_sample = samp.count()
+    exact = sim.cell_threshold_pairs(
+        samp.withColumn("cell", F.lit(0)), SEMDEDUP_TAU, cell_col="cell"
+    )
+    assign = samp.select("vec_id", nearest_cell(F.col("v")).alias("cen"))
+    a1 = assign.select(F.col("vec_id").alias("d1"), F.col("cen").alias("c1"))
+    a2 = assign.select(F.col("vec_id").alias("d2"), F.col("cen").alias("c2"))
+    j = exact.join(F.broadcast(a1), "d1").join(F.broadcast(a2), "d2")
+    captured = F.coalesce(
+        F.sum(F.when(F.col("c1") == F.col("c2"), 1).otherwise(0)), F.lit(0)
+    ).cast("bigint")
+    return (
+        j.agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_pairs"),
+            captured.alias("captured_pairs"),
+        )
+        .select(
+            F.lit(n_sample).cast("bigint").alias("n_sample"),
+            "exact_pairs",
+            "captured_pairs",
+            F.when(
+                F.col("exact_pairs") > 0,
+                F.round(
+                    F.col("captured_pairs").cast("double") / F.col("exact_pairs"), 4
+                ),
+            ).alias("recall"),
+        )
+    )
