@@ -492,8 +492,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("audit_ngram_jaccard_pairs", _ngram_jaccard_oracle(None))
 def audit_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNGATED exact-Jaccard audit twin: the full-corpus inverted-index
-    truth that accuracy audits (minhash_accuracy_audit, lsh_pr_audit,
-    dedup_clusters) are measured against.
+    truth that accuracy audits (minhash_accuracy_audit,
+    semantic_dedup_crosscheck, dedup_clusters) are measured against.
     Quadratic in per-shingle doc frequency — unbounded cost on a
     skewed corpus — so it lives behind the audit_ prefix, outside the
     headline bench, and is meant for bounded sub-corpora or offline
@@ -843,8 +843,9 @@ def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("audit_embedding_topk_pairs", EMBEDDING_TOPK_PAIRS_ORACLE)
 def audit_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNGATED exact all-pairs audit twin: the full-corpus top-20
-    truth that recall audits (ann_lsh_recall, ann_ivf_recall,
-    pq_recall_audit, semantic_dedup_recall) are measured against.
+    truth consumed by semantic_dedup_crosscheck and held to the same
+    brute-force standard the recall audits use (ann_lsh_recall,
+    ann_ivf_recall, pq_recall_audit, semantic_dedup_recall).
     O(n²) compute by
     definition — audit runs on bounded sub-corpora only; the gated
     default is embedding_topk_pairs."""
