@@ -16,11 +16,13 @@ import pytest
 from big_data_data_lake_spark.operators.graph import min_label_components
 
 
-def test_chain_graph_converges_in_diameter_rounds(spark):
-    n = 30  # needs ~29 propagation rounds: labels move one hop per round
+def test_chain_graph_converges_in_log_rounds(spark):
+    n = 30  # neighbor-min alone would need ~29 rounds; with pointer
+    # jumping the reach doubles per round, so 8 rounds suffice —
+    # asserting the tight budget pins the O(log d) behavior
     ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a long, b long")
-    got = {r.id: r.label for r in min_label_components(ids, pairs, max_rounds=n + 2).collect()}
+    got = {r.id: r.label for r in min_label_components(ids, pairs, max_rounds=8).collect()}
     assert got == {i: 0 for i in range(n)}
 
 
@@ -32,11 +34,11 @@ def test_isolated_vertices_label_themselves(spark):
 
 
 def test_non_convergence_is_loud(spark):
-    n = 12
+    n = 40  # even with pointer jumping, 2 rounds reach well under 39 hops
     ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        min_label_components(ids, pairs, max_rounds=3)
+        min_label_components(ids, pairs, max_rounds=2)
 
 
 def test_empty_graph(spark):
