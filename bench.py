@@ -168,6 +168,7 @@ HEADLINE = [
     "last_touch_attribution",
     "semantic_dedup_clusters",
     "semantic_dedup_recall",
+    "portable_hll_audit",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

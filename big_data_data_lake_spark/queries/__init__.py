@@ -87,6 +87,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "last_touch_attribution",
     "semantic_dedup_clusters",
     "semantic_dedup_recall",
+    "portable_hll_audit",
 )
 
 
