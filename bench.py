@@ -283,6 +283,22 @@ def main() -> None:
             }
         )
     )
+    # The driver records only the TAIL of this process's output; the
+    # full per-query line above is ~5 KB and gets truncated mid-JSON
+    # (BENCH_r05.json: "parsed": null). Emit a compact summary LAST so
+    # a machine-readable record always survives the tail window. The
+    # full per-query map still lands in BENCH_LOCAL_r{N}.json.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

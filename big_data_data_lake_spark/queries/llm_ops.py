@@ -1877,17 +1877,18 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape, per the paper's own design: the all-pairs step runs
     INSIDE cells only, and k SCALES WITH n (k = max(8, ceil(n/250)),
     replayed by the oracle's scalar subquery) so per-cell cost is
-    constant as the corpus grows. The within-cell square is ONE numpy
-    matmul per cell (sim.cell_threshold_pairs, Arrow group kernel) —
-    the HOF-fold predicate formulation measured ~ms per PAIR
-    interpreted (minutes at 20k vectors); BLAS does the cell in one
-    shot, the same lesson block_pair_topk encodes. Assignment is
-    row-local against broadcast centroid literals (zero shuffle);
-    components come from operators/graph.py::min_label_components
-    (partial-aggregated min-propagation, label-sum convergence)."""
+    constant as the corpus grows. Assignment is row-local against a
+    BROADCAST numpy centroid matrix inside an Arrow mapInPandas kernel
+    (sim.assign_nearest_centroid — zero shuffle, plan size independent
+    of n; the r5-flagged k·dim-literal expression tree grew with the
+    corpus and evaluated O(n·k) interpreted ops). Because the
+    quantizer makes the tau-graph BLOCK-DIAGONAL (no edge crosses a
+    cell), pair generation AND connected components fuse into one
+    group kernel per cell (sim.cell_components: one numpy cosine
+    matrix + union-find, label = min member id) — one shuffle total,
+    no iterative propagation; the text-side dedup_clusters keeps
+    min_label_components because LSH edges there span buckets."""
     import math
-
-    from ..operators.graph import min_label_components
 
     emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     e = emb.select("vec_id", sim.to_double("embedding").alias("v"))
@@ -1896,24 +1897,11 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.orderBy("vec_id").limit(k).select("v").collect()
     if not cents:
         return spark.createDataFrame([], "vec_id long, cluster long")
-    cent_lits = [F.array(*[F.lit(float(x)) for x in row.v]) for row in cents]
 
-    def nearest_cell(vec: F.Column) -> F.Column:
-        pairs = F.array(
-            *[
-                F.struct(sim.dist2(vec, cent_lits[j]).alias("d"), F.lit(j).alias("cen"))
-                for j in range(len(cent_lits))
-            ]
-        )
-        return F.array_sort(pairs)[0]["cen"]
-
-    assign = e.select("vec_id", "v", nearest_cell(F.col("v")).alias("cen"))
-    pairs = sim.cell_threshold_pairs(assign, SEMDEDUP_TAU)
-    # tau-chains through a cell can be long (random-ish vectors chain
-    # transitively at moderate tau), so allow a deeper propagation
-    # than the text-side near-dup clusters need — rounds are cheap
-    # (constant-size plans, see min_label_components)
-    labels = min_label_components(e.select("vec_id"), pairs, max_rounds=64)
+    assign = sim.assign_nearest_centroid(
+        e.select("vec_id", "v"), [row.v for row in cents]
+    )
+    labels = sim.cell_components(assign, SEMDEDUP_TAU)
     return labels.select(
         "vec_id", F.col("label").cast("bigint").alias("cluster")
     ).orderBy("vec_id")
@@ -1966,8 +1954,10 @@ def semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the exact square runs on the SAMPLE only (one BLAS
     cell via cell_threshold_pairs); assignment reuses the full-corpus
-    quantizer (k scales with n); the intersection is two broadcast
-    joins of a <=sample-sized frame."""
+    quantizer (k scales with n) through the broadcast-matrix Arrow
+    kernel (sim.assign_nearest_centroid — constant plan size, zero
+    shuffle); the intersection is two broadcast joins of a
+    <=sample-sized frame."""
     import math
 
     from pyspark.sql import functions as F  # noqa: F811 (local clarity)
@@ -1985,23 +1975,15 @@ def semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(0, 0, 0, None)],
             "n_sample bigint, exact_pairs bigint, captured_pairs bigint, recall double",
         )
-    cent_lits = [F.array(*[F.lit(float(x)) for x in row.v]) for row in cents]
-
-    def nearest_cell(vec: F.Column) -> F.Column:
-        pairs = F.array(
-            *[
-                F.struct(sim.dist2(vec, cent_lits[j]).alias("d"), F.lit(j).alias("cen"))
-                for j in range(len(cent_lits))
-            ]
-        )
-        return F.array_sort(pairs)[0]["cen"]
 
     samp = scoped_persist(e.where(F.expr(f"{_EMBEDDING_MIX} < {keep}")))
     n_sample = samp.count()
     exact = sim.cell_threshold_pairs(
         samp.withColumn("cell", F.lit(0)), SEMDEDUP_TAU, cell_col="cell"
     )
-    assign = samp.select("vec_id", nearest_cell(F.col("v")).alias("cen"))
+    assign = sim.assign_nearest_centroid(
+        samp.select("vec_id", "v"), [row.v for row in cents]
+    ).select("vec_id", "cen")
     a1 = assign.select(F.col("vec_id").alias("d1"), F.col("cen").alias("c1"))
     a2 = assign.select(F.col("vec_id").alias("d2"), F.col("cen").alias("c2"))
     j = exact.join(F.broadcast(a1), "d1").join(F.broadcast(a2), "d2")

@@ -30,7 +30,9 @@ def test_bench_runs_and_emits_one_json_line():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-    assert len(lines) == 1, out.stdout[-2000:]
+    # full per-query record first, compact driver-parseable summary
+    # LAST (the driver keeps only the output tail — r5 verdict item)
+    assert len(lines) == 2, out.stdout[-2000:]
     payload = json.loads(lines[0])
     assert payload["metric"] == "headline_queries_total"
     assert payload["unit"] == "sec" and payload["value"] > 0
@@ -39,3 +41,10 @@ def test_bench_runs_and_emits_one_json_line():
 
     assert set(payload["queries"]) == set(HEADLINE)
     assert all(v >= 0 for v in payload["queries"].values())
+    summary = json.loads(lines[-1])
+    assert summary["metric"] == "headline_queries_total"
+    assert summary["value"] == payload["value"]
+    assert summary["sf"] == 0.001
+    assert summary["n_queries"] == len(HEADLINE)
+    # compact enough to survive any sane tail window
+    assert len(lines[-1]) < 200

@@ -245,6 +245,32 @@ def test_embedding_label_audit_broadcasts_centroids(spark):
     assert plans.sort_merge_join_count(df) == 0, plans.formatted_plan(df)
 
 
+def test_semantic_dedup_plan_size_independent_of_corpus(spark):
+    """SemDeDup's quantizer assignment must NOT embed per-centroid
+    literals (r5 verdict: k = ceil(n/250) F.lit arrays made the
+    expression tree grow with the corpus — at 1B vectors the plan
+    itself would be gigabytes). The broadcast-matrix Arrow kernel
+    keeps the plan a constant-size mapInPandas node: assert the
+    formatted plan is small and centroid-literal-free at BOTH test SFs
+    (10x the data must not grow the plan)."""
+    from big_data_data_lake_spark.operators import similarity as sim
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", sim.to_double("embedding").alias("v"))
+    )
+    dim = len(e.select("v").first().v)
+    sizes = {}
+    for k in (8, 512):  # 64x the centroid count (stands in for 64x corpus)
+        cents = [[float((i * 31 + d) % 7) for d in range(dim)] for i in range(k)]
+        assign = sim.assign_nearest_centroid(e, cents)
+        plan = plans.formatted_plan(assign)
+        assert "mapinpandas" in plan.lower(), plan[:2000]
+        sizes[k] = len(plan)
+        assert len(plan) < 20_000, f"plan ballooned at k={k}: {len(plan)} chars"
+    assert abs(sizes[512] - sizes[8]) < 500, f"plan grows with k: {sizes}"
+
+
 def test_late_order_priority_is_semi_join(spark):
     """TPC-H Q4 shape: the correlated EXISTS must decorrelate to a
     LEFT SEMI hash join (one emission per order, lateness predicate as
