@@ -129,6 +129,67 @@ def dup_bigram_fraction(toks: Column) -> Column:
     )
 
 
+def repetition_metrics(
+    df,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("lang", "source"),
+):
+    """All three Gopher repetition metrics (Rae et al. 2021, §A1.1) —
+    type-token ratio, duplicate-bigram fraction, top-token fraction —
+    in ONE Arrow ``mapInPandas`` kernel (r5 verdict item: the
+    HOF-fold forms are interpreted per array element, ~15 s at sf1
+    for row-local math; one C-speed Counter pass per doc cuts the
+    constant an order of magnitude). Row-local — zero shuffle; rows
+    with fewer than two tokens are dropped (callers' ``size >= 2``
+    filter, fused here so the text column never re-materializes).
+
+    Bit-exactness contract vs the HOF forms and the DuckDB oracle:
+    tokenization is ``text.split(' ')`` — Python's str.split on a
+    literal space keeps interior AND trailing empty tokens, exactly
+    like Spark's ``split(c, " ")`` (limit -1) and DuckDB's
+    ``string_split``. Each metric is one integer-over-integer float64
+    division (ttr: distinct/n; dupbg: 1.0 - distinct_bigrams/(n-1);
+    toptok: max_count/n) — single IEEE ops, no summation-order
+    freedom, so every per-doc double is bit-identical to the
+    expression forms it replaces. Bigram distinctness uses token
+    TUPLES, equivalent to the oracle's ``tok || ' ' || tok`` strings
+    because tokens cannot contain the delimiter they were split on.
+    Returns ``keep_cols + (ttr, dupbg, toptok)``.
+    """
+    from collections import Counter
+
+    fields = [df.schema[c] for c in keep_cols]
+    schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+        + ", ttr double, dupbg double, toptok double"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            mask, ttrs, dupbgs, toptoks = [], [], [], []
+            for t in pdf[text_col]:
+                if not isinstance(t, str):
+                    mask.append(False)
+                    continue
+                toks = t.split(" ")
+                n = len(toks)
+                if n < 2:
+                    mask.append(False)
+                    continue
+                mask.append(True)
+                counts = Counter(toks)
+                ttrs.append(len(counts) / n)
+                dupbgs.append(1.0 - len(set(zip(toks, toks[1:]))) / (n - 1))
+                toptoks.append(max(counts.values()) / n)
+            out = pdf.loc[mask, list(keep_cols)].copy()
+            out["ttr"] = ttrs
+            out["dupbg"] = dupbgs
+            out["toptok"] = toptoks
+            yield out
+
+    return df.select(*keep_cols, text_col).mapInPandas(kernel, schema)
+
+
 def top_token_fraction(toks: Column) -> Column:
     """Fraction of tokens taken by the single most frequent token.
 

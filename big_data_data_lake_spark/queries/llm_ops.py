@@ -247,21 +247,17 @@ def repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining mix — profiled per (lang, source) so curators see
     which feeds are repetitive.
 
-    Scale shape: every metric is a row-local array HOF (zero shuffle
-    until the final bounded (lang, source) aggregation, which
-    partial-aggregates map-side). The O(U·T) top-token scan is a
-    per-row constant for bounded doc lengths — cheaper than the
-    explode + (doc, token) groupBy alternative, whose shuffle grows
-    with the corpus."""
+    Scale shape: all three metrics are row-local (zero shuffle until
+    the final bounded (lang, source) aggregation, which
+    partial-aggregates map-side), computed in one Arrow mapInPandas
+    kernel (tx.repetition_metrics) — the HOF-fold forms they replace
+    are interpreted per array element and paid ~15 s at sf1 for
+    row-local math; one C-speed Counter pass per doc does the same
+    integer counts with bit-identical final divisions. Still cheaper
+    than the explode + (doc, token) groupBy alternative, whose
+    shuffle grows with the corpus."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    toks = tx.tokenize("text")
-    m = docs.where(F.size(toks) >= 2).select(
-        "lang",
-        "source",
-        tx.type_token_ratio(toks).alias("ttr"),
-        tx.dup_bigram_fraction(toks).alias("dupbg"),
-        tx.top_token_fraction(toks).alias("toptok"),
-    )
+    m = tx.repetition_metrics(docs, "text", ("lang", "source"))
     flagged = (
         (F.col("ttr") < REP_TTR_MIN)
         | (F.col("dupbg") > REP_DUP_BIGRAM_MAX)
