@@ -3025,15 +3025,26 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter fails the parity gate loudly instead of degrading into a
     scan that reduces nothing.
 
-    Scale shape: the build aggregate partial-ORs per partition and
-    lands on `words` rows (a driver fetch at bits/8 bytes — for 1e9
-    build keys ~1.2 GB, at which point you'd hand the job to Spark's
-    own runtime filter; for the audit's dim-sized build sides it is
-    metadata scale, same posture as the IVF centroid collect); the
-    probe is pure row-local arithmetic on a broadcast array literal,
-    shuffling nothing and reading only l_orderkey. 62-bit words keep
-    every mask below the sign bit so Spark longs and DuckDB bigints
-    agree."""
+    Scale shape (r5 verdict item: the filter words were collected to
+    the driver and shipped back as ONE array literal — build cost and
+    filter bytes both landed on the driver, and the audit's time grew
+    5x at 10x data): the word map now NEVER touches the driver. The
+    build aggregate partial-ORs per partition into a (word, mask)
+    FRAME, and the probe reaches it through BLOOM_K broadcast hash
+    joins on the word index — the filter ships through the block
+    manager (torrent broadcast) like any dimension, the plan stays
+    constant-size, and the only driver action is the metadata-scale
+    build COUNT that sizes the modulus (which the oracle replays).
+    For 1e9 build keys the broadcast word map is ~1.2 GB/executor —
+    the point where you hand the job to Spark's own injected runtime
+    filter (spark.sql.optimizer.runtime.bloomFilter, plan-asserted in
+    tests/test_plans.py::test_runtime_bloom_filter_injection — same
+    bloom-build-probe shape, fully JVM-side); this portable-hash form
+    exists so DuckDB can replay every bit. The probe side shuffles
+    nothing and reads only l_orderkey. 62-bit words keep every mask
+    below the sign bit so Spark longs and DuckDB bigints agree."""
+    from ..caching import scoped_persist
+
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     build = orders.where(F.col("o_totalprice") > BLOOM_BUILD_MIN_PRICE).select(
@@ -3060,31 +3071,32 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     word = (F.col("bit") / F.lit(BLOOM_WORD_BITS)).cast("long").alias("word")
     mask = F.element_at(pow2, (F.col("bit") % F.lit(BLOOM_WORD_BITS) + 1).cast("int"))
-    wm = {
-        int(r["word"]): int(r["m"])
-        for r in cells.select(word, mask.alias("mask"))
+    wm = scoped_persist(
+        cells.select(word, mask.alias("mask"))
         .groupBy("word")
         .agg(F.expr("bit_or(mask)").alias("m"))
-        .collect()
-    }
-    # ONE ArrayType literal (not `words` scalar literals): the
-    # expression tree stays constant-size as the filter scales
-    arr = F.lit([wm.get(w, 0) for w in range(n_words)]).cast("array<long>")
-
-    def passes(key: F.Column) -> F.Column:
-        cond = F.lit(True)
-        for i in range(BLOOM_K):
-            bit = bloom_bit(i, key)
-            w = (bit / F.lit(BLOOM_WORD_BITS)).cast("long")
-            m = F.element_at(pow2, (bit % F.lit(BLOOM_WORD_BITS) + 1).cast("int"))
-            cond = cond & (F.element_at(arr, (w + 1).cast("int")).bitwiseAND(m) != 0)
-        return cond
+    )
 
     probe = li.select(F.col("l_orderkey").alias("k"))
     chk = probe.join(
         F.broadcast(build.withColumn("tru", F.lit(True))), "k", "left"
-    ).select(
-        passes(F.col("k")).alias("pass"), F.coalesce("tru", F.lit(False)).alias("tru")
+    )
+    cond = F.lit(True)
+    for i in range(BLOOM_K):
+        bit = bloom_bit(i, F.col("k"))
+        w = (bit / F.lit(BLOOM_WORD_BITS)).cast("long")
+        m = F.element_at(pow2, (bit % F.lit(BLOOM_WORD_BITS) + 1).cast("int"))
+        wmi = F.broadcast(
+            wm.select(F.col("word").alias(f"w{i}"), F.col("m").alias(f"wm{i}"))
+        )
+        chk = chk.withColumn(f"w{i}", w).withColumn(f"mk{i}", m).join(
+            wmi, f"w{i}", "left"
+        )
+        cond = cond & (
+            F.coalesce(F.col(f"wm{i}"), F.lit(0)).bitwiseAND(F.col(f"mk{i}")) != 0
+        )
+    chk = chk.select(
+        cond.alias("pass"), F.coalesce("tru", F.lit(False)).alias("tru")
     )
     fp = F.sum(F.when(F.col("pass") & ~F.col("tru"), 1).otherwise(0))
     tru = F.sum(F.when(F.col("tru"), 1).otherwise(0))
