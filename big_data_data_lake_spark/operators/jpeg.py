@@ -391,6 +391,12 @@ def _decode_jpeg_impl(blob: bytes) -> np.ndarray:
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("malformed JPEG: expected marker")
+        # T.81 allows any number of FF fill bytes before a marker;
+        # without this skip a fill byte reads as "marker 0xFF" and
+        # the next two bytes parse as a garbage segment length
+        # (advisor finding, r5)
+        while pos + 4 <= len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
         marker = blob[pos + 1]
         if marker in (0xD8, 0xD9):
             pos += 2

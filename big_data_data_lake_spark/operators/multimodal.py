@@ -539,23 +539,63 @@ def split_ppm_stream(blob: bytes) -> list[bytes]:
     return frames
 
 
+def _jpeg_frame_length(blob: bytes, pos: int) -> int:
+    """Byte length of the baseline JPEG frame starting at ``pos``
+    (must be SOI): walks marker SEGMENTS by their length fields —
+    never scanning payloads, where ``FF D9`` may legally occur (an
+    EXIF APP1 thumbnail carries its own EOI) — then scans the
+    post-SOS entropy stream, where a bare ``FF D9`` IS unambiguous
+    (encoders stuff data ``FF`` as ``FF 00``; ``FF D0-D7`` are
+    restart markers). Exact for spec-conformant baseline (single-
+    scan) frames; T.81-legal ``FF`` fill bytes before markers are
+    skipped."""
+    n = len(blob)
+    p = pos + 2  # past SOI
+    while True:
+        while p + 1 < n and blob[p] == 0xFF and blob[p + 1] == 0xFF:
+            p += 1  # fill byte
+        if p + 1 >= n:
+            raise ValueError(f"truncated MJPEG frame at offset {pos}")
+        if blob[p] != 0xFF:
+            raise ValueError(f"garbage in marker stream at offset {p}")
+        marker = blob[p + 1]
+        if marker == 0xD9:  # EOI with no scan — empty but well-formed
+            return p + 2 - pos
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            p += 2
+            continue
+        if p + 4 > n:
+            raise ValueError(f"truncated MJPEG frame at offset {pos}")
+        seg_len = (blob[p + 2] << 8) | blob[p + 3]
+        if marker == 0xDA:  # SOS: entropy data follows the header
+            q = p + 2 + seg_len
+            while q + 1 < n:
+                if blob[q] == 0xFF and blob[q + 1] == 0xD9:
+                    return q + 2 - pos
+                q += 1
+            raise ValueError(f"truncated MJPEG frame at offset {pos}")
+        p += 2 + seg_len
+
+
 def split_mjpeg_stream(blob: bytes) -> list[bytes]:
     """Split an MJPEG stream (concatenated baseline JPEGs — the
     ``ffmpeg -f image2pipe -vcodec mjpeg`` / motion-JPEG-over-HTTP
-    wire format) into its frames on SOI..EOI extents. Entropy-coded
-    bytes never contain a bare ``FF D9`` (the encoder stuffs ``FF`` as
-    ``FF 00``), so scanning for EOI is exact, not heuristic; a
-    missing EOI raises instead of yielding a torn frame."""
+    wire format) into its frames on SOI..EOI extents. Each frame's
+    extent comes from a real marker-segment walk
+    (``_jpeg_frame_length``): segment payloads are skipped by their
+    length fields, so an ``FF D9`` inside e.g. an EXIF thumbnail
+    cannot split a frame early (advisor finding, r5 — the naive
+    forward scan would), and only the entropy stream — where EOI is
+    unambiguous — is scanned. A missing EOI raises instead of
+    yielding a torn frame."""
     frames = []
     pos = 0
     while pos < len(blob):
         if blob[pos : pos + 2] != b"\xff\xd8":
             raise ValueError(f"not a JPEG frame at offset {pos}")
-        end = blob.find(b"\xff\xd9", pos + 2)
-        if end == -1:
-            raise ValueError(f"truncated MJPEG frame at offset {pos}")
-        frames.append(bytes(blob[pos : end + 2]))
-        pos = end + 2
+        length = _jpeg_frame_length(blob, pos)
+        frames.append(bytes(blob[pos : pos + length]))
+        pos += length
     return frames
 
 

@@ -97,11 +97,19 @@ class JsonlAuditWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         tmp_dir = os.path.join(self.path, TEMP_DIR)
-        if self.overwrite:
-            for old in os.listdir(self.path):
-                if old.endswith(".jsonl") or old == SUCCESS_FILE:
-                    os.remove(os.path.join(self.path, old))
+        # In append mode the new manifest must CARRY FORWARD the prior
+        # committed file list — overwriting _SUCCESS with only this
+        # job's files would orphan every earlier append for
+        # manifest-gated readers.
         manifest = {"files": {}, "rows": 0}
+        if not self.overwrite:
+            try:
+                with open(os.path.join(self.path, SUCCESS_FILE)) as fh:
+                    prior = json.load(fh).get("files", {})
+                manifest["files"].update(prior)
+                manifest["rows"] = sum(prior.values())
+            except (FileNotFoundError, json.JSONDecodeError):
+                pass
         for m in messages:
             if m is None:  # defensive: speculative duplicates ack None
                 continue
@@ -111,9 +119,20 @@ class JsonlAuditWriter(DataSourceWriter):
             )
             manifest["files"][m.filename] = m.rows
             manifest["rows"] += m.rows
-        # _SUCCESS last: its existence == the job committed atomically
+        # _SUCCESS is the atomicity point: renames land first (new
+        # uuid names never collide with old files), the manifest swap
+        # flips readers to the new file set, and only THEN does
+        # overwrite remove superseded files — a crash anywhere before
+        # the manifest write leaves the previous commit fully
+        # readable (old files + old _SUCCESS untouched); a crash
+        # after it leaves at worst unreferenced stale files, which
+        # the next overwrite sweeps.
         with open(os.path.join(self.path, SUCCESS_FILE), "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
+        if self.overwrite:
+            for old in os.listdir(self.path):
+                if old.endswith(".jsonl") and old not in manifest["files"]:
+                    os.remove(os.path.join(self.path, old))
         self._clear_temp(tmp_dir)
 
     def abort(self, messages) -> None:

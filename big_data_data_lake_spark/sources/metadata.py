@@ -586,17 +586,25 @@ class LakeTable:
         return self._read_files(schema, files)
 
     @staticmethod
-    def _base_of(path: str) -> str:
+    def _base_of(path: str, partition_cols: list[str]) -> str:
         """The partition-discovery base for one data file: the path up
-        to (excluding) the first ``k=v`` hive segment, or the file's
-        directory when unpartitioned. Derived from the FILE path, not
+        to (excluding) its hive ``k=v`` segments, or the file's
+        directory when unpartitioned. Anchored on the file's OWN
+        recorded partition columns from the manifest (in layout
+        order), never on a whole-path scan for ``=`` — a table rooted
+        under a directory with ``=`` in its name (``/data/run=3/tbl``)
+        must not yield a truncated basePath and a spurious inferred
+        column (advisor finding, r5). Derived from the FILE path, not
         the table root, so a manifest may reference files outside the
         table directory (shallow clones) and partition-value inference
         still works per file."""
-        parts = path.split(os.sep)
-        for i, seg in enumerate(parts[:-1]):
-            if "=" in seg:
-                return os.sep.join(parts[:i])
+        dirs = path.split(os.sep)[:-1]
+        n = len(partition_cols)
+        if n and len(dirs) >= n and all(
+            seg.startswith(col + "=")
+            for seg, col in zip(dirs[-n:], partition_cols)
+        ):
+            return os.sep.join(dirs[:-n])
         return os.path.dirname(path)
 
     def _read_files(self, schema, files: list[dict]) -> DataFrame:
@@ -616,7 +624,10 @@ class LakeTable:
         by name."""
         by_base: dict[str, list[str]] = {}
         for f in files:
-            by_base.setdefault(self._base_of(f["path"]), []).append(f["path"])
+            pcols = list(f.get("partition", {}).keys())
+            by_base.setdefault(self._base_of(f["path"], pcols), []).append(
+                f["path"]
+            )
         frames = []
         for base, paths in sorted(by_base.items()):
             df = (

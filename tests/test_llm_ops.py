@@ -534,6 +534,48 @@ def test_sample_frames_extracts_real_mjpeg_frames(spark):
         mm.split_mjpeg_stream(stream[:-4])
 
 
+def test_mjpeg_split_survives_eoi_inside_marker_payload():
+    """An FF D9 byte pair may legally occur INSIDE a marker segment
+    payload (e.g. an EXIF APP1 thumbnail's own EOI). The splitter
+    must walk segments by their length fields — a naive forward scan
+    tears the frame at the embedded EOI and the torn frame fails to
+    decode (advisor finding, r5)."""
+    import numpy as np
+
+    from big_data_data_lake_spark.operators import jpeg as J
+    from big_data_data_lake_spark.operators import multimodal as mm
+
+    img = (np.mgrid[0:16, 0:16][0] * 9 % 256).astype(np.uint8)
+    img = np.stack([img, img, img], axis=2)
+    frame = J.encode_jpeg(img)
+    # inject an APP1 segment right after SOI whose payload embeds EOI
+    payload = b"Exif\x00\x00" + b"\xff\xd9" + b"trailing"
+    app1 = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+    poisoned = frame[:2] + app1 + frame[2:]
+    stream = poisoned + frame + poisoned
+    frames = mm.split_mjpeg_stream(stream)
+    assert len(frames) == 3
+    assert [len(f) for f in frames] == [len(poisoned), len(frame), len(poisoned)]
+    for f in frames:  # every frame still decodes whole
+        assert mm.decode_image(bytes(f)).shape == (16, 16, 3)
+
+
+def test_jpeg_decode_skips_fill_bytes_before_markers():
+    """T.81 allows any number of 0xFF fill bytes before a marker; the
+    decoder must skip them instead of misreading a fill byte as a
+    marker and the following bytes as a segment length (advisor
+    finding, r5)."""
+    import numpy as np
+
+    from big_data_data_lake_spark.operators import jpeg as J
+
+    img = (np.mgrid[0:8, 0:8][1] * 30 % 256).astype(np.uint8)
+    img = np.stack([img, img, img], axis=2)
+    blob = J.encode_jpeg(img)
+    padded = blob[:2] + b"\xff\xff\xff" + blob[2:]  # fill before 1st marker
+    assert np.array_equal(J.decode_jpeg(padded), J.decode_jpeg(blob))
+
+
 def test_dhash_invariant_to_brightness_shift():
     rng = np.random.default_rng(7)
     base = rng.integers(0, 200, size=(32, 32, 3)).astype(np.uint8)

@@ -51,6 +51,26 @@ def test_overwrite_is_snapshot_isolated(spark, events, tmp_path):
     assert sorted(r.id for r in t.read(version=0).collect()) == [1, 2, 3]
 
 
+def test_table_rooted_under_equals_dir_reads_clean(spark, events, tmp_path):
+    """A table whose ROOT path contains '=' (e.g. /data/run=3/tbl)
+    must not have that segment mistaken for a hive partition
+    boundary: basePath anchored there would truncate the root and
+    inject a spurious inferred 'run' column on every read (advisor
+    finding, r5 — _base_of scanned the whole path for '=')."""
+    root = tmp_path / "run=3" / "tbl"
+    t = LakeTable(spark, str(root))
+    t.create(events, partition_by=["day"])
+    got = t.read()
+    assert got.schema == events.schema  # no spurious 'run' column
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3]
+    # unpartitioned table under the same root: same guarantee
+    u = LakeTable(spark, str(tmp_path / "run=3" / "flat"))
+    u.create(events.drop("day"))
+    got2 = u.read()
+    assert got2.schema == events.drop("day").schema
+    assert got2.count() == 3
+
+
 def test_partition_filter_prunes_files_manifest_side(spark, events, tmp_path):
     t = LakeTable(spark, str(tmp_path / "t"))
     t.create(events, partition_by=["day"])

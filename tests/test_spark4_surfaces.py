@@ -170,6 +170,48 @@ def test_jsonl_audit_writer_overwrite_replaces_at_commit(spark, tmp_path):
     assert spark.read.json(out).count() == 5
 
 
+def test_jsonl_audit_append_manifest_carries_prior_commits(spark, tmp_path):
+    """A second append must MERGE the prior _SUCCESS file list, not
+    replace it — manifest-gated readers would otherwise lose every
+    earlier committed append (advisor finding, r5)."""
+    import json as _json
+    import os
+
+    _register_sink(spark)
+    out = str(tmp_path / "audit_appends")
+    spark.range(10).coalesce(1).write.format("jsonl_audit").mode("append").save(out)
+    spark.range(5).coalesce(1).write.format("jsonl_audit").mode("append").save(out)
+    manifest = _json.load(open(os.path.join(out, "_SUCCESS")))
+    files = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert manifest["rows"] == 15
+    assert sorted(manifest["files"]) == sorted(files)
+    assert len(files) == 2
+    assert spark.read.json(out).count() == 15
+
+
+def test_jsonl_audit_overwrite_renames_before_removing(spark, tmp_path):
+    """Overwrite order is rename-in -> _SUCCESS swap -> delete old:
+    the manifest written at the atomicity point must never reference
+    a file that was deleted first, and old files survive until after
+    the swap (advisor finding, r5: delete-first meant a mid-commit
+    crash left neither old nor new data visible)."""
+    import json as _json
+    import os
+
+    _register_sink(spark)
+    out = str(tmp_path / "audit_ow_order")
+    spark.range(10).coalesce(1).write.format("jsonl_audit").mode("append").save(out)
+    old_files = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    spark.range(5).coalesce(1).write.format("jsonl_audit").mode(
+        "overwrite"
+    ).save(out)
+    manifest = _json.load(open(os.path.join(out, "_SUCCESS")))
+    on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    assert on_disk == set(manifest["files"])  # superseded files swept
+    assert not (old_files & on_disk)
+    assert manifest["rows"] == 5
+
+
 def test_jsonl_audit_writer_failed_job_commits_nothing(spark, tmp_path):
     """A task that fails after others succeeded must abort the whole
     job: no committed .jsonl files, no _SUCCESS — the commit is the
