@@ -511,8 +511,81 @@ def test_laketable_satisfies_tableformat_protocol(spark, tmp_path):
         "vacuum",
     ):
         assert callable(getattr(t, m)), m
-    # this container has no delta jar — the gate must say so honestly
-    assert delta_available() is False
+    # the gate must report actual importability, nothing aspirational
+    try:
+        import delta  # noqa: F401
+
+        expect = True
+    except ImportError:
+        expect = False
+    assert delta_available() is expect
+
+
+def test_delta_adapter_satisfies_tableformat_protocol(spark, tmp_path):
+    """The Delta binding is CODE (sources/format.py::DeltaTableAdapter),
+    and its construction is delta-import-free, so the structural
+    protocol check runs even in this jar-less container — the
+    execution parity sweep below is what gates on the jar."""
+    from big_data_data_lake_spark.sources.format import (
+        DeltaTableAdapter,
+        TableFormat,
+    )
+
+    a = DeltaTableAdapter(spark, str(tmp_path / "d"))
+    assert isinstance(a, TableFormat)
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "big_data_data_lake_spark.sources.format", fromlist=["delta_available"]
+    ).delta_available(),
+    reason="delta-spark jar not present (CLUSTER.md documents the blocker: "
+    "no network, no artifact on disk; binding verified wherever "
+    "io.delta:delta-spark_2.13 is available)",
+)
+def test_delta_adapter_parity_with_laketable_semantics(tmp_path):
+    """Where the delta-spark jar exists: the adapter must deliver the
+    same create/append/time-travel/upsert/changes semantics LakeTable
+    attests over parquet manifests. Runs in its OWN session (Delta
+    needs its SQL extension at session build; the shared fixture
+    session cannot be retrofitted)."""
+    from pyspark.sql import SparkSession
+
+    from big_data_data_lake_spark.sources.format import (
+        DeltaTableAdapter,
+        delta_session_builder,
+    )
+
+    spark = (
+        delta_session_builder(
+            SparkSession.builder.master("local[2]")
+            .appName("delta-parity")
+            .config("spark.sql.shuffle.partitions", "2")
+            .config("spark.ui.enabled", "false")
+            .config(
+                "spark.databricks.delta.retentionDurationCheck.enabled", "false"
+            )
+        )
+        .getOrCreate()
+    )
+    try:
+        t = DeltaTableAdapter(spark, str(tmp_path / "dt"))
+        df0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string")
+        v0 = t.create(df0)
+        v1 = t.append(spark.createDataFrame([(3, "c")], "id long, k string"))
+        assert v1 > v0 and t.row_count() == 3
+        assert t.row_count(version=v0) == 2  # time travel
+        t.upsert(
+            spark.createDataFrame([(2, "B"), (4, "d")], "id long, k string"),
+            keys=["id"],
+        )
+        got = {(r.id, r.k) for r in t.read().collect()}
+        assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+        ch = t.changes(v_from=v1 + 1)
+        assert {r._change_type for r in ch.collect()} >= {"insert"}
+        assert t.versions() == sorted(t.versions())
+    finally:
+        spark.stop()
 
 
 def test_scd2_upsert_keeps_history_and_point_in_time_reads(spark, tmp_path):
