@@ -169,6 +169,8 @@ HEADLINE = [
     "semantic_dedup_clusters",
     "semantic_dedup_recall",
     "portable_hll_audit",
+    "quantile_sketch_audit",
+    "ks_drift_by_source",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -49,6 +49,21 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # prefix-biased sampler attests them; all pass the local DuckDB mirror
 # (tests/test_oracle_parity.py) regardless.
 SAMPLE_FIRST: tuple[str, ...] = (
+    # new in round 6 (semantic change or new registration), enumerated
+    # first so the prefix-biased driver sampler attests them this
+    # round; all pass the local DuckDB mirror at sf0.001+sf0.01.
+    "quantile_sketch_audit",
+    "ks_drift_by_source",
+    "semantic_dedup_clusters",  # r6: broadcast-kernel assignment + cell components
+    "semantic_dedup_recall",
+    "repetition_quality_flags",  # r6: fused Arrow metric kernel
+    "bloom_semijoin_audit",  # r6: distributed word map (no driver collect)
+    "unigram_surprisal",  # r6: token-partitioned dt reuse
+    "bigram_surprisal",
+    "dedup_clusters",  # r6: volume-sized propagation partitions
+    "dedup_survivors",
+    "cluster_quality_survivors",
+    "dup_graph_triangles",
     # Exactly the 14 registry entries without a driver CORRECTNESS row
     # yet (round-4 CORRECTNESS attested the first 50 of the previous
     # list, all green — 172/186 all-time, zero failures ever).  Pruned
@@ -85,8 +100,6 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "variant_props_profile",
     "cusum_changepoint",
     "last_touch_attribution",
-    "semantic_dedup_clusters",
-    "semantic_dedup_recall",
     "portable_hll_audit",
 )
 

@@ -3998,3 +3998,147 @@ def portable_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel,
         sig,
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch (single-pass approx quantiles + audit)
+# ---------------------------------------------------------------------------
+
+QSKETCH_BINS = 4096
+QSKETCH_QS = (0.5, 0.9, 0.99)
+
+_QS_W = f"((SELECT max(value) FROM events) - (SELECT min(value) FROM events)) / {QSKETCH_BINS}.0"
+_QS_LO = "(SELECT min(value) FROM events)"
+_QS_BIN = (
+    f"CASE WHEN {_QS_W} = 0 THEN 0 "
+    f"ELSE least(CAST(floor((value - {_QS_LO}) / ({_QS_W})) AS BIGINT), "
+    f"{QSKETCH_BINS - 1}) END"
+)
+
+
+def _qs_approx_sql(q: float) -> str:
+    rank = f"CAST(ceil({q} * (SELECT n FROM nn)) AS BIGINT)"
+    b = f"(SELECT min(bin) FROM cum WHERE cc >= {rank})"
+    return f"round({_QS_LO} + ({b} + 1) * ({_QS_W}), 6)"
+
+
+QSKETCH_ORACLE = f"""
+WITH binned AS (SELECT {_QS_BIN} AS bin FROM events WHERE value IS NOT NULL),
+bc AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY bin),
+cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cc FROM bc),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM binned)
+SELECT (SELECT n FROM nn) AS n_values,
+       CAST({QSKETCH_BINS} AS BIGINT) AS n_bins,
+       round({_QS_W}, 6) AS bin_width,
+       {_qs_approx_sql(0.5)} AS q50_approx,
+       round((SELECT quantile_cont(value, 0.5) FROM events), 6) AS q50_exact,
+       {_qs_approx_sql(0.9)} AS q90_approx,
+       round((SELECT quantile_cont(value, 0.9) FROM events), 6) AS q90_exact,
+       {_qs_approx_sql(0.99)} AS q99_approx,
+       round((SELECT quantile_cont(value, 0.99) FROM events), 6) AS q99_exact,
+       greatest(
+           abs({_qs_approx_sql(0.5)}
+               - round((SELECT quantile_cont(value, 0.5) FROM events), 6)),
+           abs({_qs_approx_sql(0.9)}
+               - round((SELECT quantile_cont(value, 0.9) FROM events), 6)),
+           abs({_qs_approx_sql(0.99)}
+               - round((SELECT quantile_cont(value, 0.99) FROM events), 6))
+       ) <= 2 * ({_QS_W}) AS within_2bins
+"""
+
+
+@register("quantile_sketch_audit", QSKETCH_ORACLE)
+def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass MERGEABLE quantile sketch + honesty audit —
+    completing the bit-replayable sketch quartet (countmin for heavy
+    hitters, portable HLL for distinct, bloom for membership, THIS
+    for quantiles). Exact percentiles need a full sort or two passes;
+    at 100 TB the production shape is a fixed-memory mergeable
+    summary built in ONE pass: here an equi-width histogram of
+    4096 counters over [min, max] — counters merge by
+    addition (associative + commutative, so partial aggregation and
+    any partition order give identical registers, the property that
+    makes it bit-replayable where rank-based GK/KLL compactions are
+    merge-order-dependent). The audit reports the sketch's q50/q90/
+    q99 against the exact percentiles with the guaranteed error
+    bound: the estimate is its bin's upper edge, and the interpolated
+    exact quantile lies within one bin of the rank bin, so
+    |approx - exact| <= 2 bin widths ALWAYS — asserted in the result
+    (within_2bins), so a binning bug fails the parity gate loudly.
+
+    Scale shape: min/max is a metadata-scale first pass (one driver
+    row — at scale, parquet footer stats); binning is row-local
+    arithmetic; the counter build is ONE partial-aggregated shuffle
+    landing on <= 4096 rows, cumulated by
+    windows.global_cumsum (range exchange + broadcast offsets — no
+    single-partition window) and probed with one constant-size
+    aggregate. Every double (width, bin index, edges, rank
+    thresholds) is the same IEEE op sequence the oracle runs, so
+    bins, ranks, and the bound boolean agree bit-for-bit."""
+    import math
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    head = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    schema = (
+        "n_values bigint, n_bins bigint, bin_width double, "
+        "q50_approx double, q50_exact double, q90_approx double, "
+        "q90_exact double, q99_approx double, q99_exact double, "
+        "within_2bins boolean"
+    )
+    if not head["n"]:
+        return spark.createDataFrame(
+            [(0, QSKETCH_BINS) + (None,) * 8], schema
+        )
+    lo, hi, n = float(head["lo"]), float(head["hi"]), int(head["n"])
+    width = (hi - lo) / QSKETCH_BINS
+    bin_col = (
+        F.lit(0).cast("long")
+        if width == 0
+        else F.least(
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("long"),
+            F.lit(QSKETCH_BINS - 1),
+        )
+    )
+    bc = ev.select(bin_col.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum, _total, release = win.global_cumsum(bc, ["bin"], "c", out_col="cc")
+    ranks = {q: math.ceil(q * n) for q in QSKETCH_QS}
+    try:
+        sel = cum.agg(
+            *[
+                F.min(F.when(F.col("cc") >= F.lit(ranks[q]), F.col("bin"))).alias(
+                    f"b{int(q * 100)}"
+                )
+                for q in QSKETCH_QS
+            ]
+        ).collect()[0]
+    finally:
+        release()
+    # the unrounded edge is pure IEEE arithmetic (identical in SQL);
+    # rounding happens ENGINE-side (F.round) so the half-up rule
+    # matches the oracle's round() instead of Python's banker's round
+    approx = {
+        q: lo + (int(sel[f"b{int(q * 100)}"]) + 1) * width for q in QSKETCH_QS
+    }
+    out = ev.agg(
+        F.lit(n).cast("bigint").alias("n_values"),
+        F.lit(QSKETCH_BINS).cast("bigint").alias("n_bins"),
+        F.round(F.lit(width), 6).alias("bin_width"),
+        F.round(F.lit(approx[0.5]), 6).alias("q50_approx"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("q50_exact"),
+        F.round(F.lit(approx[0.9]), 6).alias("q90_approx"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("q90_exact"),
+        F.round(F.lit(approx[0.99]), 6).alias("q99_approx"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("q99_exact"),
+    )
+    err = F.greatest(
+        *[
+            F.abs(F.col(f"q{int(q * 100)}_approx") - F.col(f"q{int(q * 100)}_exact"))
+            for q in QSKETCH_QS
+        ]
+    )
+    return out.withColumn("within_2bins", err <= F.lit(2 * width))

@@ -1455,6 +1455,108 @@ def source_divergence_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov drift per source (ECDF max-gap vs the whole corpus)
+# ---------------------------------------------------------------------------
+
+KS_DRIFT_ORACLE = """
+WITH d AS (SELECT source, len(string_split(text, ' ')) AS tc FROM documents),
+g AS (SELECT source, tc, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+gt AS (SELECT tc, sum(c) AS cg FROM g GROUP BY tc),
+cumg AS (SELECT tc, CAST(sum(cg) OVER (ORDER BY tc) AS BIGINT) AS cgc FROM gt),
+cums AS (SELECT source, tc,
+                CAST(sum(c) OVER (PARTITION BY source ORDER BY tc) AS BIGINT)
+                    AS cs
+         FROM g),
+ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs FROM g GROUP BY source),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g),
+grid AS (SELECT s.source, x.tc, x.cgc FROM (SELECT source FROM ns) s, cumg x),
+j AS (SELECT grid.source, grid.cgc, coalesce(cums.cs, 0) AS cs
+      FROM grid ASOF LEFT JOIN cums
+        ON grid.source = cums.source AND grid.tc >= cums.tc)
+SELECT j.source AS source, ns.n_docs,
+       round(max(abs(CAST(cs AS DOUBLE) / ns.n_docs
+                     - CAST(cgc AS DOUBLE) / (SELECT n FROM tot))), 6)
+           AS ks_stat
+FROM j JOIN ns ON j.source = ns.source
+GROUP BY j.source, ns.n_docs
+ORDER BY j.source
+"""
+
+
+@register("ks_drift_by_source", KS_DRIFT_ORACLE)
+def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample-style Kolmogorov-Smirnov drift per source: the max
+    ECDF gap between each source's document-length distribution
+    (token counts) and the whole corpus's — the distribution-shift
+    companion to source_divergence_profile's KL: KL on unigram MASS
+    misses a pure length shift (same words, shorter docs); the KS
+    statistic is exactly that shift detector, the standard
+    between-crawl drift gate a curation pipeline runs before re-fixing
+    mixing weights. Exact, not binned: the sup over a step-function
+    difference is attained at the jump points of either ECDF, all of
+    which are jump points of the GLOBAL ECDF, so evaluating there is
+    the complete sup.
+
+    Scale shape: the only corpus-scale work is one partial-aggregated
+    (source, token-count) rollup; everything after runs on
+    bounded-domain frames (distinct token counts x sources). The
+    global cumulative uses windows.global_cumsum (range exchange +
+    broadcast offsets — no single-partition window); each source's
+    ECDF is carried to the global jump points by the engine's own
+    merge-formulation as-of join (one shuffle on source, zero pair
+    fan-out — the same operator asof_last_error attests); sources
+    enumerate via a metadata-scale driver fetch (bounded dimension
+    domain, the IVF-centroid posture). All divisions are
+    integer-over-integer doubles, identical IEEE ops in the oracle."""
+    from pyspark.sql import Window
+
+    from ..operators import joins as jn
+    from ..operators import windows as win
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    g = scoped_persist(
+        docs.select("source", F.size(tx.tokenize("text")).alias("tc"))
+        .groupBy("source", "tc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    sources = sorted(
+        r.source for r in g.select("source").distinct().collect()
+    )
+    if not sources:
+        return spark.createDataFrame(
+            [], "source string, n_docs bigint, ks_stat double"
+        )
+    gt = g.groupBy("tc").agg(F.sum("c").alias("cg"))
+    cumg, n_total, release = win.global_cumsum(gt, ["tc"], "cg", out_col="cgc")
+    ws = Window.partitionBy("source").orderBy("tc")
+    cums = g.select(
+        "source", "tc", F.sum("c").over(ws).cast("bigint").alias("cs")
+    )
+    ns = g.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_docs"))
+    grid = cumg.select("tc", "cgc").withColumn(
+        "source", F.explode(F.array(*[F.lit(s) for s in sources]))
+    )
+    j = jn.asof_join(
+        grid, cums, key="source", left_ts="tc", right_ts="tc", value_cols=["cs"]
+    )
+    diff = F.abs(
+        F.coalesce(F.col("asof_cs"), F.lit(0)).cast("double") / F.col("n_docs")
+        - F.col("cgc").cast("double") / F.lit(n_total)
+    )
+    out = (
+        j.join(F.broadcast(ns), "source")
+        .groupBy("source", "n_docs")
+        .agg(F.round(F.max(diff), 6).alias("ks_stat"))
+        .orderBy("source")
+    )
+    try:
+        rows = out.collect()
+    finally:
+        release()
+    return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
 # Zipf exponent of the token frequency distribution
 # ---------------------------------------------------------------------------
 
