@@ -633,3 +633,127 @@ def test_quantized_gram_matches_naive_and_power_iteration(spark):
     w, u = np.linalg.eigh(expect.astype(np.float64))
     assert abs(lam - w[-1]) / w[-1] < 1e-6
     assert abs(abs(v @ u[:, -1]) - 1.0) < 1e-6  # same direction up to sign
+
+
+def test_assign_nearest_centroid_matches_fold_and_breaks_ties_low(spark):
+    """The broadcast-matrix Arrow argmin must reproduce the expression
+    form it replaced exactly: per-centroid distances accumulate in
+    dimension order (left fold), and an exact distance TIE goes to
+    the LOWEST centroid index (array_sort struct semantics / the
+    oracle's ORDER BY dist2, cen)."""
+    from pyspark.sql import functions as F
+
+    from big_data_data_lake_spark.operators import similarity as sim
+
+    # centroid 0 and 1 are identical -> every vector ties; 2 is far
+    cents = [[0.0, 0.0], [0.0, 0.0], [10.0, 10.0]]
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [9.9, 9.8]), (3, [5.0, 5.0]), (4, [5.1, 5.0])],
+        "vec_id long, v array<double>",
+    ).repartition(3)
+    got = {
+        r.vec_id: r.cen
+        for r in sim.assign_nearest_centroid(df, cents).collect()
+    }
+    assert got[1] == 0  # tie between 0 and 1 -> lowest index
+    assert got[2] == 2
+    # reference argmin via the exact fold expressions
+    ref = df.select(
+        "vec_id",
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        sim.dist2(
+                            F.col("v"), F.array(*[F.lit(x) for x in c])
+                        ).alias("d"),
+                        F.lit(j).alias("cen"),
+                    )
+                    for j, c in enumerate(cents)
+                ]
+            )
+        )[0]["cen"].alias("cen"),
+    )
+    assert got == {r.vec_id: r.cen for r in ref.collect()}
+
+
+def test_cell_components_matches_global_label_propagation(spark):
+    """Per-cell union-find must produce the identical (id, min-label)
+    frame the global min-label propagation computes on the same
+    within-cell tau-graph — including transitive chains through a
+    cell and singleton self-labels."""
+    import numpy as np
+
+    from big_data_data_lake_spark.operators import similarity as sim
+    from big_data_data_lake_spark.operators.graph import min_label_components
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # two cells; cell 0 holds a planted chain a~b~c (pairwise cosine
+    # high between neighbors only), cell 1 holds clones + a loner
+    base = rng.normal(size=8)
+    rows.append((10, list(base), 0))
+    rows.append((11, list(base + 0.02 * rng.normal(size=8)), 0))
+    rows.append((12, list(base + 0.04 * rng.normal(size=8)), 0))
+    far = rng.normal(size=8)
+    rows.append((20, list(far), 1))
+    rows.append((21, list(far * 1.001), 1))
+    rows.append((22, list(rng.normal(size=8)), 1))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], c) for i, v, c in rows],
+        "vec_id long, v array<double>, cen int",
+    ).repartition(3)
+    tau = 0.95
+    got = {
+        r.vec_id: r.label for r in sim.cell_components(df, tau).collect()
+    }
+    pairs = sim.cell_threshold_pairs(df, tau)
+    ref = {
+        r.vec_id: r.label
+        for r in min_label_components(
+            df.select("vec_id"), pairs, max_rounds=16
+        ).collect()
+    }
+    assert got == ref
+    assert got[20] == got[21] == 20  # clone pair labels to min id
+    assert got[22] == 22  # singleton labels itself
+
+
+def test_repetition_metrics_kernel_matches_hof_forms(spark):
+    """The fused Arrow kernel must agree with the HOF expression forms
+    it replaced on every metric, bit for bit — including texts with
+    doubled/trailing spaces (empty tokens are REAL tokens under
+    split-by-space in Spark, DuckDB, and Python alike) — and drop
+    sub-2-token rows exactly like the size filter did."""
+    from pyspark.sql import functions as F
+
+    from big_data_data_lake_spark.operators import text as tx
+
+    rows = [
+        (1, "en", "web", "a a a b"),
+        (2, "en", "web", "x  y  x"),          # doubled spaces -> empty tokens
+        (3, "es", "lab", "one two three four five one two"),
+        (4, "es", "lab", "solo"),              # 1 token -> dropped
+        (5, "fr", "lab", "a b a b a b a b"),
+        (6, "fr", "web", "tail space "),       # trailing empty token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    got = {
+        (r.lang, r.source, r.ttr, r.dupbg, r.toptok)
+        for r in tx.repetition_metrics(df, "text", ("lang", "source")).collect()
+    }
+    toks = tx.tokenize("text")
+    ref = {
+        (r.lang, r.source, r.ttr, r.dupbg, r.toptok)
+        for r in df.where(F.size(toks) >= 2)
+        .select(
+            "lang",
+            "source",
+            tx.type_token_ratio(toks).alias("ttr"),
+            tx.dup_bigram_fraction(toks).alias("dupbg"),
+            tx.top_token_fraction(toks).alias("toptok"),
+        )
+        .collect()
+    }
+    assert got == ref
+    assert len(got) == 5  # the 1-token doc dropped
