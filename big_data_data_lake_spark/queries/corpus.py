@@ -481,13 +481,21 @@ def token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: app.py's "most central entities" panel,
     re-grounded on token transitions."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    toks = docs.selectExpr("split(text, ' ') AS t")
-    pairs = toks.selectExpr(
-        "explode(CASE WHEN size(t) >= 2 "
-        "THEN transform(sequence(1, size(t) - 1), "
-        "i -> struct(element_at(t, i) AS src, element_at(t, CAST(i + 1 AS int)) AS dst)) "
-        "ELSE CAST(array() AS array<struct<src:string,dst:string>>) END) AS p"
-    ).select("p.src", "p.dst")
+    # Adjacent-token pairs via slice + arrays_zip, NOT a transform
+    # lambda: HOF lambdas are interpreted per element (~the repetition
+    # metrics lesson), and this one built a struct per token position
+    # over the whole corpus — the edge aggregation alone measured
+    # 9.0 s at sf1 in the lambda form vs 2.4 s with the codegen'd
+    # zip of two shifted slices (same 9310 edges).
+    t = docs.selectExpr("split(text, ' ') AS t").where(F.size("t") >= 2)
+    pairs = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("src"),
+                F.slice("t", 2, F.size("t") - 1).alias("dst"),
+            )
+        ).alias("p")
+    ).select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
     e = scoped_persist(
         pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
     )
@@ -508,25 +516,44 @@ def token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # empty corpus: no token graph — 1/n would constant-fold to an
         # ANSI divide-by-zero before any row exists to skip it
         return spark.createDataFrame([], "tok string, pr double")
+    n_edges = es.count()  # metadata-scale; also materializes the persist
     base = F.lit(1.0) / F.lit(float(n))
     teleport = F.lit(0.15) / F.lit(float(n))
-    r = nodes.select("tok", F.round(base, 9).alias("r"))
-    for _ in range(PR_ITERS):
-        contrib = (
-            es.join(F.broadcast(r.select(F.col("tok").alias("rtok"), "r")),
-                    F.col("src") == F.col("rtok"))
-            .groupBy(F.col("dst").alias("ctok"))
-            .agg(F.sum(F.round(F.col("r") * F.col("s"), 12)).alias("m"))
+    # Iteration frames are VOCABULARY-sized, not corpus-sized: size the
+    # loop's shuffle partitions to the graph (the min_label_components
+    # rule — AQE does not coalesce the eager-materialization path) and
+    # flatten each iteration's lineage with an eager localCheckpoint so
+    # the per-iteration broadcast doesn't recompute every prior
+    # iteration's join chain. Measured at sf1: the 3 iterations ran
+    # ~10 s at session partitioning with lazy chains, ~2 s this way.
+    conf_key = "spark.sql.shuffle.partitions"
+    old_p = spark.conf.get(conf_key)
+    loop_p = max(8, min(int(old_p), -(-(n + n_edges) // 100_000)))
+    spark.conf.set(conf_key, str(loop_p))
+    try:
+        r = nodes.select("tok", F.round(base, 9).alias("r")).localCheckpoint(
+            eager=True
         )
-        r = (
-            nodes.join(F.broadcast(contrib), F.col("tok") == F.col("ctok"), "left")
-            .select(
-                "tok",
-                F.round(
-                    teleport + F.lit(PR_DAMP) * F.coalesce(F.col("m"), F.lit(0.0)), 9
-                ).alias("r"),
+        for _ in range(PR_ITERS):
+            contrib = (
+                es.join(F.broadcast(r.select(F.col("tok").alias("rtok"), "r")),
+                        F.col("src") == F.col("rtok"))
+                .groupBy(F.col("dst").alias("ctok"))
+                .agg(F.sum(F.round(F.col("r") * F.col("s"), 12)).alias("m"))
             )
-        )
+            r = (
+                nodes.join(F.broadcast(contrib), F.col("tok") == F.col("ctok"), "left")
+                .select(
+                    "tok",
+                    F.round(
+                        teleport + F.lit(PR_DAMP) * F.coalesce(F.col("m"), F.lit(0.0)),
+                        9,
+                    ).alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set(conf_key, old_p)
     return (
         r.select("tok", F.round("r", 6).alias("pr"))
         .orderBy(F.desc("pr"), "tok")

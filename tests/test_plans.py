@@ -465,15 +465,19 @@ def test_value_distribution_ranks_partitioned_window(spark):
     assert plan.count("Window") >= 1, plan
 
 
-def test_token_pagerank_iterations_broadcast(spark):
-    """PageRank: the corpus-scale work is ONE bigram aggregation; every
-    iteration joins the vocab-sized rank state as a broadcast — no
-    sort-merge join, nothing quadratic."""
+def test_token_pagerank_iterations_checkpointed(spark):
+    """PageRank: each iteration ends in an eager localCheckpoint, so the
+    final plan is CONSTANT-SIZE — a top-k over the checkpointed rank
+    state, not a 3-iteration join chain that re-executes per action.
+    No sort-merge join, nothing quadratic, no global sort for the
+    top-20 presentation."""
     df = _q(spark, "token_pagerank")
     plan = plans.formatted_plan(df)
-    assert plans.broadcast_join_count(df) >= 3, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
     assert plans.sort_merge_join_count(df) == 0, plan
     assert "CartesianProduct" not in plan, plan
+    assert plan.count("Join") == 0, plan
 
 
 def test_pricing_measures_melt_expands_after_aggregate(spark):
