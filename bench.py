@@ -171,6 +171,9 @@ HEADLINE = [
     "portable_hll_audit",
     "quantile_sketch_audit",
     "ks_drift_by_source",
+    "ccnet_perplexity_buckets",
+    "dsir_importance_weights",
+    "embedding_prototypicality",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -538,3 +538,75 @@ def cell_components(
         .groupBy(cell_col)
         .applyInPandas(one, schema=f"{id_col} bigint, label bigint")
     )
+
+
+def cosine_to_keyed_centroid(
+    df: DataFrame,
+    centroids: dict,
+    key_col: str = "label",
+    vec_col: str = "v",
+    out_col: str = "cos",
+) -> DataFrame:
+    """Per-row cosine similarity to the centroid of the row's KEY
+    (its cluster / class / source), against a broadcast
+    ``{key: centroid}`` map, one Arrow batch at a time — the
+    prototypicality kernel: row-local, zero shuffle, plan size
+    independent of both the corpus and the number of keys (same
+    posture as :func:`assign_nearest_centroid`; at 100 TB the
+    centroid map is |keys|·dim doubles on each executor, which is
+    what a per-class statistic costs anywhere).
+
+    Bit-exactness contract (keeps a DuckDB oracle green): dot product
+    and both squared norms are accumulated dimension-by-dimension in
+    float64 — the IDENTICAL operation sequence as the oracle's
+    sequential ``DOT_SQL`` list_reduce fold — and the cosine is
+    emitted UNROUNDED (callers round Spark-side so the rounding mode
+    is engines-identical). Rows whose key has no centroid, or where
+    either norm is zero, get NaN in the pandas batch — which the
+    Arrow conversion surfaces as NULL Spark-side (pandas NaN is its
+    missing marker) — so callers filter with ``isNotNull()`` to
+    mirror the oracle's ``WHERE`` norm guard.
+    Assumes fixed-dimension vectors (``np.stack`` raises on ragged
+    input rather than mis-scoring)."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    cmap = {k: np.asarray(v, dtype=np.float64) for k, v in centroids.items()}
+    bc = df.sparkSession.sparkContext.broadcast(cmap)
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType(), True)]
+    )
+
+    def kernel(batches):
+        cm = bc.value
+        keys = sorted(cm)
+        if keys:
+            cstack = np.stack([cm[k] for k in keys])
+            index = {k: i for i, k in enumerate(keys)}
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0 or not keys:
+                pdf[out_col] = np.full(len(pdf), np.nan)
+                yield pdf
+                continue
+            a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            idx = pdf[key_col].map(index).to_numpy()
+            missing = np.array([i is None or i != i for i in idx], dtype=bool)
+            safe = np.where(missing, 0, idx).astype(np.int64)
+            c = cstack[safe]
+            dim = a.shape[1]
+            dot = np.zeros(len(pdf), dtype=np.float64)
+            nv = np.zeros(len(pdf), dtype=np.float64)
+            nc = np.zeros(len(pdf), dtype=np.float64)
+            for d in range(dim):
+                dot += a[:, d] * c[:, d]
+                nv += a[:, d] * a[:, d]
+                nc += c[:, d] * c[:, d]
+            denom = np.sqrt(nv) * np.sqrt(nc)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where((denom > 0) & ~missing, dot / denom, np.nan)
+            pdf[out_col] = cos
+            yield pdf
+
+    return df.mapInPandas(kernel, schema)

@@ -237,6 +237,40 @@ def exact_ntile(rank: F.Column, total: int, buckets: int) -> F.Column:
     ).cast("int")
 
 
+def exact_ntile_grouped(
+    rank: F.Column, total: F.Column, buckets: int
+) -> F.Column:
+    """``exact_ntile`` with a per-row (per-group) total COLUMN — exact
+    SQL ``ntile(buckets) OVER (PARTITION BY g ORDER BY ...)`` semantics
+    from a within-group rank and the group's row count, as pure
+    row-local arithmetic. Lets a caller reproduce a grouped ntile
+    without a per-group window: derive the within-group rank from
+    :func:`global_rank` over ``(g, order...)`` minus broadcast
+    per-group offsets, then bucket here — no low-cardinality window
+    partitioning that would cap parallelism at |groups|.
+
+    All operands are longs < 2**52, so the ANSI double division in
+    ``idiv`` is exact; every division's guard branch keeps a zero
+    divisor from ever being evaluated (CaseWhen evaluates lazily per
+    row, and no operand is a foldable literal)."""
+    b = F.lit(buckets).cast("long")
+    t = total.cast("long")
+    q = ((t - t % b) / b).cast("long")
+    r = (t % b).cast("long")
+    split = r * (q + 1)
+    rank0 = (rank - F.lit(1)).cast("long")
+
+    def idiv(col: F.Column, d: F.Column) -> F.Column:
+        return ((col - col % d) / d).cast("long")
+
+    return (
+        F.when(q == 0, rank0)
+        .when(rank0 < split, idiv(rank0, q + 1))
+        .otherwise(r + idiv(rank0 - split, q))
+        + 1
+    ).cast("int")
+
+
 def sessionize(
     df: DataFrame,
     key: str,

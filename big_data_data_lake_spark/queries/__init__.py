@@ -52,6 +52,10 @@ SAMPLE_FIRST: tuple[str, ...] = (
     # new in round 6 (semantic change or new registration), enumerated
     # first so the prefix-biased driver sampler attests them this
     # round; all pass the local DuckDB mirror at sf0.001+sf0.01.
+    "ccnet_perplexity_buckets",  # r6: new (CCNet head/middle/tail)
+    "dsir_importance_weights",  # r6: new (DSIR hashed-bigram IW)
+    "embedding_prototypicality",  # r6: new (SSL-prototypes pruning)
+    "token_pagerank",  # r6: codegen bigram edges + checkpointed loop
     "quantile_sketch_audit",
     "ks_drift_by_source",
     "semantic_dedup_clusters",  # r6: broadcast-kernel assignment + cell components

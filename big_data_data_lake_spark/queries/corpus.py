@@ -1687,3 +1687,271 @@ def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+
+CCNET_BUCKETS = 3
+
+CCNET_PERPLEXITY_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+dt AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+    FROM tok GROUP BY doc_id, token
+),
+v AS (SELECT token, CAST(sum(c) AS BIGINT) AS n FROM dt GROUP BY token),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS s FROM v),
+pd AS (
+    SELECT doc_id,
+           round(sum(c * round(-ln(CAST(n AS DOUBLE) / s), 6)) / sum(c), 4)
+               AS sup
+    FROM dt JOIN v USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+),
+b AS (
+    SELECT d.lang, pd.sup,
+           ntile(3) OVER (PARTITION BY d.lang ORDER BY pd.sup, pd.doc_id) AS nt
+    FROM pd JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+           AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(sup), 4) AS mean_surprisal,
+       round(min(sup), 4) AS min_surprisal,
+       round(max(sup), 4) AS max_surprisal
+FROM b
+GROUP BY lang, nt
+ORDER BY lang, nt
+"""
+
+
+@register("ccnet_perplexity_buckets", CCNET_PERPLEXITY_ORACLE)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): order each LANGUAGE's documents by language-model
+    perplexity and split into equal thirds — head (lowest perplexity,
+    cleanest), middle, tail (noisiest) — the standard pre-training
+    corpus partition that downstream mixes sample from (e.g. sample
+    head+middle, drop tail). The LM here is the corpus's own unigram
+    model (the registered ``unigram_surprisal`` plan IS the scorer,
+    composed directly so the audit covers the production scoring
+    path); mean surprisal is monotone in perplexity, so bucketing by
+    it is bucketing by perplexity.
+
+    Exact-tertile semantics WITHOUT a per-language ntile window (which
+    would cap parallelism at |languages| — 5 here, one task per
+    language at any corpus size): one ``global_rank`` range exchange
+    over (lang, surprisal, doc_id) gives exact global ranks in
+    parallel; per-language offsets and totals come from one
+    metadata-scale aggregate (|languages| rows, broadcast back as a
+    literal map); the bucket is then ``exact_ntile_grouped`` row-local
+    arithmetic — identical semantics to the oracle's
+    ``ntile(3) OVER (PARTITION BY lang ORDER BY sup, doc_id)``,
+    deterministic via the doc_id tiebreak. The 3·|languages|-row
+    summary is materialized eagerly so the range-exchange cache can be
+    released (the ``value_deciles`` pattern)."""
+    from ..operators import windows as win
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    pd_ = unigram_surprisal(spark, sf_dir).select(
+        "doc_id", F.col("avg_surprisal_nats").alias("sup")
+    )
+    scored = pd_.join(docs.select("doc_id", "lang"), "doc_id")
+    ranked, _total, release = win.global_rank(
+        scored, ["lang", "sup", "doc_id"], rank_col="__rank"
+    )
+    try:
+        # per-language totals + prefix offsets: |languages| rows — the
+        # same metadata-scale collect global_rank itself performs per
+        # physical partition. Sort by lang to mirror the range order
+        # (Spark string sort is binary, as is Python's on ASCII tags).
+        counts = {
+            r["lang"]: r["c"]
+            for r in ranked.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        if not counts:
+            # finally still runs release(); unpersist is idempotent
+            return spark.createDataFrame(
+                [],
+                "lang string, bucket string, n_docs bigint, "
+                "mean_surprisal double, min_surprisal double, "
+                "max_surprisal double",
+            )
+        offsets, acc = {}, 0
+        for lang in sorted(counts):
+            offsets[lang] = acc
+            acc += counts[lang]
+        off_map = F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv]
+        )
+        tot_map = F.create_map(
+            *[F.lit(v) for kv in counts.items() for v in kv]
+        )
+        lang_rank = F.col("__rank") - F.element_at(off_map, F.col("lang")).cast(
+            "long"
+        )
+        lang_total = F.element_at(tot_map, F.col("lang")).cast("long")
+        nt = win.exact_ntile_grouped(lang_rank, lang_total, CCNET_BUCKETS)
+        df = (
+            ranked.withColumn("nt", nt)
+            .groupBy("lang", "nt")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.round(F.avg("sup"), 4).alias("mean_surprisal"),
+                F.round(F.min("sup"), 4).alias("min_surprisal"),
+                F.round(F.max("sup"), 4).alias("max_surprisal"),
+            )
+            .select(
+                "lang",
+                F.when(F.col("nt") == 1, F.lit("head"))
+                .when(F.col("nt") == 2, F.lit("middle"))
+                .otherwise(F.lit("tail"))
+                .alias("bucket"),
+                "n_docs",
+                "mean_surprisal",
+                "min_surprisal",
+                "max_surprisal",
+            )
+            .orderBy("lang", "bucket")
+        )
+        rows = df.collect()
+    finally:
+        release()
+    return spark.createDataFrame(rows, df.schema).orderBy("lang", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed n-gram importance resampling)
+# ---------------------------------------------------------------------------
+
+DSIR_B = 4096  # hashed feature buckets (fixed: model size is O(B), not O(vocab))
+DSIR_TARGET_LANG = "en"
+
+DSIR_ORACLE = f"""
+WITH tok AS (SELECT doc_id, source, lang, {{th}} AS th FROM documents),
+sh AS (SELECT doc_id, source, lang, {{sg}} AS s FROM tok),
+feat AS (SELECT doc_id, source, lang, unnest(s) % {DSIR_B} AS f FROM sh),
+df AS (
+    SELECT doc_id, source, lang, f, CAST(count(*) AS BIGINT) AS c
+    FROM feat GROUP BY doc_id, source, lang, f
+),
+rc AS (SELECT f, CAST(sum(c) AS BIGINT) AS cr FROM df GROUP BY f),
+tc AS (SELECT f, CAST(sum(c) AS BIGINT) AS ct
+       FROM df WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY f),
+rt AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS tr FROM rc),
+tt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt FROM tc),
+lr AS (
+    SELECT rc.f,
+           round(ln((coalesce(ct, 0) + 1.0) / (tt + {DSIR_B}))
+                 - ln((cr + 1.0) / (tr + {DSIR_B})), 6) AS lr
+    FROM rc LEFT JOIN tc USING (f) CROSS JOIN rt CROSS JOIN tt
+),
+pd AS (
+    SELECT doc_id, source, round(sum(c * lr) / sum(c), 4) AS w
+    FROM df JOIN lr USING (f) GROUP BY doc_id, source
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(w), 4) AS mean_log_iw,
+       round(avg(CASE WHEN w > 0 THEN 1.0 ELSE 0.0 END), 4) AS selected_frac
+FROM pd GROUP BY source ORDER BY source
+""".format(
+    th=dd.TOKEN_HASHES_SQL.format(text="text"), sg=dd.shingle_hashes_sql(2)
+)
+
+
+@register("dsir_importance_weights", DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by its log importance weight under two bag-of-hashed-bigram
+    unigram models — the TARGET distribution (here: the 'en' language
+    slice, the domain a curator wants more of) versus the RAW
+    corpus — and report, per source, the mean weight and the fraction
+    of documents importance resampling would favor (weight > 0). This
+    is the mix-design report that decides which sources to upsample
+    toward a target domain without training a classifier.
+
+    Model estimation and scoring are the same dataflow: per-doc
+    hashed-bigram bucket counts (the distinct-shingle hash pipeline
+    the dedup family shares, folded mod B=4096 buckets) aggregate once
+    and serve three consumers — the raw model, the target model (a
+    filtered re-aggregate, never a second corpus scan), and the
+    per-doc score join. Both models are Laplace-smoothed (+1 over B
+    buckets). Scale shape: the models are <= B rows each regardless of
+    corpus size (hashing fixes the feature space — the point of DSIR's
+    hashed n-grams), so the score join broadcasts; the only
+    corpus-scale shuffles are the (doc, bucket) aggregate and the
+    per-source rollup. The per-feature log ratio is rounded to 6
+    decimals before weighting (house parity rule for ln).
+
+    Documents with fewer than two tokens have no bigram features and
+    are excluded (no rows in the count frame) — same on both sides."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    feat = (
+        docs.selectExpr(
+            "doc_id", "source", "lang", dd.spark_token_hashes_expr() + " AS th"
+        )
+        .selectExpr(
+            "doc_id", "source", "lang", dd.spark_shingle_hashes_expr(2) + " AS hs"
+        )
+        .select("doc_id", "source", "lang", F.explode("hs").alias("g"))
+        .select(
+            "doc_id", "source", "lang", (F.col("g") % F.lit(DSIR_B)).alias("f")
+        )
+    )
+    dfc = scoped_persist(
+        feat.groupBy("doc_id", "source", "lang", "f")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    rc = dfc.groupBy("f").agg(F.sum("c").cast("bigint").alias("cr"))
+    tc = (
+        dfc.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("f")
+        .agg(F.sum("c").cast("bigint").alias("ct"))
+    )
+    rt = rc.agg(F.coalesce(F.sum("cr"), F.lit(0)).cast("bigint").alias("tr"))
+    tt = tc.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("tt"))
+    lr = (
+        rc.join(tc, "f", "left")
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "f",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tt") + F.lit(float(DSIR_B)))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("tr") + F.lit(float(DSIR_B)))
+                ),
+                6,
+            ).alias("lr"),
+        )
+    )
+    pd_ = (
+        dfc.join(F.broadcast(lr), "f")
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.sum(F.col("c") * F.col("lr")) / F.sum("c"), 4).alias("w"))
+    )
+    return (
+        pd_.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("w"), 4).alias("mean_log_iw"),
+            F.round(
+                F.avg(F.when(F.col("w") > 0, F.lit(1.0)).otherwise(F.lit(0.0))), 4
+            ).alias("selected_frac"),
+        )
+        .orderBy("source")
+    )
+

@@ -757,3 +757,44 @@ def test_repetition_metrics_kernel_matches_hof_forms(spark):
     }
     assert got == ref
     assert len(got) == 5  # the 1-token doc dropped
+
+
+def test_cosine_to_keyed_centroid_matches_sequential_fold(spark):
+    """The broadcast-map Arrow cosine kernel must agree bit-for-bit
+    with a sequential per-row float64 dimension fold (the oracle's
+    list_reduce shape), and must emit null (pandas NaN -> Arrow null)
+    — not a wrong number — for rows whose key has no centroid and
+    rows where either norm is zero."""
+    import math
+
+    from big_data_data_lake_spark.operators import similarity as sim
+
+    cents = {0: [1.0, 2.0, 3.0], 1: [-0.5, 0.25, 4.0], 7: [0.0, 0.0, 0.0]}
+    rows = [
+        (1, [0.3, -1.2, 2.5], 0),
+        (2, [1e-3, 1e3, -7.5], 1),
+        (3, [1.0, 2.0, 3.0], 0),   # exact clone of its centroid -> cos 1.0
+        (4, [1.0, 1.0, 1.0], 99),  # no centroid for key 99 -> NaN
+        (5, [0.0, 0.0, 0.0], 0),   # zero vector norm -> NaN
+        (6, [1.0, 1.0, 1.0], 7),   # zero CENTROID norm -> NaN
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, v array<double>, label int"
+    ).repartition(3)
+    got = {
+        r.vec_id: r.cos
+        for r in sim.cosine_to_keyed_centroid(
+            df, cents, key_col="label", vec_col="v", out_col="cos"
+        ).collect()
+    }
+    for vid, v, lab in rows[:3]:
+        c = cents[lab]
+        dot = nv = nc = 0.0
+        for d in range(3):  # sequential left fold, float64 throughout
+            dot += v[d] * c[d]
+            nv += v[d] * v[d]
+            nc += c[d] * c[d]
+        assert got[vid] == dot / (math.sqrt(nv) * math.sqrt(nc)), vid
+    assert got[3] == 1.0
+    for vid in (4, 5, 6):
+        assert got[vid] is None, vid

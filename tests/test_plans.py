@@ -700,6 +700,7 @@ LINT_ALLOWED = {
         "approx_quantile_audit",
         "concentrated_part_value",
         "countmin_heavy_hitters",
+        "dsir_importance_weights",
         "dup_graph_triangles",
         "event_dow_chi2",
         "fano_burstiness_by_type",

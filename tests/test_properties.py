@@ -325,3 +325,45 @@ def test_decoders_never_leak_on_corrupted_valid_files(pos, xor):
         b[pos % len(b)] ^= xor
         _assert_decoders_contained(bytes(b))
         _assert_decoders_contained(bytes(b[: pos % len(b)]))  # truncation
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(1, 17), min_size=1, max_size=6),
+    st.integers(2, 7),
+)
+def test_exact_ntile_grouped_matches_sql_ntile(sizes, buckets):
+    """Row-local grouped ntile arithmetic must equal real SQL
+    ``ntile(b) OVER (PARTITION BY g ORDER BY x, id)`` for every
+    group-size/bucket combination — including groups smaller than the
+    bucket count and remainder splits (the first ``total % b`` buckets
+    get one extra row)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_data_lake_spark import session as S
+    from big_data_data_lake_spark.operators import windows as win
+
+    spark = S.get_spark()
+    rows, rid = [], 0
+    for g, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((rid, g, (rid * 37) % 11))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, g int, x int")
+    w = Window.partitionBy("g").orderBy("x", "id")
+    ref = df.withColumn("nt", F.ntile(buckets).over(w))
+    totals = F.create_map(
+        *[F.lit(v) for g, n in enumerate(sizes) for v in (g, n)]
+    )
+    got = df.withColumn("rank", F.row_number().over(w)).withColumn(
+        "nt2",
+        win.exact_ntile_grouped(
+            F.col("rank"),
+            F.element_at(totals, F.col("g")).cast("long"),
+            buckets,
+        ),
+    )
+    merged = {r.id: r.nt for r in ref.collect()}
+    for r in got.collect():
+        assert merged[r.id] == r.nt2, (r.id, merged[r.id], r.nt2)
