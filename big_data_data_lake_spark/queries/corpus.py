@@ -1895,17 +1895,21 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Documents with fewer than two tokens have no bigram features and
     are excluded (no rows in the count frame) — same on both sides."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    feat = (
+    # Persist the shingle-hash arrays BEFORE the explode: Generate
+    # re-evaluates an unmaterialized input projection once PER OUTPUT
+    # ROW, which would make the per-doc hash fold O(tokens^2) (the
+    # bigram_surprisal lesson; 35 s -> ~2 s at sf0.1).
+    sh = scoped_persist(
         docs.selectExpr(
             "doc_id", "source", "lang", dd.spark_token_hashes_expr() + " AS th"
-        )
-        .selectExpr(
+        ).selectExpr(
             "doc_id", "source", "lang", dd.spark_shingle_hashes_expr(2) + " AS hs"
         )
-        .select("doc_id", "source", "lang", F.explode("hs").alias("g"))
-        .select(
-            "doc_id", "source", "lang", (F.col("g") % F.lit(DSIR_B)).alias("f")
-        )
+    )
+    feat = sh.select(
+        "doc_id", "source", "lang", F.explode("hs").alias("g")
+    ).select(
+        "doc_id", "source", "lang", (F.col("g") % F.lit(DSIR_B)).alias("f")
     )
     dfc = scoped_persist(
         feat.groupBy("doc_id", "source", "lang", "f")
