@@ -174,6 +174,7 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "dsir_importance_weights",
     "embedding_prototypicality",
+    "repeated_span_excision",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -358,6 +358,27 @@ def spark_shingle_hashes_expr(n: int = 2, th: str = "th") -> str:
     return f"array_distinct(transform({_spark_gram_starts(th, n)}, i -> {acc}))"
 
 
+def positional_shingle_hashes_sql(n: int) -> str:
+    """DuckDB: hashed n-grams in POSITION ORDER, no distinct — element
+    i (1-based) is the shingle STARTING at token i. The positional
+    twin of ``shingle_hashes_sql`` for span arithmetic (where a
+    repeated shingle's every occurrence matters and the array index
+    must stay aligned to the token stream)."""
+    acc = "CAST(0 AS BIGINT)"
+    for j in range(n):
+        acc = f"(({acc}) * {SHINGLE_COMBINE} + th[i+{j}]) % {MERSENNE_P}"
+    return f"list_transform(generate_series(1, len(th) - {n - 1}), i -> {acc})"
+
+
+def spark_positional_shingle_hashes_expr(n: int, th: str = "th") -> str:
+    """Spark-SQL twin of ``positional_shingle_hashes_sql`` (identical
+    fold, identical 1-based start-position alignment)."""
+    acc = "0L"
+    for j in range(n):
+        acc = f"(({acc}) * {SHINGLE_COMBINE} + {_spark_gram_at(th, j)}) % {MERSENNE_P}"
+    return f"transform({_spark_gram_starts(th, n)}, i -> {acc})"
+
+
 def spark_minhash_sig_exprs(hs: str = "hs") -> list[str]:
     """Spark-SQL: the N_MINHASH signature columns ``s0..s{K-1}``."""
     return [

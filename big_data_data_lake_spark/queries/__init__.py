@@ -55,6 +55,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "ccnet_perplexity_buckets",  # r6: new (CCNet head/middle/tail)
     "dsir_importance_weights",  # r6: new (DSIR hashed-bigram IW)
     "embedding_prototypicality",  # r6: new (SSL-prototypes pruning)
+    "repeated_span_excision",  # r6: new (ExactSubstr span cut list)
     "token_pagerank",  # r6: codegen bigram edges + checkpointed loop
     "quantile_sketch_audit",
     "ks_drift_by_source",

@@ -1358,3 +1358,133 @@ def denylist_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Repeated-span excision (ExactSubstr dedup, Lee et al. 2022)
+# --------------------------------------------------------------------------
+
+SPAN_N = EXACT_SUBSTRING_N  # 13-token window, shared with decontamination
+
+REPEATED_SPAN_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {{th}} AS th FROM documents),
+hsh AS (SELECT doc_id, len(th) AS n_tokens, {{sg}} AS hs FROM tok),
+pos AS (SELECT doc_id, n_tokens, generate_subscripts(hs, 1) AS p,
+               unnest(hs) AS g
+        FROM hsh),
+gc AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+dp AS (SELECT doc_id, n_tokens, p FROM pos JOIN gc USING (g)),
+isl AS (
+    SELECT doc_id, n_tokens, p,
+           CASE WHEN p > coalesce(max(p + {SPAN_N} - 1) OVER (
+                            PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -{SPAN_N}) + 1
+                THEN 1 ELSE 0 END AS brk
+    FROM dp),
+sp AS (SELECT doc_id, n_tokens, p,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid
+       FROM isl),
+spans AS (SELECT doc_id, n_tokens, sid,
+                 min(p) AS s, max(p) + {SPAN_N} - 1 AS e
+          FROM sp GROUP BY doc_id, n_tokens, sid)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(sum(e - s + 1) AS DOUBLE) / n_tokens, 4) AS dup_fraction
+FROM spans
+GROUP BY doc_id, n_tokens
+""".format(
+    th=dd.TOKEN_HASHES_SQL.format(text="text"),
+    sg=dd.positional_shingle_hashes_sql(SPAN_N),
+)
+
+
+@register("repeated_span_excision", REPEATED_SPAN_ORACLE)
+def repeated_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-span excision (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    13-token run that occurs >= 2 times ANYWHERE in the corpus
+    (another document or the same one — self-repeats are exactly the
+    template boilerplate the paper cuts) marks its token interval for
+    removal; overlapping and touching intervals merge into maximal
+    spans, and each affected document reports its excision profile
+    (span count, tokens covered, coverage fraction). This is the cut
+    list a dedup pass hands the rewrite stage — the within-corpus
+    counterpart of exact_substring_decontamination, which shares the
+    same 13-gram rolling-hash machinery.
+
+    Scale shape: positions come from ONE posexplode of the persisted
+    shingle-hash arrays (persisted BEFORE the explode — Generate
+    re-evaluates unmaterialized lineage per output row); the
+    duplicated-gram set is one partial-aggregated count >= 2 filter,
+    and marking is an equi-join on the gram hash whose per-key
+    fan-out IS the duplication being measured. Span merging is
+    gaps-and-islands over a window PARTITIONED BY doc_id (millions of
+    independent partitions at scale, never a global window): a
+    position opens a new span iff it clears the running max covered
+    end, islands number by running sum, spans aggregate per island.
+    Everything is integer arithmetic until the final rounded
+    fraction, so engine parity is exact."""
+    from pyspark.sql import Window
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    hs = scoped_persist(
+        docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
+        .selectExpr(
+            "doc_id",
+            "size(th) AS n_tokens",
+            dd.spark_positional_shingle_hashes_expr(SPAN_N) + " AS hs",
+        )
+    )
+    pos = scoped_persist(
+        hs.select(
+            "doc_id", "n_tokens", F.posexplode("hs").alias("p0", "g")
+        ).select("doc_id", "n_tokens", (F.col("p0") + 1).alias("p"), "g")
+    )
+    dup_grams = (
+        pos.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("g")
+    )
+    dp = pos.join(dup_grams, "g").select("doc_id", "n_tokens", "p")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    brk = F.when(
+        F.col("p")
+        > F.coalesce(
+            F.max(F.col("p") + F.lit(SPAN_N - 1)).over(w_prev),
+            F.lit(-SPAN_N),
+        )
+        + 1,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sp = dp.withColumn("brk", brk).withColumn("sid", F.sum("brk").over(w_run))
+    spans = sp.groupBy("doc_id", "n_tokens", "sid").agg(
+        F.min("p").alias("s"),
+        (F.max("p") + F.lit(SPAN_N - 1)).alias("e"),
+    )
+    return spans.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
+    ).select(
+        "doc_id",
+        "n_spans",
+        "dup_tokens",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.col("dup_tokens").cast("double") / F.col("n_tokens"), 4
+        ).alias("dup_fraction"),
+    )
