@@ -86,3 +86,53 @@ def test_decontamination_coverage_bounds(spark):
     for r in rows:
         assert r["doc_id"] % 11 != 0 and r["bench_id"] % 11 == 0
         assert 0.5 <= r["bench_coverage"] <= 1.0
+
+
+def test_repeated_span_excision_hand_computed(spark, tmp_path):
+    """Span-merge semantics on a corpus built for hand computation —
+    guards the gaps-and-islands logic against both-engines-agree-but-
+    wrong (the oracle replays the same algorithm, so it cannot catch
+    a shared misconception):
+
+    - docA (30 tokens) and docB (15 tokens) share tokens 1-15 ->
+      duplicated 13-grams at starts 1..3 in each -> ONE merged span
+      [1,15] per doc (overlap merging).
+    - docC (40 tokens) repeats its own tokens 1-13 at 21-33 ->
+      duplicated grams at starts 1 and 21 only -> TWO spans [1,13]
+      and [21,33] (gap at 14-20 keeps them apart; self-repeats
+      count, per ExactSubstr).
+    - docD (20 unique tokens) -> no duplicated gram -> absent.
+    """
+    import duckdb
+
+    shared = " ".join(f"s{i}" for i in range(1, 16))
+    a_tail = " ".join(f"a{i}" for i in range(1, 16))
+    rep = " ".join(f"r{i}" for i in range(1, 14))
+    gap = " ".join(f"g{i}" for i in range(1, 8))
+    c_tail = " ".join(f"e{i}" for i in range(1, 8))
+    uniq = " ".join(f"u{i}" for i in range(1, 21))
+    rows = [
+        (1, f"{shared} {a_tail}"),
+        (2, shared),
+        (3, f"{rep} {gap} {rep} {c_tail}"),
+        (4, uniq),
+    ]
+    vals = ", ".join(
+        f"({i}, '{t}', 'en', 'handmade', {len(t)})" for i, t in rows
+    )
+    dst = tmp_path / "sf_hand"
+    dst.mkdir()
+    duckdb.sql(
+        f"COPY (SELECT * FROM (VALUES {vals}) "
+        "t(doc_id, text, lang, source, n_chars)) "
+        f"TO '{dst}/documents.parquet' (FORMAT PARQUET)"
+    )
+    got = {
+        r.doc_id: (r.n_spans, r.dup_tokens, r.n_tokens, r.dup_fraction)
+        for r in REGISTRY["repeated_span_excision"].fn(spark, str(dst)).collect()
+    }
+    assert got == {
+        1: (1, 15, 30, 0.5),
+        2: (1, 15, 15, 1.0),
+        3: (2, 26, 40, 0.65),
+    }
