@@ -367,3 +367,49 @@ def test_exact_ntile_grouped_matches_sql_ntile(sizes, buckets):
     merged = {r.id: r.nt for r in ref.collect()}
     for r in got.collect():
         assert merged[r.id] == r.nt2, (r.id, merged[r.id], r.nt2)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=4),
+        min_size=0,
+        max_size=30,
+    ),
+    st.integers(2, 5),
+)
+def test_positional_shingle_hashes_match_python_reference(tokens, n):
+    """The positional (order-preserving, non-distinct) shingle-hash
+    expression must equal a pure-Python rolling hash at EVERY index —
+    the property the span-excision family depends on and the one the
+    distinct-set builders silently break (dedup shifts positions).
+    Independent of the DuckDB oracle, so a shared misconception in
+    the SQL twins cannot mask a drift here."""
+    from big_data_data_lake_spark import session as S
+    from big_data_data_lake_spark.operators import dedup as ddp
+
+    spark = S.get_spark()
+    text = " ".join(tokens)
+    row = spark.sql(
+        "SELECT "
+        + ddp.spark_positional_shingle_hashes_expr(
+            n, th=ddp.spark_token_hashes_expr("t")
+        )
+        + " AS hs FROM VALUES ('" + text + "') AS v(t)"
+    ).collect()[0]
+    P, C = ddp.MERSENNE_P, ddp.SHINGLE_COMBINE
+    # split-by-space semantics: '' splits to [''], like Spark/DuckDB
+    toks = text.split(" ")
+    th = []
+    for tok in toks:
+        h = 0
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % P
+        th.append(h)
+    expect = []
+    for i in range(len(th) - n + 1):
+        acc = 0
+        for j in range(n):
+            acc = (acc * C + th[i + j]) % P
+        expect.append(acc)
+    assert list(row.hs) == expect
