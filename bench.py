@@ -175,6 +175,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "embedding_prototypicality",
     "repeated_span_excision",
+    "excision_source_accounting",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -1488,3 +1488,85 @@ def repeated_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_tokens").cast("double") / F.col("n_tokens"), 4
         ).alias("dup_fraction"),
     )
+
+
+EXCISION_ACCOUNTING_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {{th}} AS th FROM documents),
+hsh AS (SELECT doc_id, {{sg}} AS hs FROM tok),
+pos AS (SELECT doc_id, generate_subscripts(hs, 1) AS p, unnest(hs) AS g
+        FROM hsh),
+gc AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+dp AS (SELECT doc_id, p FROM pos JOIN gc USING (g)),
+isl AS (
+    SELECT doc_id, p,
+           CASE WHEN p > coalesce(max(p + {SPAN_N} - 1) OVER (
+                            PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -{SPAN_N}) + 1
+                THEN 1 ELSE 0 END AS brk
+    FROM dp),
+sp AS (SELECT doc_id, p,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid
+       FROM isl),
+spans AS (SELECT doc_id, sid, min(p) AS s, max(p) + {SPAN_N} - 1 AS e
+          FROM sp GROUP BY doc_id, sid),
+per_doc AS (SELECT doc_id, sum(e - s + 1) AS dup FROM spans GROUP BY doc_id),
+d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS nt
+      FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(dup) AS BIGINT) AS affected_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST(coalesce(sum(dup), 0) AS BIGINT) AS dup_tokens,
+       CAST(sum(nt) - coalesce(sum(dup), 0) AS BIGINT) AS post_tokens,
+       round(CAST(coalesce(sum(dup), 0) AS DOUBLE) / sum(nt), 4)
+           AS dup_token_share
+FROM d LEFT JOIN per_doc USING (doc_id)
+GROUP BY source ORDER BY source
+""".format(
+    th=dd.TOKEN_HASHES_SQL.format(text="text"),
+    sg=dd.positional_shingle_hashes_sql(SPAN_N),
+)
+
+
+@register("excision_source_accounting", EXCISION_ACCOUNTING_ORACLE)
+def excision_source_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source accounting for the ExactSubstr cut list — the
+    go/no-go report a curator reads before approving the rewrite:
+    how many documents each source loses tokens from, how many tokens
+    survive excision, and the duplicated-token share (sources
+    dominated by template boilerplate surface immediately). Composes
+    the registered ``repeated_span_excision`` plan (the audit covers
+    the production cut-list path) with one broadcast-scale per-source
+    rollup; docs too short to shingle or with no duplicated run count
+    in the totals and never in the cut columns — LEFT join semantics,
+    identical on both engines. One extra corpus-scale aggregate on
+    top of the excision plan; |sources| output rows."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    per_doc = repeated_span_excision(spark, sf_dir).select("doc_id", "dup_tokens")
+    d = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("nt")
+    )
+    return (
+        d.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("dup_tokens").cast("bigint").alias("affected_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+            F.coalesce(F.sum("dup_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+            (F.sum("nt") - F.coalesce(F.sum("dup_tokens"), F.lit(0)))
+            .cast("bigint")
+            .alias("post_tokens"),
+            F.round(
+                F.coalesce(F.sum("dup_tokens"), F.lit(0)).cast("double")
+                / F.sum("nt"),
+                4,
+            ).alias("dup_token_share"),
+        )
+        .orderBy("source")
+    )
