@@ -176,6 +176,7 @@ HEADLINE = [
     "embedding_prototypicality",
     "repeated_span_excision",
     "excision_source_accounting",
+    "excision_rewrite_checksum",
     # cluster_quality_survivors composes the full exact-pair plan +
     # iterative propagation (like dedup_clusters, which is also
     # registry-only): attested for correctness, not a headline timing

@@ -57,6 +57,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "embedding_prototypicality",  # r6: new (SSL-prototypes pruning)
     "repeated_span_excision",  # r6: new (ExactSubstr span cut list)
     "excision_source_accounting",  # r6: new (per-source cut rollup)
+    "excision_rewrite_checksum",  # r6: new (executed rewrite manifest)
     "token_pagerank",  # r6: codegen bigram edges + checkpointed loop
     "quantile_sketch_audit",
     "ks_drift_by_source",

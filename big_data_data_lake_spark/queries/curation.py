@@ -1403,32 +1403,13 @@ GROUP BY doc_id, n_tokens
 )
 
 
-@register("repeated_span_excision", REPEATED_SPAN_ORACLE)
-def repeated_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ExactSubstr-style repeated-span excision (Lee et al. 2022,
-    "Deduplicating Training Data Makes Language Models Better"): any
-    13-token run that occurs >= 2 times ANYWHERE in the corpus
-    (another document or the same one — self-repeats are exactly the
-    template boilerplate the paper cuts) marks its token interval for
-    removal; overlapping and touching intervals merge into maximal
-    spans, and each affected document reports its excision profile
-    (span count, tokens covered, coverage fraction). This is the cut
-    list a dedup pass hands the rewrite stage — the within-corpus
-    counterpart of exact_substring_decontamination, which shares the
-    same 13-gram rolling-hash machinery.
-
-    Scale shape: positions come from ONE posexplode of the persisted
-    shingle-hash arrays (persisted BEFORE the explode — Generate
-    re-evaluates unmaterialized lineage per output row); the
-    duplicated-gram set is one partial-aggregated count >= 2 filter,
-    and marking is an equi-join on the gram hash whose per-key
-    fan-out IS the duplication being measured. Span merging is
-    gaps-and-islands over a window PARTITIONED BY doc_id (millions of
-    independent partitions at scale, never a global window): a
-    position opens a new span iff it clears the running max covered
-    end, islands number by running sum, spans aggregate per island.
-    Everything is integer arithmetic until the final rounded
-    fraction, so engine parity is exact."""
+def _excision_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-token spans per document: ``(doc_id,
+    n_tokens, sid, s, e)`` — the shared core of the ExactSubstr
+    family (cut list, per-source accounting, rewrite checksum). See
+    :func:`repeated_span_excision` for the semantics and the
+    scale-shape argument; this helper IS that query minus the final
+    per-doc aggregate."""
     from pyspark.sql import Window
 
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
@@ -1472,10 +1453,39 @@ def repeated_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1),
     ).otherwise(F.lit(0))
     sp = dp.withColumn("brk", brk).withColumn("sid", F.sum("brk").over(w_run))
-    spans = sp.groupBy("doc_id", "n_tokens", "sid").agg(
+    return sp.groupBy("doc_id", "n_tokens", "sid").agg(
         F.min("p").alias("s"),
         (F.max("p") + F.lit(SPAN_N - 1)).alias("e"),
     )
+
+
+@register("repeated_span_excision", REPEATED_SPAN_ORACLE)
+def repeated_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-span excision (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    13-token run that occurs >= 2 times ANYWHERE in the corpus
+    (another document or the same one — self-repeats are exactly the
+    template boilerplate the paper cuts) marks its token interval for
+    removal; overlapping and touching intervals merge into maximal
+    spans, and each affected document reports its excision profile
+    (span count, tokens covered, coverage fraction). This is the cut
+    list a dedup pass hands the rewrite stage — the within-corpus
+    counterpart of exact_substring_decontamination, which shares the
+    same 13-gram rolling-hash machinery.
+
+    Scale shape: positions come from ONE posexplode of the persisted
+    shingle-hash arrays (persisted BEFORE the explode — Generate
+    re-evaluates unmaterialized lineage per output row); the
+    duplicated-gram set is one partial-aggregated count >= 2 filter,
+    and marking is an equi-join on the gram hash whose per-key
+    fan-out IS the duplication being measured. Span merging is
+    gaps-and-islands over a window PARTITIONED BY doc_id (millions of
+    independent partitions at scale, never a global window): a
+    position opens a new span iff it clears the running max covered
+    end, islands number by running sum, spans aggregate per island.
+    Everything is integer arithmetic until the final rounded
+    fraction, so engine parity is exact."""
+    spans = _excision_spans(spark, sf_dir)
     return spans.groupBy("doc_id", "n_tokens").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
@@ -1569,4 +1579,81 @@ def excision_source_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_token_share"),
         )
         .orderBy("source")
+    )
+
+
+EXCISION_REWRITE_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {{th}} AS th FROM documents),
+hsh AS (SELECT doc_id, {{sg}} AS hs FROM tok),
+pos AS (SELECT doc_id, generate_subscripts(hs, 1) AS p, unnest(hs) AS g
+        FROM hsh),
+gc AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+dp AS (SELECT doc_id, p FROM pos JOIN gc USING (g)),
+isl AS (
+    SELECT doc_id, p,
+           CASE WHEN p > coalesce(max(p + {SPAN_N} - 1) OVER (
+                            PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -{SPAN_N}) + 1
+                THEN 1 ELSE 0 END AS brk
+    FROM dp),
+sp AS (SELECT doc_id, p,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid
+       FROM isl),
+spans AS (SELECT doc_id, sid, min(p) AS s, max(p) + {SPAN_N} - 1 AS e
+          FROM sp GROUP BY doc_id, sid),
+cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS p FROM spans),
+tokp AS (SELECT doc_id, generate_subscripts(th, 1) AS p, unnest(th) AS h
+         FROM tok),
+kept AS (SELECT t.doc_id, t.h
+         FROM tokp t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+         WHERE c.p IS NULL)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS kept_tokens,
+       CAST(sum(h) % {tx.FINGERPRINT_MOD} AS BIGINT) AS kept_checksum
+FROM kept GROUP BY doc_id
+""".format(
+    th=dd.TOKEN_HASHES_SQL.format(text="text"),
+    sg=dd.positional_shingle_hashes_sql(SPAN_N),
+)
+
+
+@register("excision_rewrite_checksum", EXCISION_REWRITE_ORACLE)
+def excision_rewrite_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr rewrite EXECUTED, not just reported: every
+    document's post-excision token stream (tokens outside the merged
+    duplicated spans, in original order) reduced to a per-doc
+    manifest — surviving token count plus an order-insensitive
+    additive checksum of the surviving token hashes — the artifact a
+    downstream consumer diffs to prove the rewrite it ran matches the
+    cut list the dedup pass published (the denylist-redaction
+    checksum pattern, applied to span excision). Documents excised to
+    nothing disappear, exactly like their text would.
+
+    Scale shape: covered positions come from exploding
+    ``sequence(s, e)`` per merged span — output size equals the
+    duplicated-token count, and merged spans are disjoint by
+    construction, so no DISTINCT is needed; survival is one LEFT ANTI
+    equi-join on (doc_id, position) between the token stream and the
+    covered set — linear, shuffle keyed on the document id. Integer
+    arithmetic end to end (checksum mod 2^31-1 over 31-bit token
+    hashes: per-doc sums stay far under int64)."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    spans = _excision_spans(spark, sf_dir)
+    cov = spans.select(
+        "doc_id", F.explode(F.sequence("s", "e")).alias("p")
+    )
+    tokp = (
+        docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
+        .select("doc_id", F.posexplode("th").alias("p0", "h"))
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "h")
+    )
+    kept = tokp.join(cov, ["doc_id", "p"], "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_tokens"),
+        (F.sum("h") % F.lit(tx.FINGERPRINT_MOD))
+        .cast("bigint")
+        .alias("kept_checksum"),
     )

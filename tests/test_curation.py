@@ -136,3 +136,23 @@ def test_repeated_span_excision_hand_computed(spark, tmp_path):
         2: (1, 15, 15, 1.0),
         3: (2, 26, 40, 0.65),
     }
+    # the executed rewrite: docB (fully covered) disappears like its
+    # text would; survivors keep exactly the uncovered token counts;
+    # the checksum is the additive poly-hash of the kept tokens
+    P = 2_147_483_647
+
+    def tok_hash(t):
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % P
+        return h
+
+    rw = {
+        r.doc_id: (r.kept_tokens, r.kept_checksum)
+        for r in REGISTRY["excision_rewrite_checksum"].fn(spark, str(dst)).collect()
+    }
+    exp_a = sum(tok_hash(f"a{i}") for i in range(1, 16)) % P
+    exp_d = sum(tok_hash(f"u{i}") for i in range(1, 21)) % P
+    exp_c = sum(tok_hash(f"g{i}") for i in range(1, 8)) % P
+    exp_c = (exp_c + sum(tok_hash(f"e{i}") for i in range(1, 8))) % P
+    assert rw == {1: (15, exp_a), 3: (14, exp_c), 4: (20, exp_d)}
