@@ -59,7 +59,6 @@ def min_label_components(
     conf_key = "spark.sql.shuffle.partitions"
     old_p = spark.conf.get(conf_key)
     loop_p = max(8, min(int(old_p), -(-(n_ids + n_edges) // 100_000)))
-    spark.conf.set(conf_key, str(loop_p))
     # Each round references `labels` TWICE (once in the propagation
     # join, once in the merge), so a persist()-chained loop doubles
     # the LOGICAL plan per round — by round ~8 the plan string hits
@@ -69,6 +68,13 @@ def min_label_components(
     # flattens the lineage, keeping every round's plan constant-size;
     # checkpoint blocks are reclaimed by the ContextCleaner as each
     # round's frame is dereferenced.
+    #
+    # The INITIAL checkpoint runs under the session partition setting:
+    # the caller's `ids` plan may carry corpus-scale upstream shuffles
+    # that must not execute at the loop's floor-8 clamp. Only after it
+    # is materialized do we lower the conf — and the set happens inside
+    # the try so the finally always restores the session even if the
+    # first loop job fails.
     labels = ids.select(
         F.col(id_col).alias("vid"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
@@ -77,6 +83,7 @@ def min_label_components(
         return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
 
     try:
+        spark.conf.set(conf_key, str(loop_p))
         prev_sum = _label_sum(labels)
         for _ in range(max_rounds):
             prop = (

@@ -580,7 +580,13 @@ def cosine_to_keyed_centroid(
 
     def kernel(batches):
         cm = bc.value
-        keys = sorted(cm)
+        # Insertion order, NOT sorted: the order only feeds the
+        # index map, and a None key (a null-label row upstream)
+        # would make sorted() raise TypeError against int keys.
+        # None keys are skipped outright — SQL join semantics
+        # (NULL matches nothing), so null-key rows fall into the
+        # `missing` NaN/NULL path like any unknown key.
+        keys = [k for k in cm if k is not None]
         if keys:
             cstack = np.stack([cm[k] for k in keys])
             index = {k: i for i, k in enumerate(keys)}

@@ -2075,7 +2075,13 @@ def embedding_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in cent_rows:
         by_label.setdefault(r["label"], {})[r["i"]] = r["m"]
     centroids = {
-        lab: [dims[i] for i in sorted(dims)] for lab, dims in by_label.items()
+        # Null labels carry no centroid — the oracle's JOIN
+        # USING(label) drops null-label rows, and the kernel maps
+        # unknown keys to NULL cosine, so skipping here keeps the
+        # two engines' semantics identical (r6 advisory).
+        lab: [dims[i] for i in sorted(dims)]
+        for lab, dims in by_label.items()
+        if lab is not None
     }
     scored = sim.cosine_to_keyed_centroid(
         e, centroids, key_col="label", vec_col="v", out_col="rawcos"

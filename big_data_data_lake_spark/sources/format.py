@@ -224,12 +224,26 @@ class DeltaTableAdapter:
             .total_seconds()
             / 3600.0,
         )
-        # dry run lists what the real pass removes (Delta returns paths)
-        listed = [
-            r.path
-            for r in self.spark.sql(
-                f"VACUUM delta.`{self.path}` RETAIN {hours} HOURS DRY RUN"
-            ).collect()
-        ]
-        t.vacuum(hours)
+        # Version-retention maps to a time cutoff that is almost
+        # always < Delta's 168 h retentionDurationCheck minimum (any
+        # table written in the last week), which would throw
+        # IllegalArgumentException. The check exists to protect
+        # concurrent readers; LakeTable's vacuum(retain_last=n)
+        # contract is explicitly version-based, so we disable the
+        # check ONLY for these two statements and restore the
+        # caller's session setting in finally (r6 advisory).
+        chk = "spark.databricks.delta.retentionDurationCheck.enabled"
+        old_chk = self.spark.conf.get(chk, "true")
+        try:
+            self.spark.conf.set(chk, "false")
+            # dry run lists what the real pass removes (Delta returns paths)
+            listed = [
+                r.path
+                for r in self.spark.sql(
+                    f"VACUUM delta.`{self.path}` RETAIN {hours} HOURS DRY RUN"
+                ).collect()
+            ]
+            t.vacuum(hours)
+        finally:
+            self.spark.conf.set(chk, old_chk)
         return listed

@@ -798,3 +798,53 @@ def test_cosine_to_keyed_centroid_matches_sequential_fold(spark):
     assert got[3] == 1.0
     for vid in (4, 5, 6):
         assert got[vid] is None, vid
+
+
+def test_cosine_to_keyed_centroid_none_key_is_skipped(spark):
+    """A None key in the centroid map (a null-label row upstream)
+    must not crash the kernel (sorted(cm) used to raise TypeError on
+    None-vs-int), and null-key ROWS must score NULL — SQL join
+    semantics, mirroring the oracle's JOIN USING(label) dropping
+    null-label rows (r6 advisory)."""
+    from big_data_data_lake_spark.operators import similarity as sim
+
+    cents = {0: [1.0, 0.0], None: [9.0, 9.0], 2: [0.0, 1.0]}
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], None), (3, [0.0, 2.0], 2)],
+        "vec_id long, v array<double>, label int",
+    )
+    got = {
+        r.vec_id: r.cos
+        for r in sim.cosine_to_keyed_centroid(
+            df, cents, key_col="label", vec_col="v", out_col="cos"
+        ).collect()
+    }
+    assert got[1] == 1.0
+    assert got[2] is None  # null label matches nothing, even a None key
+    assert got[3] == 1.0
+
+
+def test_embedding_prototypicality_tolerates_null_labels(spark):
+    """End-to-end guard for the advisory crash: inject a null-label
+    embedding row and assert the query still runs and its per-label
+    profile over the surviving rows is unchanged (null-label rows
+    contribute to no centroid and no output row, exactly like the
+    oracle's join)."""
+    from big_data_data_lake_spark.queries import REGISTRY
+
+    q = REGISTRY["embedding_prototypicality"].fn
+    base = {r.label: r for r in q(spark, SF).collect()}
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    nulled = emb.limit(1).withColumn(
+        "label", F.lit(None).cast(emb.schema["label"].dataType)
+    ).withColumn("vec_id", F.lit(-999).cast(emb.schema["vec_id"].dataType))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        emb.unionByName(nulled).write.parquet(f"{td}/embeddings.parquet")
+        got = {r.label: r for r in q(spark, td).collect()}
+    assert set(got) == set(base)
+    for lab, row in base.items():
+        assert got[lab].n_vecs == row.n_vecs
+        assert got[lab].mean_cos == row.mean_cos
