@@ -1814,25 +1814,55 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TAU = 0.35
 _SEMDEDUP_MIN_CELLS = 8
 _SEMDEDUP_CELL_TARGET = 250  # target vectors per cell: k = max(8, ceil(n/250))
+# Composite cell id = ccen * 2^20 + fcen: fine indices are bounded by
+# the per-cell membership (<= cell size), far under 2^20 at any k.
+_SEMDEDUP_CELL_SHIFT = 1 << 20
 
-_SEMDEDUP_K = (
-    f"(SELECT greatest({_SEMDEDUP_MIN_CELLS}, "
-    f"CAST(ceil(count(*) / {_SEMDEDUP_CELL_TARGET}.0) AS BIGINT)) FROM e)"
+# Coarse codebook size: ceil(sqrt(k_total)) — the two-level split that
+# keeps BOTH levels O(sqrt k): the coarse codebook (the only structure
+# collected to the driver / broadcast) and the per-cell fine fan-out.
+_SEMDEDUP_KC = (
+    f"(SELECT greatest(2, CAST(ceil(sqrt(greatest({_SEMDEDUP_MIN_CELLS}, "
+    f"ceil(count(*) / {_SEMDEDUP_CELL_TARGET}.0)))) AS BIGINT)) FROM e)"
 )
 
+# Hierarchical quantizer, oracle form (replayed by DuckDB bit-exactly):
+#   cc      — coarse centroids: the KC lowest-vec_id vectors
+#   cassign — nearest coarse centroid (dist2 fold, ties -> lowest ccen)
+#   fc      — fine centroids: within each coarse cell, the
+#             ceil(cell_n/250) lowest-vec_id members, indexed 0..m-1
+#   assign  — nearest fine centroid WITHIN the row's coarse cell
+#             (dist2 fold, ties -> lowest fcen); cell id is the
+#             (ccen, fcen) composite
 _SEMDEDUP_CENTS = f"""
-cents AS (SELECT rn - 1 AS cen, v AS cv
-          FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
-          WHERE rn <= {_SEMDEDUP_K})"""
+cc AS (SELECT rn - 1 AS ccen, v AS cv
+       FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+       WHERE rn <= {_SEMDEDUP_KC}),
+cassign AS (SELECT vec_id, v, ccen FROM (
+    SELECT e.vec_id, e.v, cc.ccen,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {sim.DIST2_SQL.format(a="e.v", b="cc.cv")}, cc.ccen)
+               AS rn
+    FROM e CROSS JOIN cc) WHERE rn = 1),
+fc AS (SELECT ccen, rn - 1 AS fcen, v AS fv FROM (
+    SELECT ccen, v,
+           row_number() OVER (PARTITION BY ccen ORDER BY vec_id) AS rn,
+           count(*) OVER (PARTITION BY ccen) AS cnt
+    FROM cassign) WHERE rn <= ceil(cnt / {_SEMDEDUP_CELL_TARGET}.0)),
+fassign AS (SELECT vec_id, v, ccen, fcen,
+                   CAST(ccen AS BIGINT) * {_SEMDEDUP_CELL_SHIFT} + fcen AS cen
+            FROM (
+    SELECT a.vec_id, a.v, a.ccen, f.fcen,
+           row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY {sim.DIST2_SQL.format(a="a.v", b="f.fv")}, f.fcen)
+               AS rn
+    FROM cassign a JOIN fc f ON a.ccen = f.ccen) WHERE rn = 1)"""
 
 SEMDEDUP_ORACLE = f"""
 WITH RECURSIVE
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),{_SEMDEDUP_CENTS},
-assign AS (SELECT vec_id, v, {sim.NORM_SQL.format(a="v")} AS n, cen FROM (
-    SELECT vec_id, v, cen,
-           row_number() OVER (PARTITION BY vec_id
-               ORDER BY {sim.DIST2_SQL.format(a="v", b="cv")}, cen) AS rn
-    FROM e CROSS JOIN cents) WHERE rn = 1),
+assign AS (SELECT vec_id, v, {sim.NORM_SQL.format(a="v")} AS n, cen
+           FROM fassign),
 pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
           FROM assign a JOIN assign b
             ON a.cen = b.cen AND a.vec_id < b.vec_id
@@ -1853,6 +1883,60 @@ ORDER BY x.vec_id
 """
 
 
+def _semdedup_sizes(n_vecs: int) -> tuple[int, int]:
+    """(k_total, k_coarse) for the hierarchical quantizer: k scales
+    linearly with the corpus (the paper's cell-target sizing), the
+    coarse codebook — the ONLY structure collected to the driver and
+    broadcast — as ceil(sqrt(k)). Mirrored by the oracle's
+    _SEMDEDUP_KC scalar subquery (same ceil/sqrt in doubles)."""
+    import math
+
+    k = max(_SEMDEDUP_MIN_CELLS, math.ceil(n_vecs / _SEMDEDUP_CELL_TARGET))
+    return k, max(2, math.ceil(math.sqrt(k)))
+
+
+def _semdedup_assign(spark: SparkSession, sf_dir: str):
+    """Shared hierarchical-quantizer assignment for the SemDeDup
+    family: (vec_id, v, ccen, fcen, cen) with cen the composite
+    (ccen, fcen) cell id, or None on an empty embeddings table.
+    Exactly the fassign CTE of the oracle — see
+    semantic_dedup_clusters for the scale rationale. The coarse
+    assignment is scoped-persisted: it feeds both the fine-codebook
+    window and the fine-assignment cogroup, and without the cache the
+    broadcast-kernel scan would run twice."""
+    from pyspark.sql import Window
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    e = emb.select("vec_id", sim.to_double("embedding").alias("v"))
+    n_vecs = e.count()  # metadata-scale driver scalar, sizes the quantizer
+    _, kc = _semdedup_sizes(n_vecs)
+    coarse = e.orderBy("vec_id").limit(kc).select("v").collect()
+    if not coarse:
+        return None
+
+    cassign = scoped_persist(
+        sim.assign_nearest_centroid(
+            e.select("vec_id", "v"), [row.v for row in coarse], out_col="ccen"
+        )
+    )
+    w = Window.partitionBy("ccen").orderBy("vec_id")
+    fine = (
+        cassign.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("ccen")))
+        .where(F.col("rn") <= F.ceil(F.col("cnt") / F.lit(_SEMDEDUP_CELL_TARGET)))
+        .select(
+            "ccen",
+            (F.col("rn") - 1).cast("int").alias("fcen"),
+            F.col("v").alias("fv"),
+        )
+    )
+    return sim.assign_fine_within_cell(cassign, fine).withColumn(
+        "cen",
+        F.col("ccen").cast("bigint") * F.lit(_SEMDEDUP_CELL_SHIFT)
+        + F.col("fcen"),
+    )
+
+
 @register("semantic_dedup_clusters", SEMDEDUP_ORACLE)
 def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
@@ -1864,40 +1948,38 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     component (cluster == vec_id means survivor), exactly the
     keep/drop frame dedup_clusters produces on the text side.
 
-    The quantizer is the deterministic sampled-centroid one the IVF
-    family uses (lowest-id vectors; at 100 TB, k-means-on-a-sample
-    broadcast the same way) so DuckDB replays assignment bit-exactly.
-    Tie-break and threshold comparisons are on the same left-fold
-    doubles both engines compute.
+    The quantizer is HIERARCHICAL (two-level, r6 verdict item #1):
+    the flat form collected and broadcast k = ceil(n/250) centroids —
+    linear in the corpus on the driver. Here only the COARSE codebook
+    of kc = ceil(sqrt(k)) lowest-id vectors is collected/broadcast
+    (O(sqrt k) driver memory); the FINE codebook — within each coarse
+    cell, the ceil(cell_n/250) lowest-id members — stays a DISTRIBUTED
+    frame and reaches vectors through a cogroup on the coarse cell
+    (sim.assign_fine_within_cell), never the driver. Both levels are
+    deterministic lowest-id selections (at 100 TB, k-means-on-a-sample
+    slots in the same two seats) so DuckDB replays the whole
+    assignment bit-exactly: same dist2 dimension-fold, ties to the
+    lowest index at each level.
 
     Scale shape, per the paper's own design: the all-pairs step runs
-    INSIDE cells only, and k SCALES WITH n (k = max(8, ceil(n/250)),
-    replayed by the oracle's scalar subquery) so per-cell cost is
-    constant as the corpus grows. Assignment is row-local against a
-    BROADCAST numpy centroid matrix inside an Arrow mapInPandas kernel
-    (sim.assign_nearest_centroid — zero shuffle, plan size independent
-    of n; the r5-flagged k·dim-literal expression tree grew with the
-    corpus and evaluated O(n·k) interpreted ops). Because the
-    quantizer makes the tau-graph BLOCK-DIAGONAL (no edge crosses a
-    cell), pair generation AND connected components fuse into one
-    group kernel per cell (sim.cell_components: one numpy cosine
-    matrix + union-find, label = min member id) — one shuffle total,
-    no iterative propagation; the text-side dedup_clusters keeps
+    INSIDE (coarse, fine) cells only, and total cell count SCALES
+    WITH n (k = max(8, ceil(n/250)) overall) so per-cell cost is
+    constant as the corpus grows. Coarse assignment is row-local
+    against the broadcast O(sqrt k) matrix (Arrow kernel, blocked
+    accumulator — zero shuffle, constant plan size); fine assignment
+    is ONE cogroup exchange on the coarse cell with per-task work
+    |cell| x sqrt(k) through the same blocked kernel; fine-codebook
+    construction is one windowed rank over the same exchange key.
+    Because the quantizer makes the tau-graph BLOCK-DIAGONAL (no edge
+    crosses a cell), pair generation AND connected components fuse
+    into one group kernel per cell (sim.cell_components: one numpy
+    cosine matrix + union-find, label = min member id) — no iterative
+    propagation; the text-side dedup_clusters keeps
     min_label_components because LSH edges there span buckets."""
-    import math
-
-    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
-    e = emb.select("vec_id", sim.to_double("embedding").alias("v"))
-    n_vecs = e.count()  # metadata-scale driver scalar, sizes the quantizer
-    k = max(_SEMDEDUP_MIN_CELLS, math.ceil(n_vecs / _SEMDEDUP_CELL_TARGET))
-    cents = e.orderBy("vec_id").limit(k).select("v").collect()
-    if not cents:
+    assign = _semdedup_assign(spark, sf_dir)
+    if assign is None:
         return spark.createDataFrame([], "vec_id long, cluster long")
-
-    assign = sim.assign_nearest_centroid(
-        e.select("vec_id", "v"), [row.v for row in cents]
-    )
-    labels = sim.cell_components(assign, SEMDEDUP_TAU)
+    labels = sim.cell_components(assign, SEMDEDUP_TAU, cell_col="cen")
     return labels.select(
         "vec_id", F.col("label").cast("bigint").alias("cluster")
     ).orderBy("vec_id")
@@ -1915,11 +1997,8 @@ exact AS (SELECT a.vec_id AS d1, b.vec_id AS d2
           FROM sn a JOIN sn b ON a.vec_id < b.vec_id
           WHERE {sim.DOT_SQL.format(a="a.v", b="b.v")} / (a.n * b.n)
                 >= {SEMDEDUP_TAU}),
-assign AS (SELECT vec_id, cen FROM (
-    SELECT s.vec_id, cen,
-           row_number() OVER (PARTITION BY s.vec_id
-               ORDER BY {sim.DIST2_SQL.format(a="s.v", b="cv")}, cen) AS rn
-    FROM samp s CROSS JOIN cents) WHERE rn = 1),
+assign AS (SELECT f.vec_id AS vec_id, f.cen AS cen
+           FROM fassign f JOIN samp s ON f.vec_id = s.vec_id),
 j AS (SELECT a1.cen AS c1, a2.cen AS c2
       FROM exact JOIN assign a1 ON exact.d1 = a1.vec_id
                  JOIN assign a2 ON exact.d2 = a2.vec_id)
@@ -1950,23 +2029,20 @@ def semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the exact square runs on the SAMPLE only (one BLAS
     cell via cell_threshold_pairs); assignment reuses the full-corpus
-    quantizer (k scales with n) through the broadcast-matrix Arrow
-    kernel (sim.assign_nearest_centroid — constant plan size, zero
-    shuffle); the intersection is two broadcast joins of a
+    HIERARCHICAL quantizer (_semdedup_assign — the production path it
+    audits: O(sqrt k) broadcast, fine codebook distributed), filtered
+    to the sample; the intersection is two broadcast joins of a
     <=sample-sized frame."""
-    import math
-
     from pyspark.sql import functions as F  # noqa: F811 (local clarity)
 
     emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     e = emb.select("vec_id", sim.to_double("embedding").alias("v"))
     n_vecs = e.count()  # metadata-scale driver scalar
-    k = max(_SEMDEDUP_MIN_CELLS, math.ceil(n_vecs / _SEMDEDUP_CELL_TARGET))
     keep = _budget_keep_mille(
         n_vecs, EMBEDDING_EXACT_TARGET_VECS, EMBEDDING_EXACT_MAX_MILLE
     )
-    cents = e.orderBy("vec_id").limit(k).select("v").collect()
-    if not cents:
+    fa = _semdedup_assign(spark, sf_dir)
+    if fa is None:
         return spark.createDataFrame(
             [(0, 0, 0, None)],
             "n_sample bigint, exact_pairs bigint, captured_pairs bigint, recall double",
@@ -1977,9 +2053,9 @@ def semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = sim.cell_threshold_pairs(
         samp.withColumn("cell", F.lit(0)), SEMDEDUP_TAU, cell_col="cell"
     )
-    assign = sim.assign_nearest_centroid(
-        samp.select("vec_id", "v"), [row.v for row in cents]
-    ).select("vec_id", "cen")
+    assign = fa.where(F.expr(f"{_EMBEDDING_MIX} < {keep}")).select(
+        "vec_id", "cen"
+    )
     a1 = assign.select(F.col("vec_id").alias("d1"), F.col("cen").alias("c1"))
     a2 = assign.select(F.col("vec_id").alias("d2"), F.col("cen").alias("c2"))
     j = exact.join(F.broadcast(a1), "d1").join(F.broadcast(a2), "d2")
