@@ -177,10 +177,90 @@ HEADLINE = [
     "repeated_span_excision",
     "excision_source_accounting",
     "excision_rewrite_checksum",
-    # cluster_quality_survivors composes the full exact-pair plan +
-    # iterative propagation (like dedup_clusters, which is also
-    # registry-only): attested for correctness, not a headline timing
+    "incremental_minhash_novelty",
 ]
+
+# Registered queries deliberately NOT in the headline bench. This list
+# is EXPLICIT and exact-partition-tested (tests/test_bench.py) so a new
+# registration can never silently miss the bench records again (r5
+# missed portable_hll_audit, r6 missed excision_rewrite_checksum —
+# both were trailing landings with no structural check). Every entry
+# is still correctness-attested (oracle parity + driver CORRECTNESS);
+# exclusion reasons fall into four classes:
+#   twin   — micro-operator correctness twin whose plan is a strict
+#            subset of a headline query's (timing it twice measures
+#            the same operators; e.g. hourly_event_counts is inside
+#            hourly_counts_gapfilled / tumbling_hourly_counts)
+#   comp   — composition that re-runs other headline queries' full
+#            plans (would double-count their cost in the total)
+#   audit  — accuracy/recall audit of a headline production path,
+#            run on demand, not a throughput surface (audit_* names
+#            are excluded by prefix; these are audits without the
+#            prefix for historical naming)
+#   gated  — deterministic-sample or rows-only contract where the
+#            headline carries the production twin
+REGISTRY_ONLY = {
+    "ann_ivf_recall": "audit",
+    "ann_lsh_recall": "audit",
+    "ann_truncation_recall": "audit",
+    "approx_distinct_audit": "audit",
+    "approx_quantile_audit": "audit",
+    "bpe_token_stats": "twin",  # token_stats carries the BPE regex path
+    "cluster_quality_survivors": "comp",  # exact pairs + propagation
+    "collocations_pmi": "twin",  # bigram agg inside bigram_surprisal
+    "continent_classification": "twin",  # when-tree inside country_intelligence
+    "curation_funnel": "comp",  # curation_pipeline_e2e stage counts
+    "customers_without_orders": "twin",  # anti-join in users_except shape
+    "daily_activity": "twin",  # multi-key count inside country_intelligence
+    "dedup_clusters": "comp",  # exact-pair plan + iterative propagation
+    "dedup_survivors": "comp",
+    "dup_graph_triangles": "comp",
+    "event_gaps": "twin",  # lag window inside interarrival_histogram
+    "event_type_domain": "twin",  # collect_set inside global_kpis family
+    "events_sample": "gated",  # deterministic hash membership only
+    "exact_substring_decontamination": "twin",  # 13-gram path inside benchmark_decontamination
+    "file_ts_parse": "twin",  # parse/format inside hourly family
+    "fingerprint_dedup": "twin",  # rolling hash inside curation e2e stage 2
+    "first_match_enrichment": "twin",  # dedup_dim join inside brand_revenue shape
+    "global_kpis": "twin",  # scalar KPIs inside orders_profile
+    "grouped_percentiles": "twin",  # exact ntile inside grouped_value_quantiles
+    "hourly_counts_gapfilled": "twin",  # sequence-fill over tumbling_hourly_counts
+    "hourly_event_counts": "twin",
+    "hourly_moving_avg": "twin",  # range window inside hod_seasonal_zscore
+    "incremental_dedup_novelty": "twin",  # ungated exact form of _capped
+    "json_props_extract": "twin",  # get_json_object inside variant_props_profile
+    "kmeans_phases": "gated",  # rows-only contract; kmeans_lloyd_phases is the timed twin
+    "lang_id_confusion": "twin",  # ngram heuristic inside quality pipeline
+    "lineitem_rollup": "twin",  # pricing_summary is the headline form
+    "local_supplier_volume": "twin",  # TPC-H Q5 join tree inside brand_revenue family
+    "marker_sizes": "twin",  # clip/derive scalars inside dead_reckoning family
+    "membership_range_filter": "twin",  # filter pushdown inside suspicious_events
+    "minhash_accuracy_audit": "audit",
+    "mode_event_type": "twin",  # deterministic mode inside top_event_types
+    "null_fill_drop": "twin",  # fill/drop inside curation e2e stage 1
+    "order_priority_pivot": "twin",  # pivot of order_priority_counts
+    "orders_cube": "twin",  # cube over orders_profile aggregates
+    "orders_profile": "twin",
+    "p99_value": "twin",  # exact quantile inside quantile_outliers
+    "quality_scores": "twin",  # score expr inside repetition_quality_flags
+    "returned_item_report": "twin",  # TPC-H Q10 join tree, brand_revenue shape
+    "running_value": "twin",  # cumulative window inside cusum_changepoint
+    "salted_event_rollup": "twin",  # salted agg inside skew family
+    "semantic_dedup_crosscheck": "comp",  # joins two other queries' plans
+    "simhash_signatures": "twin",  # sketch projection inside simhash_near_dups
+    "split_leakage_pairs": "comp",  # shingle join over train_split_assign
+    "stratified_sample_counts": "gated",
+    "suppliers_with_shipments": "twin",  # semi-join in users_intersect shape
+    "suspicious_events": "twin",  # compound predicate, timed via quantile_outliers
+    "tfidf_top_terms": "twin",  # df/idf aggregates inside top_terms_by_lang
+    "top_event_types": "twin",
+    "top_terms_by_lang": "twin",  # explode+agg inside tfidf/zipf family
+    "train_split_assign": "twin",  # hash-split projection inside curation e2e
+    "union_segments": "twin",  # union-all read inside multi-file family
+    "users_except": "twin",  # set-op pair with users_intersect
+    "users_intersect": "twin",
+    "value_bands": "twin",  # binning inside value_deciles family
+}
 
 
 def _input_bytes(sf_dir: str) -> int:

@@ -49,20 +49,23 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # prefix-biased sampler attests them; all pass the local DuckDB mirror
 # (tests/test_oracle_parity.py) regardless.
 SAMPLE_FIRST: tuple[str, ...] = (
-    # new in round 6 (semantic change or new registration), enumerated
+    # new in round 7 (semantic change or new registration), enumerated
     # first so the prefix-biased driver sampler attests them this
     # round; all pass the local DuckDB mirror at sf0.001+sf0.01.
+    "incremental_minhash_novelty",  # r7: new (batch-vs-archive LSH probe)
+    "semantic_dedup_clusters",  # r7: hierarchical two-level quantizer
+    "semantic_dedup_recall",  # r7: audits the hierarchical assignment
+    "embedding_prototypicality",  # r7: null-label centroid skip
+    "excision_rewrite_to_lake",  # r7: new (rewrite landed as lake version)
+    # carried from round 6 (all green in CORRECTNESS_r06):
     "ccnet_perplexity_buckets",  # r6: new (CCNet head/middle/tail)
     "dsir_importance_weights",  # r6: new (DSIR hashed-bigram IW)
-    "embedding_prototypicality",  # r6: new (SSL-prototypes pruning)
     "repeated_span_excision",  # r6: new (ExactSubstr span cut list)
     "excision_source_accounting",  # r6: new (per-source cut rollup)
     "excision_rewrite_checksum",  # r6: new (executed rewrite manifest)
     "token_pagerank",  # r6: codegen bigram edges + checkpointed loop
     "quantile_sketch_audit",
     "ks_drift_by_source",
-    "semantic_dedup_clusters",  # r6: broadcast-kernel assignment + cell components
-    "semantic_dedup_recall",
     "repetition_quality_flags",  # r6: fused Arrow metric kernel
     "bloom_semijoin_audit",  # r6: distributed word map (no driver collect)
     "unigram_surprisal",  # r6: token-partitioned dt reuse

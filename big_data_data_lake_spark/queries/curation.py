@@ -781,6 +781,111 @@ def incremental_dedup_novelty_capped(spark: SparkSession, sf_dir: str) -> DataFr
     return _incremental_novelty(spark, sf_dir, INCREMENTAL_CAPPED_MAX_DF)
 
 
+INCREMENTAL_MINHASH_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM documents),
+hsh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS hs FROM tok),
+sig AS (SELECT doc_id,
+           {dd.minhash_sig_sql_columns()}
+        FROM hsh),
+bands AS (
+    {dd.minhash_bands_sql()}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+    WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+),
+hits AS (
+    SELECT new_id, round(max({dd.minhash_est_sim_sql("x", "y")}), 4) AS max_est_sim
+    FROM cand
+    JOIN sig x ON cand.new_id = x.doc_id
+    JOIN sig y ON cand.old_id = y.doc_id
+    GROUP BY new_id
+)
+SELECT d.doc_id,
+       coalesce(h.max_est_sim, 0.0) AS max_est_sim,
+       coalesce(h.max_est_sim, 0.0) < 0.5 AS is_novel
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN hits h ON d.doc_id = h.new_id
+ORDER BY d.doc_id
+"""
+
+
+@register("incremental_minhash_novelty", INCREMENTAL_MINHASH_ORACLE)
+def incremental_minhash_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup novelty — the daily-ingest production path
+    the exact incremental family cannot cover at scale (r6 verdict
+    item #3): the incoming batch (doc_id % 5 == 0, standing in for
+    today's crawl) PROBES the archive's banded MinHash signature index
+    instead of joining raw shingle postings, so per-day cost is
+    bounded by the BATCH's band rows x bucket occupancy and the
+    archive is touched only through its (band, bkey) index — the
+    archive never self-joins and its raw shingles are never shuffled.
+
+    Shape: signatures are the row-local 32-minhash sketch (persisted:
+    the band explode and both candidate join-backs read them from
+    cache; in production the archive's sig + band index are
+    PRECOMPUTED tables maintained by each day's ingest — this plan
+    reads them exactly as if they were, since everything downstream of
+    the sig frame sees only (doc_id, band, bkey) and (doc_id, s0..s31)
+    relations). The probe is a narrow (band, bkey) equi-join — batch
+    bands against archive bands, ~24 B/row either side; candidates
+    dedupe on (new, old); agreement >= nothing is pre-filtered — the
+    MAX estimated similarity per incoming doc is the deliverable, and
+    docs with zero colliding bands pin to 0.0 / novel via the final
+    left join (same contract as incremental_dedup_novelty). Verdict
+    threshold 0.5 is the LSH family's own agreement gate
+    (minhash_lsh_pairs), so batch-vs-archive novelty and in-corpus
+    pair detection agree on what "near-dup" means."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    sig = scoped_persist(
+        docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
+        .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
+        .selectExpr("doc_id", *dd.spark_minhash_sig_exprs())
+    )
+    bands = sig.select(
+        "doc_id", F.explode(dd.minhash_bands()).alias("bk")
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    probe = bands.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("new_id"), "band", "bkey"
+    )
+    index = bands.where(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("old_id"), "band", "bkey"
+    )
+    cand = (
+        probe.join(index, ["band", "bkey"])
+        .select("new_id", "old_id")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    x = sig.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(f"s{k}").alias(f"x{k}") for k in range(dd.N_MINHASH)],
+    )
+    y = sig.select(
+        F.col("doc_id").alias("old_id"),
+        *[F.col(f"s{k}").alias(f"y{k}") for k in range(dd.N_MINHASH)],
+    )
+    est = sum(
+        (F.col(f"x{k}") == F.col(f"y{k}")).cast("int")
+        for k in range(dd.N_MINHASH)
+    ) / float(dd.N_MINHASH)
+    hits = (
+        cand.join(x, "new_id")
+        .join(y, "old_id")
+        .groupBy("new_id")
+        .agg(F.round(F.max(est), 4).alias("max_est_sim"))
+    )
+    inc_ids = docs.where(F.col("doc_id") % 5 == 0).select("doc_id")
+    mx = F.coalesce(F.col("max_est_sim"), F.lit(0.0))
+    return (
+        inc_ids.join(hits, inc_ids.doc_id == hits.new_id, "left")
+        .select("doc_id", mx.alias("max_est_sim"), (mx < 0.5).alias("is_novel"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end curation pipeline (flagship composition)
 # ---------------------------------------------------------------------------
