@@ -178,6 +178,7 @@ HEADLINE = [
     "excision_source_accounting",
     "excision_rewrite_checksum",
     "incremental_minhash_novelty",
+    "excision_rewrite_to_lake",
 ]
 
 # Registered queries deliberately NOT in the headline bench. This list
