@@ -179,6 +179,7 @@ HEADLINE = [
     "excision_rewrite_checksum",
     "incremental_minhash_novelty",
     "excision_rewrite_to_lake",
+    "incremental_semantic_novelty",
 ]
 
 # Registered queries deliberately NOT in the headline bench. This list

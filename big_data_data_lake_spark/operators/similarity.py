@@ -578,6 +578,73 @@ def cell_threshold_pairs(
     )
 
 
+def cell_cross_max_cos(
+    assigned: DataFrame,
+    flag_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    cell_col: str = "cen",
+) -> DataFrame:
+    """Per FLAGGED row (the probe/batch side), the maximum cosine to
+    any UNFLAGGED row (the archive side) of the SAME quantizer cell —
+    the semantic incremental-novelty kernel: one applyInPandas group
+    per cell, batch-vs-archive only (the archive never self-compares,
+    so per-cell cost is |batch_cell| x |archive_cell|, daily cost
+    scales with the batch). Returns (id_col, max_cos) for flagged
+    rows that have >= 1 archive row in their cell; flagged rows in
+    archive-empty cells emit nothing (the caller's left join pins
+    them novel).
+
+    Bit-exactness contract (keeps the DuckDB oracle green): dot and
+    both squared norms accumulate dimension-by-dimension in float64 —
+    the identical add sequence as the oracle's sequential DOT_SQL
+    fold (same doctrine as cosine_to_keyed_centroid; numpy's
+    pairwise-summing ``@`` would differ at ~1e-16) — and max over
+    bit-identical values is bit-identical. Zero-norm rows on either
+    side produce no finite cosine and are excluded exactly like the
+    oracle's norm guard."""
+    import numpy as np
+    import pandas as pd
+
+    def one(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        flags = pdf[flag_col].to_numpy().astype(bool)
+        bp, ap = pdf[flags], pdf[~flags]
+        if len(bp) == 0 or len(ap) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "max_cos": pd.Series([], dtype="float64"),
+                }
+            )
+        b = np.stack(bp[vec_col].to_numpy()).astype(np.float64)
+        a = np.stack(ap[vec_col].to_numpy()).astype(np.float64)
+        dim = b.shape[1]
+        dot = np.zeros((len(b), len(a)), dtype=np.float64)
+        nb = np.zeros(len(b), dtype=np.float64)
+        na = np.zeros(len(a), dtype=np.float64)
+        for d in range(dim):
+            dot += np.outer(b[:, d], a[:, d])
+            nb += b[:, d] * b[:, d]
+            na += a[:, d] * a[:, d]
+        denom = np.sqrt(nb)[:, None] * np.sqrt(na)[None, :]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(denom > 0, dot / denom, -np.inf)
+        mx = cos.max(axis=1)
+        ok = np.isfinite(mx)
+        return pd.DataFrame(
+            {
+                id_col: bp[id_col].to_numpy()[ok].astype("int64"),
+                "max_cos": mx[ok],
+            }
+        )
+
+    return (
+        assigned.select(id_col, vec_col, cell_col, flag_col)
+        .groupBy(cell_col)
+        .applyInPandas(one, schema=f"{id_col} bigint, max_cos double")
+    )
+
+
 def cell_components(
     assigned: DataFrame,
     tau: float,

@@ -57,6 +57,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "semantic_dedup_recall",  # r7: audits the hierarchical assignment
     "embedding_prototypicality",  # r7: null-label centroid skip
     "excision_rewrite_to_lake",  # r7: new (rewrite landed as lake version)
+    "incremental_semantic_novelty",  # r7: new (batch-vs-archive cosine)
     # carried from round 6 (all green in CORRECTNESS_r06):
     "ccnet_perplexity_buckets",  # r6: new (CCNet head/middle/tail)
     "dsir_importance_weights",  # r6: new (DSIR hashed-bigram IW)

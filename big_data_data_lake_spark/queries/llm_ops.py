@@ -1985,6 +1985,138 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# Hierarchical quantizer CTEs trained on the ARCHIVE slice only
+# (incremental novelty: the quantizer pre-exists with the archive;
+# the day's batch is assigned through it, never trains it).
+_SEMDEDUP_KC_ARCH = (
+    f"(SELECT greatest(2, CAST(ceil(sqrt(greatest({_SEMDEDUP_MIN_CELLS}, "
+    f"ceil(count(*) / {_SEMDEDUP_CELL_TARGET}.0)))) AS BIGINT)) FROM arch)"
+)
+
+INCREMENTAL_SEMANTIC_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+arch AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 0),
+cc AS (SELECT rn - 1 AS ccen, v AS cv
+       FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM arch)
+       WHERE rn <= {_SEMDEDUP_KC_ARCH}),
+cassign AS (SELECT vec_id, v, ccen FROM (
+    SELECT e.vec_id, e.v, cc.ccen,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {sim.DIST2_SQL.format(a="e.v", b="cc.cv")}, cc.ccen)
+               AS rn
+    FROM e CROSS JOIN cc) WHERE rn = 1),
+fc AS (SELECT ccen, rn - 1 AS fcen, v AS fv FROM (
+    SELECT ccen, v,
+           row_number() OVER (PARTITION BY ccen ORDER BY vec_id) AS rn,
+           count(*) OVER (PARTITION BY ccen) AS cnt
+    FROM cassign WHERE vec_id % 5 <> 0)
+    WHERE rn <= ceil(cnt / {_SEMDEDUP_CELL_TARGET}.0)),
+fassign AS (SELECT vec_id, v, ccen, fcen,
+                   CAST(ccen AS BIGINT) * {_SEMDEDUP_CELL_SHIFT} + fcen AS cen
+            FROM (
+    SELECT a.vec_id, a.v, a.ccen, f.fcen,
+           row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY {sim.DIST2_SQL.format(a="a.v", b="f.fv")}, f.fcen)
+               AS rn
+    FROM cassign a JOIN fc f ON a.ccen = f.ccen) WHERE rn = 1),
+sn AS (SELECT vec_id, v, cen, {sim.NORM_SQL.format(a="v")} AS n FROM fassign),
+hits AS (SELECT b.vec_id AS vec_id,
+                round(max({sim.DOT_SQL.format(a="b.v", b="a.v")} / (b.n * a.n)),
+                      4) AS max_cos
+         FROM sn b JOIN sn a ON b.cen = a.cen
+         WHERE b.vec_id % 5 = 0 AND a.vec_id % 5 <> 0
+           AND b.n > 0 AND a.n > 0
+         GROUP BY b.vec_id)
+SELECT d.vec_id, h.max_cos,
+       coalesce(h.max_cos < {SEMDEDUP_TAU}, TRUE) AS is_novel
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0) d
+LEFT JOIN hits h ON d.vec_id = h.vec_id
+ORDER BY d.vec_id
+"""
+
+
+@register("incremental_semantic_novelty", INCREMENTAL_SEMANTIC_ORACLE)
+def incremental_semantic_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC novelty — completes the incremental-dedup
+    trio (exact shingle: incremental_dedup_novelty*, lexical sketch:
+    incremental_minhash_novelty, semantic: this): each incoming
+    vector's (vec_id % 5 == 0 batch) maximum cosine to the ARCHIVE
+    members of its own quantizer cell, with the SemDeDup tau as the
+    novelty verdict — the check a curation pipeline runs before
+    admitting a day's embeddings, catching paraphrase-duplicates the
+    shingle and sketch paths cannot see.
+
+    Scale shape, batch-bounded like its two siblings: the quantizer
+    is TRAINED ON THE ARCHIVE ONLY (in production it pre-exists;
+    codebooks are maintained with the archive, the batch never
+    retrains them) through the same hierarchical O(sqrt k) split as
+    semantic_dedup_clusters — coarse codebook broadcast, fine
+    codebook a distributed frame reached by cogroup. Scoring is ONE
+    applyInPandas group per cell comparing batch rows against archive
+    rows only (sim.cell_cross_max_cos: |batch_cell| x |archive_cell|
+    per cell — the archive never self-compares, so daily cost scales
+    with the batch); batch rows whose cell holds no archive vector
+    pin novel via the final left join. Every coarse cell that attracts
+    any row holds >= 1 archive member (each coarse centroid IS an
+    archive vector that assigns to its own index, and duplicate-
+    centroid ties collapse to the lowest index on both the archive
+    and batch sides), so the cogroup's no-fine-centroid guard cannot
+    trip. Bit-exactness: dimension-fold distances and cosines at both
+    levels, ties to the lowest index, max over bit-identical doubles
+    (kernel docstring)."""
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    e = emb.select("vec_id", sim.to_double("embedding").alias("v"))
+    arch = e.where(F.col("vec_id") % 5 != 0)
+    batch_ids = e.where(F.col("vec_id") % 5 == 0).select("vec_id")
+    n_arch = arch.count()  # metadata-scale driver scalar
+    _, kc = _semdedup_sizes(n_arch)
+    coarse = arch.orderBy("vec_id").limit(kc).select("v").collect()
+    if not coarse:
+        return batch_ids.select(
+            "vec_id",
+            F.lit(None).cast("double").alias("max_cos"),
+            F.lit(True).alias("is_novel"),
+        ).orderBy("vec_id")
+
+    from pyspark.sql import Window
+
+    cassign = scoped_persist(
+        sim.assign_nearest_centroid(
+            e.select("vec_id", "v"), [row.v for row in coarse], out_col="ccen"
+        )
+    )
+    arch_assign = cassign.where(F.col("vec_id") % 5 != 0)
+    w = Window.partitionBy("ccen").orderBy("vec_id")
+    fine = (
+        arch_assign.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("ccen")))
+        .where(F.col("rn") <= F.ceil(F.col("cnt") / F.lit(_SEMDEDUP_CELL_TARGET)))
+        .select(
+            "ccen",
+            (F.col("rn") - 1).cast("int").alias("fcen"),
+            F.col("v").alias("fv"),
+        )
+    )
+    fa = sim.assign_fine_within_cell(cassign, fine).withColumn(
+        "cen",
+        F.col("ccen").cast("bigint") * F.lit(_SEMDEDUP_CELL_SHIFT)
+        + F.col("fcen"),
+    )
+    hits = sim.cell_cross_max_cos(
+        fa.withColumn("is_b", F.col("vec_id") % 5 == 0), "is_b"
+    )
+    mx = F.round(F.col("max_cos"), 4)
+    return (
+        batch_ids.join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            mx.alias("max_cos"),
+            F.coalesce(mx < F.lit(SEMDEDUP_TAU), F.lit(True)).alias("is_novel"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 _SEMDEDUP_SAMPLE_FILTER_SQL = _EMBEDDING_MIX + " < " + _budget_keep_mille_sql(
     "embeddings", EMBEDDING_EXACT_TARGET_VECS, EMBEDDING_EXACT_MAX_MILLE
 )
