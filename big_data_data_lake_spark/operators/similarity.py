@@ -490,8 +490,13 @@ def assign_fine_within_cell(
     cell). Work per task is one coarse cell: |cell| vectors against
     its ~sqrt(k) fine centroids through the blocked running-argmin
     kernel, so peak task memory is |cell| x min(block, m_c) doubles
-    plus the cell's own rows — bounded by the quantizer's sizing at
-    any corpus size. Bit-exactness: fine centroids are sorted by
+    plus the cell's own rows. The cell's rows are the one per-task
+    structure that grows with sqrt(k) (~250*sqrt(k) vectors as one
+    pandas frame; ~256 MB of float64 at 1B vectors / 64 dims) — if
+    that ever binds, salt the cogroup key ((cell, pmod(id, S)) with
+    the fine frame replicated S ways) to split a coarse cell across S
+    tasks; fine assignment is row-local within the cell, so the split
+    cannot change any result. Bit-exactness: fine centroids are sorted by
     index inside the kernel, distances are the dimension-fold, ties
     go to the lowest fine index (strict-< running combine) — the same
     contract as the coarse level, so a DuckDB oracle replays the
