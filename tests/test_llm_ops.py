@@ -897,6 +897,54 @@ def test_semdedup_driver_state_sublinear_in_corpus(spark):
     assert "FlatMapCoGroupsInPandas" in plan, plan[:3000]
 
 
+def test_cell_cross_max_cos_sides_and_guards(spark):
+    """The batch-vs-archive kernel must (a) compare ONLY across sides
+    within a cell — never batch-batch, archive-archive, or across
+    cells; (b) agree with a per-pair sequential float64 fold; (c)
+    exclude zero-norm rows on either side exactly like the oracle's
+    norm guard (a batch row whose cell has only zero-norm archive rows
+    emits nothing)."""
+    import math
+
+    from big_data_data_lake_spark.operators import similarity as sim
+
+    rows = [
+        # cell 0: batch 1 vs archive 100, 101; batch 2 is zero-norm
+        (1, [1.0, 0.0], 0, True),
+        (2, [0.0, 0.0], 0, True),
+        (100, [1.0, 1.0], 0, False),
+        (101, [-1.0, 0.5], 0, False),
+        # cell 1: identical twin of batch 3 sits in cell 0's archive —
+        # must NOT be seen; cell 1's own archive is orthogonal
+        (3, [1.0, 1.0], 1, True),
+        (200, [-2.0, 2.0], 1, False),
+        # cell 2: batch only -> no output row
+        (4, [1.0, 2.0], 2, True),
+        # cell 3: archive whose only row is zero-norm -> no output row
+        (5, [1.0, 2.0], 3, True),
+        (300, [0.0, 0.0], 3, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, v array<double>, cen int, is_b boolean"
+    )
+    got = {
+        r.vec_id: r.max_cos
+        for r in sim.cell_cross_max_cos(df, "is_b").collect()
+    }
+
+    def cosf(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    assert set(got) == {1, 3}
+    assert got[1] == max(cosf([1.0, 0.0], [1.0, 1.0]), cosf([1.0, 0.0], [-1.0, 0.5]))
+    assert got[3] == cosf([1.0, 1.0], [-2.0, 2.0])  # cell 0's twin unseen
+
+
 def test_cosine_to_keyed_centroid_none_key_is_skipped(spark):
     """A None key in the centroid map (a null-label row upstream)
     must not crash the kernel (sorted(cm) used to raise TypeError on
