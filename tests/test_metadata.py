@@ -562,9 +562,10 @@ def test_delta_adapter_parity_with_laketable_semantics(tmp_path):
             .appName("delta-parity")
             .config("spark.sql.shuffle.partitions", "2")
             .config("spark.ui.enabled", "false")
-            .config(
-                "spark.databricks.delta.retentionDurationCheck.enabled", "false"
-            )
+            # NOTE: deliberately NOT disabling retentionDurationCheck
+            # here — vacuum() scopes that itself (r6 advisory: the
+            # test session's global override was masking a production
+            # IllegalArgumentException on any table younger than 168h)
         )
         .getOrCreate()
     )
