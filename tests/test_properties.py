@@ -413,3 +413,115 @@ def test_positional_shingle_hashes_match_python_reference(tokens, n):
             acc = (acc * C + th[i + j]) % P
         expect.append(acc)
     assert list(row.hs) == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9),    # rows
+    st.integers(min_value=1, max_value=23),   # centroids
+    st.integers(min_value=1, max_value=6),    # dims
+    st.integers(min_value=1, max_value=25),   # block size
+    st.randoms(use_true_random=False),
+)
+def test_blocked_argmin_property_matches_bruteforce(m, k, dim, block, rnd):
+    """For ANY (rows, centroids, dims, block) shape — including
+    duplicate centroids generated on purpose — the blocked running
+    argmin must return exactly the brute-force sequential-fold result
+    with first-occurrence tie-breaks. This is the bit-exactness
+    contract both quantizer levels and the DuckDB oracle rely on."""
+    from big_data_data_lake_spark.operators.similarity import (
+        _blocked_argmin_dist2,
+    )
+
+    vals = [rnd.randint(-3, 3) * 0.5 for _ in range(max(m, k) * dim * 2)]
+    a = np.array(vals[: m * dim], dtype=np.float64).reshape(m, dim)
+    c = np.array(vals[m * dim : m * dim + k * dim], dtype=np.float64).reshape(
+        k, dim
+    )
+    # force ties: clone a random centroid into a later slot
+    if k >= 2:
+        src = rnd.randrange(k - 1)
+        c[rnd.randrange(src + 1, k)] = c[src]
+
+    exp_d = np.empty(m)
+    exp_i = np.empty(m, dtype=np.int64)
+    for r in range(m):
+        best_d, best_i = None, None
+        for j in range(k):
+            acc = 0.0
+            for d in range(dim):  # sequential dimension fold
+                diff = a[r, d] - c[j, d]
+                acc += diff * diff
+            if best_d is None or acc < best_d:
+                best_d, best_i = acc, j
+        exp_d[r], exp_i[r] = best_d, best_i
+
+    got_d, got_i = _blocked_argmin_dist2(a, c, block)
+    assert np.array_equal(got_i, exp_i)
+    assert np.array_equal(got_d, exp_d)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=6),   # batch rows
+    st.integers(min_value=0, max_value=6),   # archive rows
+    st.integers(min_value=1, max_value=5),   # dims
+    st.randoms(use_true_random=False),
+)
+def test_cell_cross_max_cos_kernel_property(spark, nb, na, dim, rnd):
+    """The cross-side kernel's pandas core must equal the per-pair
+    sequential cosine fold with max over archive, dropping zero-norm
+    rows on either side — for any cell population including empty
+    sides and all-zero vectors."""
+    import math
+
+    import pandas as pd
+
+    from big_data_data_lake_spark.operators import similarity as sim
+
+    def vec():
+        v = [rnd.randint(-2, 2) * 1.0 for _ in range(dim)]
+        if rnd.random() < 0.2:
+            v = [0.0] * dim  # zero-norm on purpose
+        return v
+
+    rows = [(i, vec(), True) for i in range(nb)] + [
+        (100 + i, vec(), False) for i in range(na)
+    ]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "v", "is_b"])
+
+    # reach the kernel's group function through a tiny local stand-in:
+    # replicate its math sequentially
+    def cosf(a, b):
+        dot = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            n1 += x * x
+            n2 += y * y
+        den = math.sqrt(n1) * math.sqrt(n2)
+        return dot / den if den > 0 else None
+
+    expect = {}
+    for i, bv, flag in rows:
+        if not flag:
+            continue
+        cands = [
+            cosf(bv, av) for j, av, f2 in rows if not f2
+        ]
+        cands = [c for c in cands if c is not None]
+        if cands:
+            expect[i] = max(cands)
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        pdf.to_dict("records") if len(pdf) else [],
+        "vec_id long, v array<double>, is_b boolean",
+    ).withColumn("cen", F.lit(0))
+    got = {
+        r.vec_id: r.max_cos
+        for r in sim.cell_cross_max_cos(df, "is_b").collect()
+    }
+    assert set(got) == set(expect)
+    for i, v in expect.items():
+        assert got[i] == v, i
