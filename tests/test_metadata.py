@@ -778,3 +778,91 @@ def test_crash_debris_invisible_to_readers_and_vacuumed(spark, events, tmp_path)
     assert not os.path.exists(torn) and not os.path.exists(orphan)
     # table still reads after the sweep
     assert t.read().count() == 2 * before
+
+
+def test_quantizer_codebooks_roundtrip_through_lake_versions(spark, tmp_path):
+    """Production maintenance story for the hierarchical quantizer:
+    the coarse and fine codebooks are TABLES (maintained with the
+    archive, versioned like any lake asset — the posture
+    incremental_semantic_novelty's docstring assumes). Land both
+    codebooks as LakeTable versions, reload them, and assert the
+    reloaded codebooks drive the exact same assignment as the frames
+    they were built from — codebook persistence can never drift the
+    cells. Also prove an APPEND-evolved codebook (a re-trained fine
+    level committed as the next version) changes assignment through
+    time travel, i.e. yesterday's version still reproduces
+    yesterday's cells."""
+    from big_data_data_lake_spark.operators import similarity as sim
+    from big_data_data_lake_spark.sources.metadata import LakeTable
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", sim.to_double("embedding").alias("v"))
+    )
+    coarse_rows = e.orderBy("vec_id").limit(4).select("v").collect()
+    cassign = sim.assign_nearest_centroid(
+        e, [r.v for r in coarse_rows], out_col="ccen"
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("ccen").orderBy("vec_id")
+    fine = (
+        cassign.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("ccen", (F.col("rn") - 1).cast("int").alias("fcen"),
+                F.col("v").alias("fv"))
+    )
+
+    # land both codebooks as lake tables
+    ct = LakeTable(spark, str(tmp_path / "coarse_codebook"))
+    ct.create(
+        spark.createDataFrame(
+            [(i, r.v) for i, r in enumerate(coarse_rows)], "cen int, cv array<double>"
+        )
+    )
+    ft = LakeTable(spark, str(tmp_path / "fine_codebook"))
+    v_fine0 = ft.create(fine)
+
+    # reload and re-assign: identical cells
+    reloaded_coarse = [
+        r.cv for r in ct.read().orderBy("cen").collect()
+    ]
+    ca2 = sim.assign_nearest_centroid(e, reloaded_coarse, out_col="ccen")
+    fa_direct = {
+        (r.vec_id): (r.ccen, r.fcen)
+        for r in sim.assign_fine_within_cell(cassign, fine).collect()
+    }
+    fa_reload = {
+        (r.vec_id): (r.ccen, r.fcen)
+        for r in sim.assign_fine_within_cell(
+            ca2, ft.read(v_fine0).select("ccen", "fcen", "fv")
+        ).collect()
+    }
+    assert fa_direct == fa_reload
+
+    # retrain: append a third fine centroid per cell as a new version
+    extra = (
+        cassign.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 3)
+        .select("ccen", F.lit(2).cast("int").alias("fcen"),
+                F.col("v").alias("fv"))
+    )
+    v_fine1 = ft.append(extra)
+    fa_new = {
+        r.vec_id: (r.ccen, r.fcen)
+        for r in sim.assign_fine_within_cell(
+            ca2, ft.read(v_fine1).select("ccen", "fcen", "fv")
+        ).collect()
+    }
+    # time travel to v0 still reproduces yesterday's cells exactly
+    fa_old = {
+        r.vec_id: (r.ccen, r.fcen)
+        for r in sim.assign_fine_within_cell(
+            ca2, ft.read(v_fine0).select("ccen", "fcen", "fv")
+        ).collect()
+    }
+    assert fa_old == fa_direct
+    assert fa_new != fa_direct  # the retrain is visible at the head
+    # and the retrained assignment only ever uses fcen in {0,1,2}
+    assert {f for _, f in fa_new.values()} <= {0, 1, 2}
