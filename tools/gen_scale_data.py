@@ -21,6 +21,15 @@ instead of naively duplicating rows:
 
 Usage: python tools/gen_scale_data.py [factor] [out_dir]
        (defaults: 10, .bench/sf1 — gitignored)
+
+Composition caveat at factor > 26: the Caesar rotation wraps mod 26,
+so reps 0/26/52/78 carry VERBATIM document copies — the sf10 corpus
+deliberately has a ~4x exact-duplication rate, which inflates true
+near-dup pair COUNTS combinatorially (measured in SCALE.md's 100x
+sweep: pair outputs grow ~3,000x while pair-query time grows 18-67x —
+i.e. the plans are output-bound). Embeddings similarly re-coincide
+every 64 reps (cyclic shift mod dim). Fine for plan-scaling studies —
+just normalize per OUTPUT row for the pair queries.
 """
 
 from __future__ import annotations
