@@ -470,6 +470,9 @@ def assign_fine_within_cell(
     fine_vec_col: str = "fv",
     fine_idx_col: str = "fcen",
     block: int = 256,
+    idx_limit: int | None = None,
+    salt: int = 1,
+    salt_key: str | None = None,
 ) -> DataFrame:
     """Second level of the hierarchical quantizer: assign each vector
     to the nearest FINE centroid among those of its own coarse cell —
@@ -492,11 +495,27 @@ def assign_fine_within_cell(
     kernel, so peak task memory is |cell| x min(block, m_c) doubles
     plus the cell's own rows. The cell's rows are the one per-task
     structure that grows with sqrt(k) (~250*sqrt(k) vectors as one
-    pandas frame; ~256 MB of float64 at 1B vectors / 64 dims) — if
-    that ever binds, salt the cogroup key ((cell, pmod(id, S)) with
-    the fine frame replicated S ways) to split a coarse cell across S
-    tasks; fine assignment is row-local within the cell, so the split
-    cannot change any result. Bit-exactness: fine centroids are sorted by
+    pandas frame; ~256 MB of float64 at 1B vectors / 64 dims), and a
+    HOT coarse cell (real embedding spaces are not uniform) would make
+    its task the straggler — so the salting escape is built in:
+    ``salt=S`` (with ``salt_key`` naming a well-spread column of
+    ``assigned``, e.g. the vector id) keys the cogroup on
+    (cell, pmod(xxhash64(salt_key), S)) with the fine frame replicated
+    S ways, splitting every coarse cell across S tasks and bounding
+    per-task rows at ~|cell|/S. Result-invariant by construction: fine
+    assignment is row-local within the cell (each vector sees the
+    FULL fine codebook of its cell in every salt slice), so the split
+    cannot change any assignment — pinned by
+    tests/test_properties.py::test_fine_assign_salting_invariant.
+
+    ``idx_limit``: optional guard for callers that pack (cell, fine)
+    into an arithmetic composite id (ccen * LIMIT + fcen): raises
+    inside the kernel if any fine index reaches the limit, instead of
+    letting the composite silently collide across adjacent coarse
+    cells under pathological skew (one coarse cell with >= LIMIT * 250
+    members, e.g. a corpus dominated by one duplicate vector).
+
+    Bit-exactness: fine centroids are sorted by
     index inside the kernel, distances are the dimension-fold, ties
     go to the lowest fine index (strict-< running combine) — the same
     contract as the coarse level, so a DuckDB oracle replays the
@@ -513,21 +532,50 @@ def assign_fine_within_cell(
     out_cols = [f.name for f in schema.fields]
 
     def one(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if "__salt" in left.columns:
+            left = left.drop(columns=["__salt"])
         if len(left) == 0:
-            return pd.DataFrame({c: [] for c in out_cols})
+            # object dtype: an empty float64 ndarray cannot Arrow-cast
+            # to array<double> (hit by salted slices with no vectors)
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="object") for c in out_cols}
+            )
         # Every nonempty coarse cell owns >= 1 fine centroid by
         # construction (centroids are chosen FROM the cell's members);
         # an empty right side here means the caller's frames disagree.
         if len(right) == 0:
             raise ValueError("coarse cell has vectors but no fine centroids")
         right = right.sort_values(fine_idx_col)
-        c = np.stack(right[fine_vec_col].to_numpy()).astype(np.float64)
         fidx = right[fine_idx_col].to_numpy()
+        if idx_limit is not None and int(fidx.max()) >= idx_limit:
+            raise ValueError(
+                f"fine index {int(fidx.max())} reaches the composite-id "
+                f"limit {idx_limit}: a coarse cell is too large for the "
+                "caller's arithmetic (cell, fine) packing"
+            )
+        c = np.stack(right[fine_vec_col].to_numpy()).astype(np.float64)
         a = np.stack(left[vec_col].to_numpy()).astype(np.float64, copy=False)
         _, best = _blocked_argmin_dist2(a, c, block)
         left = left.copy()
         left[fine_idx_col] = fidx[best].astype("int32")
         return left
+
+    if salt > 1:
+        if salt_key is None:
+            raise ValueError("salt > 1 requires salt_key")
+        left_df = assigned.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col(salt_key)), F.lit(salt)).cast("int"),
+        )
+        fine_rep = fine.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        ).withColumn("__salt", F.col("__salt").cast("int"))
+        keys = [cell_col, "__salt"]
+        return (
+            left_df.groupBy(*keys)
+            .cogroup(fine_rep.groupBy(*keys))
+            .applyInPandas(one, schema=schema)
+        )
 
     return (
         assigned.groupBy(cell_col)

@@ -1847,11 +1847,12 @@ def _execute_excision_rewrite(spark: SparkSession, sf_dir: str, path: str):
     lake = LakeTable(spark, path)
     lake.create(docs)
     lake.upsert(upserts, keys=["doc_id"])
-    gone_ids = sorted(r.doc_id for r in gone.collect())
-    if gone_ids:
-        lake.delete_where(
-            "doc_id IN (" + ",".join(str(i) for i in gone_ids) + ")"
-        )
+    # join-frame delete (r7 verdict item #3): the fully-excised id set
+    # stays a distributed frame end to end — a boilerplate-heavy
+    # corpus can excise millions of docs, and an IN-list through the
+    # driver/SQL parser would not survive that. delete_matching is a
+    # no-op commit when the frame matches nothing.
+    lake.delete_matching(gone, keys=["doc_id"])
     return lake
 
 
@@ -1882,13 +1883,14 @@ def excision_rewrite_to_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite; untouched files carry by reference. In production the
     corpus IS the lake (v0 pre-exists) so the incremental cost is the
     upsert + delete alone; this query creates v0 from parquet because
-    the benchmark corpus is not yet a lake table. The fully-excised id
-    list crosses the driver as a DELETE predicate — bounded by the
-    all-13-grams-duplicated population (exact-duplicate documents and
-    pure boilerplate; a production pipeline with a larger population
-    hands delete_where a join frame instead). Final accounting is a
-    |sources|-row aggregate, collected so the scratch table can be
-    removed before returning."""
+    the benchmark corpus is not yet a lake table (the incremental-only
+    cost is measured separately by excision_rewrite_incremental). The
+    fully-excised id set never touches the driver: it is handed to
+    LakeTable.delete_matching as a JOIN FRAME (r7 verdict item #3), so
+    a boilerplate-heavy corpus excising millions of docs deletes
+    through a distributed semi/anti-join, not a SQL IN-list. Final
+    accounting is a |sources|-row aggregate, collected so the scratch
+    table can be removed before returning."""
     import shutil
     import tempfile
 
@@ -1927,16 +1929,27 @@ def excision_rewrite_to_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("docs_rewritten"),
             )
         )
+        # LEFT joins from the v0-side aggregate: a source whose docs
+        # are ALL fully excised has no rows in the latest version, so
+        # an inner join would silently drop its accounting row while
+        # the oracle (LEFT JOIN from the raw corpus) still emits it
+        # with docs_deleted = docs_before and tokens_after = 0.
         out = (
-            b.join(chg, "source")
-            .join(a, "source")
+            b.join(chg, "source", "left")
+            .join(a, "source", "left")
             .select(
                 "source",
                 "docs_before",
-                "docs_rewritten",
-                "docs_deleted",
+                F.coalesce("docs_rewritten", F.lit(0)).cast("bigint").alias(
+                    "docs_rewritten"
+                ),
+                F.coalesce("docs_deleted", F.lit(0)).cast("bigint").alias(
+                    "docs_deleted"
+                ),
                 "tokens_before",
-                "tokens_after",
+                F.coalesce("tokens_after", F.lit(0)).cast("bigint").alias(
+                    "tokens_after"
+                ),
             )
             .orderBy("source")
         )

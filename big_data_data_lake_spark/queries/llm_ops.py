@@ -1930,7 +1930,13 @@ def _semdedup_assign(spark: SparkSession, sf_dir: str):
             F.col("v").alias("fv"),
         )
     )
-    return sim.assign_fine_within_cell(cassign, fine).withColumn(
+    # idx_limit: the composite id below packs fcen into 2^20; a coarse
+    # cell large enough to mint a fine index at the shift (>= ~2^20 *
+    # 250 members — pathological duplicate-vector skew) must fail loud
+    # instead of silently colliding composite ids across cells.
+    return sim.assign_fine_within_cell(
+        cassign, fine, idx_limit=_SEMDEDUP_CELL_SHIFT
+    ).withColumn(
         "cen",
         F.col("ccen").cast("bigint") * F.lit(_SEMDEDUP_CELL_SHIFT)
         + F.col("fcen"),
@@ -2097,7 +2103,9 @@ def incremental_semantic_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("fv"),
         )
     )
-    fa = sim.assign_fine_within_cell(cassign, fine).withColumn(
+    fa = sim.assign_fine_within_cell(
+        cassign, fine, idx_limit=_SEMDEDUP_CELL_SHIFT
+    ).withColumn(
         "cen",
         F.col("ccen").cast("bigint") * F.lit(_SEMDEDUP_CELL_SHIFT)
         + F.col("fcen"),

@@ -913,6 +913,67 @@ class LakeTable:
         )
         return v
 
+    def delete_matching(
+        self, df: DataFrame, keys: list[str], extra: dict | None = None
+    ) -> int:
+        """Copy-on-write DELETE keyed by a JOIN FRAME instead of a SQL
+        predicate string: every stored row whose ``keys`` tuple
+        null-safely equals a row of ``df`` is removed. This is the
+        scale-safe sibling of :meth:`delete_where` — the id set stays
+        a distributed DataFrame end to end, so a delete of millions of
+        keys (boilerplate-heavy excision, GDPR subject batches) never
+        serializes an IN-list through the driver or the SQL parser
+        (r7 verdict item #3).
+
+        Same two-step erasure story as ``delete_where``: prior
+        versions still see the rows until ``vacuum``. File-level
+        pruning is match-exact — one semi-join scan tagged with
+        ``input_file_name()`` finds the files that actually contain a
+        matching key; only those rewrite (via a null-safe anti-join),
+        every other file carries into the new manifest by reference.
+        Only the matched FILE PATHS collect to the driver
+        (manifest-scale), never the keys. NULL keys match null-safely
+        (``<=>``), the natural join-frame semantics — unlike SQL
+        DELETE, a NULL key in ``df`` deletes stored NULL-key rows."""
+        prev = self.manifest()
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(prev["schema_json"])
+        incoming = df.select(*keys).dropDuplicates(keys)
+        probe = self._read_files(schema, prev["files"]).withColumn(
+            "__file", F.input_file_name()
+        )
+        semi_cond = [probe[k].eqNullSafe(incoming[k]) for k in keys]
+        hits = {
+            _norm_file_uri(r["__file"])
+            for r in probe.join(incoming, on=semi_cond, how="left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        }
+        touched = [f for f in prev["files"] if _norm_file_uri(f["path"]) in hits]
+        untouched = [
+            f for f in prev["files"] if _norm_file_uri(f["path"]) not in hits
+        ]
+        if not touched:
+            return self.latest_version()  # no-op: nothing matched
+        old = self._read_files(schema, touched)
+        anti_cond = [old[k].eqNullSafe(incoming[k]) for k in keys]
+        kept = old.join(incoming, on=anti_cond, how="left_anti")
+        new_files = self._write_files(kept, prev["partition_by"])
+        v = self.latest_version() + 1
+        self._commit(
+            v,
+            self._new_manifest(
+                kept,
+                untouched + new_files,
+                prev["partition_by"],
+                self._carry(prev, extra),
+            ),
+            "delete_matching",
+        )
+        return v
+
     SCD2_COLS = ("__valid_from", "__valid_to", "__is_current")
 
     def upsert_scd2(

@@ -158,6 +158,56 @@ def test_repeated_span_excision_hand_computed(spark, tmp_path):
     assert rw == {1: (15, exp_a), 3: (14, exp_c), 4: (20, exp_d)}
 
 
+def test_excision_lake_accounting_keeps_fully_excised_source(spark, tmp_path):
+    """r7 ADVICE (medium): a source whose documents are ALL fully
+    excised has no rows in the latest lake version; the accounting
+    must still emit its row (docs_deleted = docs_before, tokens_after
+    = 0) via LEFT joins from the v0 aggregate — exactly what the
+    DuckDB oracle's LEFT JOIN produces on the same corpus."""
+    import duckdb
+
+    from big_data_data_lake_spark.testing import compare_frames
+
+    # source 'gone': two identical 13-token docs -> every 13-gram of
+    # both is duplicated -> both fully excised -> source absent from
+    # the latest version. source 'keep': 20 unique tokens, untouched.
+    dup = " ".join(f"d{i}" for i in range(1, 14))
+    uniq = " ".join(f"u{i}" for i in range(1, 21))
+    rows = [
+        (1, dup, "gone"),
+        (2, dup, "gone"),
+        (3, uniq, "keep"),
+    ]
+    vals = ", ".join(f"({i}, '{t}', 'en', '{s}', {len(t)})" for i, t, s in rows)
+    dst = tmp_path / "sf_allgone"
+    dst.mkdir()
+    duckdb.sql(
+        f"COPY (SELECT * FROM (VALUES {vals}) "
+        "t(doc_id, text, lang, source, n_chars)) "
+        f"TO '{dst}/documents.parquet' (FORMAT PARQUET)"
+    )
+    qd = REGISTRY["excision_rewrite_to_lake"]
+    got = qd.fn(spark, str(dst)).toPandas()
+    by_src = {r["source"]: r for _, r in got.iterrows()}
+    assert set(by_src) == {"gone", "keep"}
+    g = by_src["gone"]
+    assert (g.docs_before, g.docs_rewritten, g.docs_deleted) == (2, 0, 2)
+    assert (g.tokens_before, g.tokens_after) == (26, 0)
+    k = by_src["keep"]
+    assert (k.docs_before, k.docs_deleted, k.tokens_after) == (1, 0, 20)
+    # full oracle parity on the same handmade corpus
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{dst}/documents.parquet'"
+        )
+        oracle = con.sql(qd.oracle).df()
+    finally:
+        con.close()
+    assert compare_frames(got, oracle) == []
+
+
 def test_excision_rewrite_lake_cdf_agrees_with_manifest(spark, tmp_path):
     """The lake-landed rewrite (r6 verdict item #7) must agree with
     the cut list END TO END: (a) the set of documents whose content
@@ -210,8 +260,9 @@ def test_excision_rewrite_lake_cdf_agrees_with_manifest(spark, tmp_path):
         toks = latest[d].split(" ")
         from_lake[d] = (len(toks), sum(tok_hash(t) for t in toks) % P)
     # every manifest doc survives in the lake and matches exactly;
-    # manifest drops fully-excised docs, so the key sets line up too
-    assert set(manifest) == set(latest) - (set(latest) - set(manifest))
+    # manifest drops fully-excised docs, so the key sets must be EQUAL
+    # (a surviving lake doc missing from the manifest is a bug)
+    assert set(manifest) == set(latest)
     for d, want in manifest.items():
         assert from_lake[d] == want, d
 
