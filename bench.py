@@ -178,7 +178,9 @@ HEADLINE = [
     "excision_source_accounting",
     "excision_rewrite_checksum",
     "incremental_minhash_novelty",
+    "incremental_minhash_novelty_indexed",
     "excision_rewrite_to_lake",
+    "excision_rewrite_incremental",
     "incremental_semantic_novelty",
 ]
 
@@ -211,6 +213,7 @@ REGISTRY_ONLY = {
     "cluster_quality_survivors": "comp",  # exact pairs + propagation
     "collocations_pmi": "twin",  # bigram agg inside bigram_surprisal
     "continent_classification": "twin",  # when-tree inside country_intelligence
+    "continent_classification_ref": "twin",  # reference-exact constants, same plan shape
     "curation_funnel": "comp",  # curation_pipeline_e2e stage counts
     "customers_without_orders": "twin",  # anti-join in users_except shape
     "daily_activity": "twin",  # multi-key count inside country_intelligence

@@ -49,15 +49,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # prefix-biased sampler attests them; all pass the local DuckDB mirror
 # (tests/test_oracle_parity.py) regardless.
 SAMPLE_FIRST: tuple[str, ...] = (
-    # new in round 7 (semantic change or new registration), enumerated
+    # new in round 8 (new registration or semantic change), enumerated
     # first so the prefix-biased driver sampler attests them this
     # round; all pass the local DuckDB mirror at sf0.001+sf0.01.
+    "incremental_minhash_novelty_indexed",  # r8: index-fed novelty (lake-maintained)
+    "excision_rewrite_incremental",  # r8: pre-staged v0, incremental-only cost
+    "continent_classification_ref",  # r8: reference-exact parity twin
+    "excision_rewrite_to_lake",  # r8: LEFT-join accounting fix + join-frame delete
+    "semantic_dedup_clusters",  # r8: fine-assign idx_limit guard wired
+    "semantic_dedup_recall",  # r8: fine-assign idx_limit guard wired
+    "incremental_semantic_novelty",  # r8: fine-assign idx_limit guard wired
+    # carried from round 7:
     "incremental_minhash_novelty",  # r7: new (batch-vs-archive LSH probe)
-    "semantic_dedup_clusters",  # r7: hierarchical two-level quantizer
-    "semantic_dedup_recall",  # r7: audits the hierarchical assignment
     "embedding_prototypicality",  # r7: null-label centroid skip
-    "excision_rewrite_to_lake",  # r7: new (rewrite landed as lake version)
-    "incremental_semantic_novelty",  # r7: new (batch-vs-archive cosine)
     # carried from round 6 (all green in CORRECTNESS_r06):
     "ccnet_perplexity_buckets",  # r6: new (CCNet head/middle/tail)
     "dsir_importance_weights",  # r6: new (DSIR hashed-bigram IW)

