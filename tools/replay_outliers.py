@@ -21,6 +21,22 @@ two standalone best-of-N times, and the standalone ratio — the number
 SCALE.md quotes. Exit code 1 if any STANDALONE ratio still exceeds the
 threshold (a real scale problem, not interference).
 
+Cross-round DRIFT mode (r7 verdict item #6 — the judge re-triaged a
+1.18x round-over-round drift by hand; this automates it):
+
+    python tools/replay_outliers.py BENCH_LOCAL_r07.json \
+        BENCH_LOCAL_r08.json --drift [--threshold 1.5]
+
+Both records must be the SAME scale factor from CONSECUTIVE rounds.
+Every common query whose current in-bench time exceeds the prior
+round's by more than the threshold (default 1.5x in this mode) is
+replayed standalone on the idle box at that SF; the verdict compares
+the STANDALONE time against the prior round's record — `ambient_drift`
+if it lands back within the threshold (container noise / in-bench
+interference, the usual case given the documented ~1.4x cross-round
+ambient swing), `REAL_REGRESSION` (exit 1) if the standalone replay
+still exceeds it (the plan actually got slower).
+
 SF-dir resolution: sf0.1 -> /root/testdata/sf0.1 (or
 $SPARK_GRAFT_SF_DIR); sf1 -> .bench/sf1 (tools/gen_scale_data.py
 output, or $SPARK_GRAFT_SF1_DIR).
@@ -60,19 +76,92 @@ def _replay(spark, fn, sf_dir: str, reps: int) -> float:
     return round(best, 3)
 
 
+def _drift_main(args, low: dict, high: dict) -> int:
+    """Cross-round drift triage: prior-round record (low) vs current
+    (high) at the SAME SF. Movers replay standalone; the verdict pits
+    the standalone time against the PRIOR round's in-bench number."""
+    if abs(low["sf"] - high["sf"]) > 1e-9:
+        print(
+            f"--drift requires same-SF records, got {low['sf']} vs {high['sf']}",
+            file=sys.stderr,
+        )
+        return 2
+    lo_q, hi_q = low["queries"], high["queries"]
+    common = sorted(set(lo_q) & set(hi_q))
+    movers = [
+        n for n in common if lo_q[n] > 0 and hi_q[n] / lo_q[n] > args.threshold
+    ]
+    print(
+        f"drift mode at sf={low['sf']}: {len(common)} common queries; "
+        f"{len(movers)} moved > {args.threshold}x round-over-round: {movers}",
+        flush=True,
+    )
+    result = {
+        "mode": "drift",
+        "sf": low["sf"],
+        "threshold": args.threshold,
+        "reps": args.reps,
+        "prior_total_common": round(sum(lo_q[n] for n in common), 1),
+        "current_total_common": round(sum(hi_q[n] for n in common), 1),
+        "queries": {},
+    }
+    rc = 0
+    if movers:
+        from big_data_data_lake_spark.queries import load_all
+        from big_data_data_lake_spark.session import get_spark
+
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        spark = get_spark(app_name="replay-drift", cpus=cpus)
+        registry = load_all()
+        sf_dir = _sf_dir(low["sf"])
+        for n in movers:
+            t = _replay(spark, registry[n].fn, sf_dir, args.reps)
+            ratio = round(t / lo_q[n], 2) if lo_q[n] > 0 else None
+            result["queries"][n] = {
+                "prior_bench": lo_q[n],
+                "current_bench": hi_q[n],
+                "bench_ratio": round(hi_q[n] / lo_q[n], 2),
+                "standalone_now": t,
+                "standalone_vs_prior": ratio,
+                "verdict": (
+                    "ambient_drift"
+                    if ratio is not None and ratio <= args.threshold
+                    else "REAL_REGRESSION"
+                ),
+            }
+            print(n, json.dumps(result["queries"][n]), flush=True)
+            if result["queries"][n]["verdict"] == "REAL_REGRESSION":
+                rc = 1
+    out_path = args.out or "SCALE_REPLAY_DRIFT.json"
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(f"wrote {out_path}")
+    return rc
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("low_record")
     ap.add_argument("high_record")
-    ap.add_argument("--threshold", type=float, default=4.0)
+    ap.add_argument("--threshold", type=float, default=None)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--drift",
+        action="store_true",
+        help="cross-round mode: both records same SF (prior round first); "
+        "replay movers standalone and label ambient_drift vs REAL_REGRESSION",
+    )
     args = ap.parse_args()
+    if args.threshold is None:
+        args.threshold = 1.5 if args.drift else 4.0
 
     with open(args.low_record) as f:
         low = json.load(f)
     with open(args.high_record) as f:
         high = json.load(f)
+    if args.drift:
+        return _drift_main(args, low, high)
     lo_q, hi_q = low["queries"], high["queries"]
     common = sorted(set(lo_q) & set(hi_q))
     outliers = [
