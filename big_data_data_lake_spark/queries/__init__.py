@@ -59,6 +59,8 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "semantic_dedup_clusters",  # r8: fine-assign idx_limit guard wired
     "semantic_dedup_recall",  # r8: fine-assign idx_limit guard wired
     "incremental_semantic_novelty",  # r8: fine-assign idx_limit guard wired
+    "unigram_surprisal",  # r8: exact integer micro-nat sums (sf1 parity fix)
+    "bigram_surprisal",  # r8: exact integer micro-nat sums (sf1 parity fix)
     # carried from round 7:
     "incremental_minhash_novelty",  # r7: new (batch-vs-archive LSH probe)
     "embedding_prototypicality",  # r7: null-label centroid skip
@@ -73,8 +75,6 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "ks_drift_by_source",
     "repetition_quality_flags",  # r6: fused Arrow metric kernel
     "bloom_semijoin_audit",  # r6: distributed word map (no driver collect)
-    "unigram_surprisal",  # r6: token-partitioned dt reuse
-    "bigram_surprisal",
     "dedup_clusters",  # r6: volume-sized propagation partitions
     "dedup_survivors",
     "cluster_quality_survivors",

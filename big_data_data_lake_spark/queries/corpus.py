@@ -580,7 +580,8 @@ v AS (SELECT token, CAST(sum(c) AS BIGINT) AS n FROM dt GROUP BY token),
 tot AS (SELECT CAST(sum(n) AS BIGINT) AS s FROM v)
 SELECT doc_id,
        CAST(sum(c) AS BIGINT) AS n_tokens,
-       round(sum(c * round(-ln(CAST(n AS DOUBLE) / s), 6)) / sum(c), 4)
+       round((sum(c * CAST(round(-ln(CAST(n AS DOUBLE) / s) * 1000000, 0)
+                           AS BIGINT)) / sum(c)) / 1000000.0, 4)
            AS avg_surprisal_nats
 FROM dt JOIN v USING (token) CROSS JOIN tot
 GROUP BY doc_id
@@ -623,16 +624,26 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = dt.groupBy("token").agg(F.sum("c").cast("bigint").alias("n"))
     tot = v.agg(F.sum("n").cast("bigint").alias("s"))
-    surprisal = F.round(-F.log(F.col("n").cast("double") / F.col("s")), 6)
+    # Integer MICRO-NAT accumulation (r8, found by the sf1 parity
+    # sweep): each term rounds to an exact integer of 1e-6 nats BEFORE
+    # the sum, so the per-doc accumulation is exact integer arithmetic
+    # — order-invariant and bit-identical across engines. The earlier
+    # round-6-then-float-sum form was order-DEPENDENT (~1e-13 drift),
+    # which flipped the final round(.,4) digit for a handful of docs
+    # at sf1 scale (2 of 50k docs) even though both engines were
+    # "right" to 12 decimals.
+    micro = F.round(
+        -F.log(F.col("n").cast("double") / F.col("s")) * 1e6, 0
+    ).cast("long")
     return (
         dt.join(v, "token")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_tokens"),
-            F.round(F.sum(F.col("c") * surprisal) / F.sum("c"), 4).alias(
-                "avg_surprisal_nats"
-            ),
+            F.round(
+                (F.sum(F.col("c") * micro) / F.sum("c")) / F.lit(1e6), 4
+            ).alias("avg_surprisal_nats"),
         )
     )
 
@@ -737,7 +748,8 @@ bc AS (SELECT bg, CAST(sum(c) AS BIGINT) AS n12 FROM db GROUP BY bg),
 pc AS (SELECT pre, CAST(sum(c) AS BIGINT) AS n1 FROM db GROUP BY pre)
 SELECT doc_id,
        CAST(sum(c) AS BIGINT) AS n_bigrams,
-       round(sum(c * round(-ln(CAST(n12 AS DOUBLE) / n1), 6)) / sum(c), 4)
+       round((sum(c * CAST(round(-ln(CAST(n12 AS DOUBLE) / n1) * 1000000, 0)
+                           AS BIGINT)) / sum(c)) / 1000000.0, 4)
            AS avg_surprisal_nats
 FROM db
 JOIN bc USING (bg)
@@ -758,8 +770,11 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every observed document bigram exists in the model by
     construction, so MLE probabilities are never zero and no smoothing
     constant has to be pinned across engines. The per-bigram surprisal
-    rounds to 6 decimals before count-weighting (the same ulp rule as
-    the idf/unigram queries).
+    rounds to an integer count of MICRO-nats before count-weighting,
+    so the weighted sum is exact integer arithmetic — order-invariant
+    across partition layouts and engines (the r8 sf1 parity sweep
+    caught the float-sum form flipping the last rounded digit on a
+    handful of docs).
 
     Shape & keys: bigrams ride as 8-byte HASHED keys — the same
     shared-constant affine fold the dedup family uses (both engines
@@ -801,16 +816,20 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bc = db.groupBy("bg").agg(F.sum("c").cast("bigint").alias("n12"))
     pc = db.groupBy("pre").agg(F.sum("c").cast("bigint").alias("n1"))
-    surprisal = F.round(-F.log(F.col("n12").cast("double") / F.col("n1")), 6)
+    # integer micro-nat accumulation: exact, order-invariant sums on
+    # both engines (see unigram_surprisal — same r8 sf1-parity fix)
+    micro = F.round(
+        -F.log(F.col("n12").cast("double") / F.col("n1")) * 1e6, 0
+    ).cast("long")
     return (
         db.join(bc, "bg")
         .join(pc, "pre")
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_bigrams"),
-            F.round(F.sum(F.col("c") * surprisal) / F.sum("c"), 4).alias(
-                "avg_surprisal_nats"
-            ),
+            F.round(
+                (F.sum(F.col("c") * micro) / F.sum("c")) / F.lit(1e6), 4
+            ).alias("avg_surprisal_nats"),
         )
     )
 
