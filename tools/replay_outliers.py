@@ -117,17 +117,22 @@ def _drift_main(args, low: dict, high: dict) -> int:
         for n in movers:
             t = _replay(spark, registry[n].fn, sf_dir, args.reps)
             ratio = round(t / lo_q[n], 2) if lo_q[n] > 0 else None
+            if ratio is not None and ratio <= args.threshold:
+                verdict = "ambient_drift"
+            elif t - lo_q[n] < 1.0:
+                # sub-second absolute delta: a ratio on a sub-second
+                # query is scheduler noise, not a plan signal — a real
+                # plan regression that matters moves whole seconds
+                verdict = "noise_floor"
+            else:
+                verdict = "REAL_REGRESSION"
             result["queries"][n] = {
                 "prior_bench": lo_q[n],
                 "current_bench": hi_q[n],
                 "bench_ratio": round(hi_q[n] / lo_q[n], 2),
                 "standalone_now": t,
                 "standalone_vs_prior": ratio,
-                "verdict": (
-                    "ambient_drift"
-                    if ratio is not None and ratio <= args.threshold
-                    else "REAL_REGRESSION"
-                ),
+                "verdict": verdict,
             }
             print(n, json.dumps(result["queries"][n]), flush=True)
             if result["queries"][n]["verdict"] == "REAL_REGRESSION":
