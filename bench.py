@@ -182,6 +182,7 @@ HEADLINE = [
     "excision_rewrite_to_lake",
     "excision_rewrite_incremental",
     "incremental_semantic_novelty",
+    "incremental_semantic_novelty_indexed",
 ]
 
 # Registered queries deliberately NOT in the headline bench. This list

@@ -53,6 +53,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     # first so the prefix-biased driver sampler attests them this
     # round; all pass the local DuckDB mirror at sf0.001+sf0.01.
     "incremental_minhash_novelty_indexed",  # r8: index-fed novelty (lake-maintained)
+    "incremental_semantic_novelty_indexed",  # r8: index-fed semantic novelty
     "excision_rewrite_incremental",  # r8: pre-staged v0, incremental-only cost
     "continent_classification_ref",  # r8: reference-exact parity twin
     "excision_rewrite_to_lake",  # r8: LEFT-join accounting fix + join-frame delete

@@ -928,6 +928,11 @@ def _build_minhash_archive_index(spark: SparkSession, sf_dir: str, path: str):
             F.pmod(F.col("doc_id"), F.lit(N_INDEX_COMMITS)) == day
         )
         sig, bands = _archive_sig_frames(day_docs)
+        # coalesce each daily increment to a few files: at fixture
+        # scale a 32-partition write makes the index read
+        # metadata-bound (~100 tiny files after 3 commits); production
+        # ingest sizes index files via compaction, same effect
+        sig, bands = sig.coalesce(4), bands.coalesce(4)
         if day == 0:
             sigs_t.create(sig)
             bands_t.create(bands)

@@ -2125,6 +2125,165 @@ def incremental_semantic_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SEM_INDEX_COMMITS = 3  # simulated daily assignment-append commits
+
+
+def _build_semantic_archive_index(spark: SparkSession, sf_dir: str, path: str):
+    """Materialize the archive side of the semantic-novelty check as
+    LakeTables (r8 — the semantic sibling of
+    _build_minhash_archive_index): the hierarchical quantizer
+    CODEBOOKS (coarse + fine) written once — the production "periodic
+    retrain", trained on the archive exactly as
+    incremental_semantic_novelty trains them — and the archive
+    ASSIGNMENT table maintained INCREMENTALLY: each of
+    N_SEM_INDEX_COMMITS simulated daily slices is assigned through the
+    frozen codebooks and appended. Assignment is row-local given the
+    codebooks, so maintained == recomputed holds exactly
+    (tests/test_llm_ops.py pins it)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from ..sources.metadata import LakeTable
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    e = emb.select("vec_id", sim.to_double("embedding").alias("v"))
+    arch = e.where(F.col("vec_id") % 5 != 0)
+    n_arch = arch.count()
+    coarse_t = LakeTable(spark, os.path.join(path, "coarse"))
+    fine_t = LakeTable(spark, os.path.join(path, "fine"))
+    assign_t = LakeTable(spark, os.path.join(path, "assign"))
+    _, kc = _semdedup_sizes(n_arch)
+    coarse = arch.orderBy("vec_id").limit(kc).select("v").collect()
+    if not coarse:
+        empty_cb = spark.createDataFrame([], "ccen int, v array<double>")
+        coarse_t.create(empty_cb)
+        fine_t.create(spark.createDataFrame([], "ccen int, fcen int, fv array<double>"))
+        assign_t.create(
+            spark.createDataFrame(
+                [], "vec_id long, v array<double>, ccen int, fcen int, cen bigint"
+            )
+        )
+        return
+    cvecs = [row.v for row in coarse]
+    coarse_t.create(
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cvecs)], "ccen int, v array<double>"
+        )
+    )
+    arch_cassign = scoped_persist(
+        sim.assign_nearest_centroid(arch, cvecs, out_col="ccen")
+    )
+    w = Window.partitionBy("ccen").orderBy("vec_id")
+    fine = (
+        arch_cassign.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("ccen")))
+        .where(F.col("rn") <= F.ceil(F.col("cnt") / F.lit(_SEMDEDUP_CELL_TARGET)))
+        .select(
+            "ccen",
+            (F.col("rn") - 1).cast("int").alias("fcen"),
+            F.col("v").alias("fv"),
+        )
+    )
+    fine_t.create(fine)
+    fine_lake = fine_t.read()
+    for day in range(N_SEM_INDEX_COMMITS):
+        day_assign = sim.assign_fine_within_cell(
+            arch_cassign.where(
+                F.pmod(F.col("vec_id"), F.lit(N_SEM_INDEX_COMMITS)) == day
+            ),
+            fine_lake,
+            idx_limit=_SEMDEDUP_CELL_SHIFT,
+        ).withColumn(
+            "cen",
+            F.col("ccen").cast("bigint") * F.lit(_SEMDEDUP_CELL_SHIFT)
+            + F.col("fcen"),
+        )
+        # few files per daily commit (see _build_minhash_archive_index
+        # — production ingest sizes index files via compaction)
+        day_assign = day_assign.coalesce(4)
+        if day == 0:
+            assign_t.create(day_assign)
+        else:
+            assign_t.append(day_assign)
+
+
+@register("incremental_semantic_novelty_indexed", INCREMENTAL_SEMANTIC_ORACLE)
+def incremental_semantic_novelty_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """incremental_semantic_novelty with the production premise made
+    REAL (r8 — the semantic sibling of
+    incremental_minhash_novelty_indexed, completing the index-fed
+    story for the whole incremental trio): the archive's quantizer
+    codebooks are PRE-EXISTING LakeTables (the periodic retrain) and
+    the archive's cell ASSIGNMENTS are a lake table maintained across
+    N_SEM_INDEX_COMMITS simulated daily appends — the query recomputes
+    nothing archive-side. Only the incoming batch (vec_id % 5 == 0)
+    is assigned: coarse via the broadcast O(sqrt k) codebook READ FROM
+    THE LAKE (still the only driver-resident structure), fine via one
+    cogroup against the lake's distributed fine table; scoring is the
+    same per-cell batch x archive kernel, with the archive rows (v +
+    cell) streamed from the assignment table. Same oracle as the
+    recomputing twin — result equality IS the maintained == recomputed
+    attestation. Staged once per process (queries/fixtures.py): bench
+    reps 2..N measure the daily cost, rep 1 additionally pays the
+    one-time staging — the amortization production gets."""
+    import os
+
+    from ..sources.metadata import LakeTable
+
+    from . import fixtures
+
+    path = fixtures.staged_dir(
+        "semantic_index",
+        sf_dir,
+        lambda d: _build_semantic_archive_index(spark, sf_dir, d),
+    )
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    e = emb.select("vec_id", sim.to_double("embedding").alias("v"))
+    batch = e.where(F.col("vec_id") % 5 == 0)
+    batch_ids = batch.select("vec_id")
+    coarse_rows = (
+        LakeTable(spark, os.path.join(path, "coarse"))
+        .read()
+        .orderBy("ccen")
+        .collect()
+    )  # O(sqrt k) rows — the quantizer's one driver-resident structure
+    if not coarse_rows:
+        return batch_ids.select(
+            "vec_id",
+            F.lit(None).cast("double").alias("max_cos"),
+            F.lit(True).alias("is_novel"),
+        ).orderBy("vec_id")
+    fine_lake = LakeTable(spark, os.path.join(path, "fine")).read()
+    arch_assign = LakeTable(spark, os.path.join(path, "assign")).read()
+    batch_cassign = sim.assign_nearest_centroid(
+        batch, [r.v for r in coarse_rows], out_col="ccen"
+    )
+    batch_fa = sim.assign_fine_within_cell(
+        batch_cassign, fine_lake, idx_limit=_SEMDEDUP_CELL_SHIFT
+    ).withColumn(
+        "cen",
+        F.col("ccen").cast("bigint") * F.lit(_SEMDEDUP_CELL_SHIFT)
+        + F.col("fcen"),
+    )
+    both = batch_fa.withColumn("is_b", F.lit(True)).unionByName(
+        arch_assign.withColumn("is_b", F.lit(False))
+    )
+    hits = sim.cell_cross_max_cos(both, "is_b")
+    mx = F.round(F.col("max_cos"), 4)
+    return (
+        batch_ids.join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            mx.alias("max_cos"),
+            F.coalesce(mx < F.lit(SEMDEDUP_TAU), F.lit(True)).alias("is_novel"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 _SEMDEDUP_SAMPLE_FILTER_SQL = _EMBEDDING_MIX + " < " + _budget_keep_mille_sql(
     "embeddings", EMBEDDING_EXACT_TARGET_VECS, EMBEDDING_EXACT_MAX_MILLE
 )

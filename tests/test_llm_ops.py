@@ -956,6 +956,60 @@ def test_fine_assign_idx_limit_guard(spark):
         sim.assign_fine_within_cell(assigned, fine, idx_limit=4).collect()
 
 
+def test_semantic_index_maintained_equals_recomputed(spark, tmp_path):
+    """r8: the lake-maintained semantic archive index (frozen
+    codebooks + assignment table appended across N_SEM_INDEX_COMMITS
+    daily slices) must equal a one-shot recomputation of the archive
+    assignment through the same quantizer — the invariant that makes
+    the index-fed twin's shared oracle meaningful. Also pins that the
+    assignment table really was maintained incrementally."""
+    from pyspark.sql import functions as F
+
+    from big_data_data_lake_spark.operators import similarity as sim
+    from big_data_data_lake_spark.queries.llm_ops import (
+        N_SEM_INDEX_COMMITS,
+        _SEMDEDUP_CELL_SHIFT,
+        _build_semantic_archive_index,
+        _semdedup_sizes,
+        _spread,
+        _t,
+    )
+    from big_data_data_lake_spark.sources.metadata import LakeTable
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "semidx")
+    _build_semantic_archive_index(spark, sf, path)
+    assign_t = LakeTable(spark, path + "/assign")
+    assert N_SEM_INDEX_COMMITS >= 3
+    assert assign_t.latest_version() == N_SEM_INDEX_COMMITS - 1
+    ops = [h["operation"] for h in assign_t.history()]
+    assert ops.count("append") == N_SEM_INDEX_COMMITS - 1
+
+    # one-shot recomputation through the same (lake-read) codebooks
+    emb = _spread(spark, _t(spark, sf, "embeddings"))
+    e = emb.select("vec_id", sim.to_double("embedding").alias("v"))
+    arch = e.where(F.col("vec_id") % 5 != 0)
+    coarse = LakeTable(spark, path + "/coarse").read().orderBy("ccen").collect()
+    fine = LakeTable(spark, path + "/fine").read()
+    want = sim.assign_fine_within_cell(
+        sim.assign_nearest_centroid(arch, [r.v for r in coarse], out_col="ccen"),
+        fine,
+        idx_limit=_SEMDEDUP_CELL_SHIFT,
+    ).withColumn(
+        "cen",
+        F.col("ccen").cast("bigint") * F.lit(_SEMDEDUP_CELL_SHIFT)
+        + F.col("fcen"),
+    )
+    got = assign_t.read()
+    assert got.count() == arch.count()
+    assert {r.vec_id: r.cen for r in got.collect()} == {
+        r.vec_id: r.cen for r in want.collect()
+    }
+    # codebook sizing matches the recomputing twin's
+    _, kc = _semdedup_sizes(arch.count())
+    assert len(coarse) == kc
+
+
 def test_semdedup_driver_state_sublinear_in_corpus(spark):
     """r6 verdict item #1, closed: the ONLY driver-resident /
     broadcast structure in the SemDeDup quantizer is the coarse
