@@ -1597,8 +1597,9 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 NATION_PRODUCT_PROFIT_ORACLE = """
 SELECT n_name AS nation,
        CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - p_retailprice * l_quantity * 0.10), 2) AS profit
+       round(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                             - p_retailprice * l_quantity * 0.10) * 10000, 0)
+                      AS BIGINT)) / 10000.0, 2) AS profit
 FROM lineitem
 JOIN part     ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -1634,9 +1635,17 @@ def nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+    # integer 1e-4-dollar units per term (r8, caught by the top-60 sf1
+    # parity sweep): prices/discounts are 2-decimal, so each term is an
+    # exact multiple of 1e-4 — rounding it to an integer BEFORE the sum
+    # makes the aggregation exact integer arithmetic, order-invariant
+    # across layouts and engines. The float-sum form flipped the final
+    # cent on one (nation, year) group at sf1 (~1e-13 drift on a 1.7e8
+    # sum landing on a round-half boundary).
+    term = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
         "p_retailprice"
     ) * F.col("l_quantity") * F.lit(0.10)
+    profit_units = F.round(term * F.lit(10000), 0).cast("long")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -1646,7 +1655,9 @@ def nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(
+            F.round(F.sum(profit_units) / F.lit(10000.0), 2).alias("profit")
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 
