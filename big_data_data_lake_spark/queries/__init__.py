@@ -60,6 +60,7 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "semantic_dedup_clusters",  # r8: fine-assign idx_limit guard wired
     "semantic_dedup_recall",  # r8: fine-assign idx_limit guard wired
     "incremental_semantic_novelty",  # r8: fine-assign idx_limit guard wired
+    "nation_product_profit",  # r8: exact integer 1e-4-unit sums (sf1 parity fix)
     "unigram_surprisal",  # r8: exact integer micro-nat sums (sf1 parity fix)
     "bigram_surprisal",  # r8: exact integer micro-nat sums (sf1 parity fix)
     # carried from round 7:
