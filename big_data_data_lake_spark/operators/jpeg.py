@@ -436,6 +436,13 @@ def _decode_jpeg_impl(blob: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "q": qid}
                 )
+            if any(c["h"] == 0 or c["v"] == 0 for c in comps):
+                # A factor of 0 is illegal per ITU-T T.81 §B.2.2 (Hi/Vi in
+                # 1..4); without this check the subsample-ratio division at
+                # plane reconstruction (vmax // c["v"]) would raise a bare
+                # ZeroDivisionError on a single-bit-corrupted file — outside
+                # the decoder's ValueError/NotImplementedError contract.
+                raise ValueError("invalid JPEG sampling factors (0)")
             if any(c["h"] > 2 or c["v"] > 2 for c in comps):
                 raise NotImplementedError("sampling factors > 2")
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):

@@ -48,6 +48,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # subset of the registry per round).  Enumerate these first so a
 # prefix-biased sampler attests them; all pass the local DuckDB mirror
 # (tests/test_oracle_parity.py) regardless.
+#
+# N_CURRENT_ROUND = how many leading entries are THIS round's landings
+# (everything above the first "carried from round" marker).  Keep in
+# sync when re-ordering SAMPLE_FIRST at round close —
+# tools/parity_sf1.py always includes exactly this prefix in the sf1
+# sweep, so an off-by-one silently drops a current-round query from
+# the guaranteed set (round-8 advisory).
+N_CURRENT_ROUND = 11
 SAMPLE_FIRST: tuple[str, ...] = (
     # new in round 8 (new registration or semantic change), enumerated
     # first so the prefix-biased driver sampler attests them this

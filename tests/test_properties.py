@@ -17,7 +17,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from big_data_data_lake_spark.operators import dedup as dd
 from big_data_data_lake_spark.operators import multimodal as mm
@@ -313,6 +313,11 @@ def test_decoders_never_leak_on_garbage(data):
 
 @settings(max_examples=40, deadline=None)
 @given(st.integers(0, 10_000), st.integers(0, 255))
+# Round-8 discovered regression: xor=1 at pos=5028 lands on a SOF0
+# sampling-factor byte of the valid JPEG, turning Vi into 0; an
+# unvalidated factor made the subsample division raise
+# ZeroDivisionError (jpeg.py plane reconstruction).
+@example(pos=5028, xor=1)
 def test_decoders_never_leak_on_corrupted_valid_files(pos, xor):
     """Single-byte corruptions of genuinely valid files: the parser
     gets deep into real structure before hitting the flipped byte."""

@@ -73,7 +73,11 @@ def main() -> int:
     ap.add_argument("--queries", default=None, help="comma list; overrides ranking")
     args = ap.parse_args()
 
-    from big_data_data_lake_spark.queries import SAMPLE_FIRST, load_all
+    from big_data_data_lake_spark.queries import (
+        N_CURRENT_ROUND,
+        SAMPLE_FIRST,
+        load_all,
+    )
     from big_data_data_lake_spark.session import get_spark
 
     registry = load_all()
@@ -91,9 +95,13 @@ def main() -> int:
                 )
                 if n in registry
             ][: args.top]
-        # current-round landings always included
+        # current-round landings always included (the full current-round
+        # prefix of SAMPLE_FIRST, not a hardcoded slice — round-8 advisory)
         names = list(
-            dict.fromkeys(ranked + [n for n in SAMPLE_FIRST[:10] if n in registry])
+            dict.fromkeys(
+                ranked
+                + [n for n in SAMPLE_FIRST[:N_CURRENT_ROUND] if n in registry]
+            )
         )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app_name="parity-sf1", cpus=cpus)
