@@ -41,27 +41,33 @@ def salted_agg(
 ) -> DataFrame:
     """Two-phase salted aggregation for decomposable measures.
 
-    ``aggs`` maps output column -> "fn(col)" where fn ∈ {count, sum,
-    min, max}; the partial/final split is derived (count→sum of
-    partial counts, sum→sum, min→min, max→max).
+    ``aggs`` maps output column -> "fn(expr)" where fn ∈ {count, sum,
+    min, max} and expr is any SQL expression (nested parens fine);
+    the partial/final split is derived (count→sum of partial counts,
+    sum→sum, min→min, max→max).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     partial_exprs, final_exprs = [], []
     for out, spec in aggs.items():
-        fn, col = spec.rstrip(")").split("(", 1)
+        fn, rest = spec.split("(", 1)
         fn = fn.strip().lower()
+        # strip only the fn's own closing paren, preserving any nested
+        # parens inside the expression (e.g. sum(CAST(round(x) AS ...)))
+        col = rest[: rest.rfind(")")] if ")" in rest else rest
         p = f"__p_{out}"
         if fn == "count":
-            partial_exprs.append(F.count(F.lit(1) if col in ("*", "1") else F.col(col)).alias(p))
+            partial_exprs.append(
+                F.count(F.lit(1) if col in ("*", "1") else F.expr(col)).alias(p)
+            )
             final_exprs.append(F.sum(p).alias(out))
         elif fn == "sum":
-            partial_exprs.append(F.sum(col).alias(p))
+            partial_exprs.append(F.sum(F.expr(col)).alias(p))
             final_exprs.append(F.sum(p).alias(out))
         elif fn == "min":
-            partial_exprs.append(F.min(col).alias(p))
+            partial_exprs.append(F.min(F.expr(col)).alias(p))
             final_exprs.append(F.min(p).alias(out))
         elif fn == "max":
-            partial_exprs.append(F.max(col).alias(p))
+            partial_exprs.append(F.max(F.expr(col)).alias(p))
             final_exprs.append(F.max(p).alias(out))
         else:
             raise ValueError(f"non-decomposable aggregate: {spec}")

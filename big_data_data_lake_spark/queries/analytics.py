@@ -10,6 +10,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.geo import dead_reckon
+from ..functions.money import (
+    exact_avg,
+    exact_sum,
+    exact_sum_units,
+    sql_exact_avg,
+    sql_exact_sum,
+    sql_units,
+    units,
+)
 from ..operators import filters as flt
 from ..operators import joins as jn
 from ..operators import ml
@@ -90,12 +99,12 @@ def dead_reckoning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RUNNING_VALUE_ORACLE = """
+RUNNING_VALUE_ORACLE = f"""
 SELECT event_id,
-       round(sum(value) OVER (
+       round(sum({sql_units("value")}) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ), 2) AS running
+       ) / 100.0, 2) AS running
 FROM events
 """
 
@@ -103,7 +112,10 @@ FROM events
 @register("running_value", RUNNING_VALUE_ORACLE)
 def running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running aggregate per key in event order (window extension,
-    SURVEY §2.10) — one shuffle on the key."""
+    SURVEY §2.10) — one shuffle on the key. The prefix sum runs in
+    exact integer cents (r9): engines disagree on cumulative-window
+    association order (segment trees vs incremental), so a double
+    prefix sum can drift a ulp mid-partition; integer units cannot."""
     ev = _t(spark, sf_dir, "events")
     from pyspark.sql import Window
 
@@ -112,7 +124,10 @@ def running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return ev.select("event_id", F.round(F.sum("value").over(w), 2).alias("running"))
+    return ev.select(
+        "event_id",
+        F.round(F.sum(units("value")).over(w) / F.lit(100.0), 2).alias("running"),
+    )
 
 
 SESSIONIZE_ORACLE = """
@@ -151,10 +166,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DAILY_ACTIVITY_ORACLE = """
+DAILY_ACTIVITY_ORACLE = f"""
 SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
        count(*) AS n,
-       round(sum(value), 2) AS total_value
+       {sql_exact_sum("value")} AS total_value
 FROM events
 GROUP BY 1
 ORDER BY day
@@ -170,7 +185,7 @@ def daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact_sum("value").alias("total_value"),
         )
         .orderBy("day")
     )
@@ -399,13 +414,13 @@ def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RANGE_BAND_JOIN_ORACLE = """
+RANGE_BAND_JOIN_ORACLE = f"""
 WITH bands(tier, lo, hi) AS (
     VALUES ('low', 0.0, 5.0), ('mid', 5.0, 20.0), ('high', 20.0, 1e18)
 )
 SELECT b.tier,
        count(*) AS n,
-       round(avg(e.value), 2) AS avg_value
+       {sql_exact_avg("e.value")} AS avg_value
 FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 GROUP BY b.tier
 ORDER BY b.tier
@@ -431,7 +446,7 @@ def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 2).alias("avg_value"),
+            exact_avg("value").alias("avg_value"),
         )
         .orderBy("tier")
     )
@@ -555,10 +570,10 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SALTED_EVENT_ROLLUP_ORACLE = """
+SALTED_EVENT_ROLLUP_ORACLE = f"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 2) AS total_value,
+       {sql_exact_sum("value")} AS total_value,
        round(max(value), 6) AS max_value
 FROM events
 GROUP BY event_type
@@ -582,12 +597,17 @@ def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sk.salted_agg(
         ev,
         "event_type",
-        {"n": "count(*)", "total_value": "sum(value)", "max_value": "max(value)"},
+        {
+            "n": "count(*)",
+            # exact integer cents survive BOTH salted phases unchanged
+            "total_cents": "sum(CAST(round(value * 100, 0) AS BIGINT))",
+            "max_value": "max(value)",
+        },
     )
     return out.select(
         "event_type",
         "n",
-        F.round("total_value", 2).alias("total_value"),
+        F.round(F.col("total_cents") / F.lit(100.0), 2).alias("total_value"),
         F.round("max_value", 6).alias("max_value"),
     ).orderBy("event_type")
 
@@ -1551,7 +1571,7 @@ def grouped_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Date-spine gap filling (calendar resample)
 # ---------------------------------------------------------------------------
 
-DAILY_FILLED_ORACLE = """
+DAILY_FILLED_ORACLE = f"""
 WITH bounds AS (
     SELECT CAST(min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS DATE) AS lo,
            CAST(max(date_trunc('day', CAST(ts AS TIMESTAMP))) AS DATE) AS hi
@@ -1563,7 +1583,7 @@ spine AS (
 actual AS (
     SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2) AS total_value
+           {sql_exact_sum("value")} AS total_value
     FROM events GROUP BY 1
 )
 SELECT strftime(CAST(spine.day AS DATE), '%Y-%m-%d') AS day,
@@ -1599,7 +1619,7 @@ def daily_activity_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        exact_sum("value").alias("total_value"),
     )
     return (
         F.broadcast(spine)
@@ -1617,16 +1637,19 @@ def daily_activity_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Month-over-month growth (window over an aggregated series)
 # ---------------------------------------------------------------------------
 
-MOM_REVENUE_ORACLE = """
+MOM_REVENUE_ORACLE = f"""
 WITH monthly AS (
     SELECT strftime(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)), '%Y-%m') AS month,
-           round(sum(o_totalprice), 2) AS revenue
+           sum({sql_units("o_totalprice")}) AS rev_cents
     FROM orders GROUP BY 1
 )
-SELECT month, revenue,
-       round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta,
-       round((revenue - lag(revenue) OVER (ORDER BY month))
-             / lag(revenue) OVER (ORDER BY month) * 100, 4) AS mom_pct
+SELECT month,
+       round(rev_cents / 100.0, 2) AS revenue,
+       round((rev_cents - lag(rev_cents) OVER (ORDER BY month)) / 100.0, 2)
+           AS mom_delta,
+       round((rev_cents - lag(rev_cents) OVER (ORDER BY month))
+             / CAST(lag(rev_cents) OVER (ORDER BY month) AS DOUBLE) * 100, 4)
+           AS mom_pct
 FROM monthly
 ORDER BY month
 """
@@ -1646,14 +1669,14 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     monthly = orders.groupBy(
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    ).agg(exact_sum_units("o_totalprice").alias("rev_cents"))
     w = Window.orderBy("month")
-    prev = F.lag("revenue").over(w)
+    prev = F.lag("rev_cents").over(w)
     return monthly.select(
         "month",
-        "revenue",
-        F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
-        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("mom_pct"),
+        F.round(F.col("rev_cents") / F.lit(100.0), 2).alias("revenue"),
+        F.round((F.col("rev_cents") - prev) / F.lit(100.0), 2).alias("mom_delta"),
+        F.round((F.col("rev_cents") - prev) / prev * 100, 4).alias("mom_pct"),
     ).orderBy("month")
 
 
@@ -1928,7 +1951,7 @@ def next_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Chi-square independence test (contingency analysis)
 # ---------------------------------------------------------------------------
 
-CHI2_ORACLE = """
+CHI2_ORACLE = f"""
 WITH obs AS (
     SELECT event_type, dayofweek(ts) AS dow, count(*) AS o
     FROM events GROUP BY 1, 2
@@ -1941,7 +1964,8 @@ cells AS (
            CAST(rt.r AS DOUBLE) * ct.c / n.n AS e
     FROM obs o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
 )
-SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+SELECT round(sum({sql_units("(o - e) * (o - e) / e", 1_000_000)})
+             / 1000000.0, 4) AS chi2,
        CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1)
             AS BIGINT) AS dof,
        CAST(count(*) AS BIGINT) AS n_cells
@@ -1983,9 +2007,21 @@ def event_dow_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r").cast("double") * F.col("c") / F.col("n")).alias("e"),
         )
     )
+    # each cell's contribution rounds to an exact integer 1e-6 unit
+    # before the sum (r9): o and e are identical doubles on both
+    # engines, so the per-cell round agrees bit-for-bit and the
+    # integer sum is order-invariant — a raw double sum over the cell
+    # frame could flip the 4th decimal on engine/layout reorders
     return cells.agg(
         F.round(
-            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            F.sum(
+                units(
+                    (F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+                    / F.col("e"),
+                    1_000_000,
+                )
+            )
+            / F.lit(1_000_000.0),
             4,
         ).alias("chi2"),
         (
@@ -2051,12 +2087,12 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RFM customer segmentation (quartile scoring)
 # ---------------------------------------------------------------------------
 
-RFM_ORACLE = """
+RFM_ORACLE = f"""
 WITH per_user AS (
     SELECT user_id,
            max(ts) AS last_ts,
            count(*) AS frequency,
-           round(sum(value), 2) AS monetary
+           sum({sql_units("value")}) AS monetary_cents
     FROM events
     WHERE event_type = 'purchase'
     GROUP BY 1
@@ -2065,7 +2101,7 @@ scored AS (
     SELECT user_id,
            ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS r,
            ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f,
-           ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m
+           ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS m
     FROM per_user
 )
 SELECT r, f, m,
@@ -2101,12 +2137,14 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("ts").alias("last_ts"),
             F.count(F.lit(1)).alias("frequency"),
-            F.round(F.sum("value"), 2).alias("monetary"),
+            # exact integer cents: the m-quartile ordering can never
+            # disagree across engines on a summation-order ulp
+            exact_sum_units("value").alias("monetary_cents"),
         )
     )
     r = F.ntile(4).over(Window.orderBy(F.desc("last_ts"), F.asc("user_id")))
     f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
-    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary_cents"), F.asc("user_id")))
     scored = per_user.select(
         "user_id", r.alias("r"), f.alias("f"), m.alias("m")
     )
@@ -2410,10 +2448,10 @@ def days_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Argmax aggregates (max_by / min_by)
 # ---------------------------------------------------------------------------
 
-TOP_USER_ORACLE = """
+TOP_USER_ORACLE = f"""
 WITH per AS (
     SELECT event_type, user_id,
-           round(sum(value), 2) AS total
+           sum({sql_units("value")}) AS total_cents
     FROM events
     WHERE value IS NOT NULL
     GROUP BY 1, 2
@@ -2421,15 +2459,15 @@ WITH per AS (
 keyed AS (
     -- deterministic argmax under ties: fold user_id into the ordering
     -- key so both engines pick the same user (lowest id wins the tie)
-    SELECT event_type, user_id, total,
+    SELECT event_type, user_id, total_cents,
            row_number() OVER (
-               PARTITION BY event_type ORDER BY total DESC, user_id
+               PARTITION BY event_type ORDER BY total_cents DESC, user_id
            ) AS rn
     FROM per
 )
 SELECT event_type,
        CAST(user_id AS BIGINT) AS top_user,
-       total AS top_total
+       round(total_cents / 100.0, 2) AS top_total
 FROM keyed WHERE rn = 1
 ORDER BY event_type
 """
@@ -2450,16 +2488,18 @@ def top_user_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         events.where(F.col("value").isNotNull())
         .groupBy("event_type", "user_id")
-        .agg(F.round(F.sum("value"), 2).alias("total"))
+        .agg(exact_sum_units("value").alias("total_cents"))
     )
     # argmax via max_by on a (total, -user_id) struct: struct ordering
-    # is lexicographic, so ties on total resolve to the LOWEST user_id
-    key = F.struct(F.col("total"), (-F.col("user_id")).alias("nu"))
+    # is lexicographic, so ties on total resolve to the LOWEST user_id;
+    # totals compare in exact integer cents (r9) so the argmax itself
+    # can never flip on a summation-order ulp
+    key = F.struct(F.col("total_cents"), (-F.col("user_id")).alias("nu"))
     return (
         per.groupBy("event_type")
         .agg(
             F.max_by("user_id", key).cast("bigint").alias("top_user"),
-            F.max("total").alias("top_total"),
+            F.round(F.max("total_cents") / F.lit(100.0), 2).alias("top_total"),
         )
         .orderBy("event_type")
     )
@@ -3803,7 +3843,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Last-touch attribution of purchase value
 # ---------------------------------------------------------------------------
 
-LAST_TOUCH_ORACLE = """
+LAST_TOUCH_ORACLE = f"""
 WITH w AS (
     SELECT event_type, value,
            last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
@@ -3814,8 +3854,8 @@ WITH w AS (
 )
 SELECT coalesce(touch, 'direct') AS touch_type,
        CAST(count(*) AS BIGINT) AS n_purchases,
-       round(sum(value), 2) AS total_value,
-       round(sum(value) / count(*), 2) AS avg_value
+       {sql_exact_sum("value")} AS total_value,
+       round(sum({sql_units("value")}) / 100.0 / count(*), 2) AS avg_value
 FROM w
 WHERE event_type = 'purchase'
 GROUP BY 1
@@ -3839,8 +3879,8 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one shuffle on user_id for the keyed window (never
     single-partition), then a partial-aggregated rollup to the
-    |event_type| domain.  sum(value) is a double sum over a
-    user-bounded reorder; rounded to 2 decimals on both engines."""
+    |event_type| domain.  value sums run in exact integer cents (r9)
+    so no summation-order ulp can flip the rounded output."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
@@ -3859,8 +3899,10 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce(F.col("touch"), F.lit("direct")).alias("touch_type"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.sum("value") / F.count(F.lit(1)), 2).alias("avg_value"),
+            exact_sum("value").alias("total_value"),
+            F.round(
+                exact_sum_units("value") / F.lit(100.0) / F.count(F.lit(1)), 2
+            ).alias("avg_value"),
         )
         .orderBy("touch_type")
     )

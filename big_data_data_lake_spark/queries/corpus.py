@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caching import scoped_persist
+from ..functions.money import exact_avg, sql_exact_avg
 from ..operators import dedup as dd
 from ..operators import text as tx
 from . import register
@@ -1714,7 +1715,7 @@ def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CCNET_BUCKETS = 3
 
-CCNET_PERPLEXITY_ORACLE = """
+CCNET_PERPLEXITY_ORACLE = f"""
 WITH tok AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ),
@@ -1725,8 +1726,11 @@ dt AS (
 v AS (SELECT token, CAST(sum(c) AS BIGINT) AS n FROM dt GROUP BY token),
 tot AS (SELECT CAST(sum(n) AS BIGINT) AS s FROM v),
 pd AS (
+    -- identical micro-nat integer arithmetic to UNIGRAM_SURPRISAL_ORACLE
+    -- (this query composes the unigram scorer on the Spark side)
     SELECT doc_id,
-           round(sum(c * round(-ln(CAST(n AS DOUBLE) / s), 6)) / sum(c), 4)
+           round((sum(c * CAST(round(-ln(CAST(n AS DOUBLE) / s) * 1000000, 0)
+                               AS BIGINT)) / sum(c)) / 1000000.0, 4)
                AS sup
     FROM dt JOIN v USING (token) CROSS JOIN tot
     GROUP BY doc_id
@@ -1740,7 +1744,7 @@ SELECT lang,
        CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
            AS bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(sup), 4) AS mean_surprisal,
+       {sql_exact_avg("sup", 10000, 4)} AS mean_surprisal,
        round(min(sup), 4) AS min_surprisal,
        round(max(sup), 4) AS max_surprisal
 FROM b
@@ -1824,7 +1828,9 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("lang", "nt")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                F.round(F.avg("sup"), 4).alias("mean_surprisal"),
+                # sup is a 4-decimal multiple both engines agree on
+                # bit-for-bit, so the mean runs in exact 1e-4 units
+                exact_avg("sup", 10000, 4).alias("mean_surprisal"),
                 F.round(F.min("sup"), 4).alias("min_surprisal"),
                 F.round(F.max("sup"), 4).alias("max_surprisal"),
             )
@@ -1868,17 +1874,22 @@ tc AS (SELECT f, CAST(sum(c) AS BIGINT) AS ct
 rt AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS tr FROM rc),
 tt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt FROM tc),
 lr AS (
+    -- integer MICRO-UNIT log-ratios: both engines round the identical
+    -- IEEE double to the same 1e-6 integer, so the count-weighted sum
+    -- below is exact integer arithmetic (order-invariant)
     SELECT rc.f,
-           round(ln((coalesce(ct, 0) + 1.0) / (tt + {DSIR_B}))
-                 - ln((cr + 1.0) / (tr + {DSIR_B})), 6) AS lr
+           CAST(round((ln((coalesce(ct, 0) + 1.0) / (tt + {DSIR_B}))
+                       - ln((cr + 1.0) / (tr + {DSIR_B}))) * 1000000, 0)
+                AS BIGINT) AS lru
     FROM rc LEFT JOIN tc USING (f) CROSS JOIN rt CROSS JOIN tt
 ),
 pd AS (
-    SELECT doc_id, source, round(sum(c * lr) / sum(c), 4) AS w
+    SELECT doc_id, source,
+           round((sum(c * lru) / sum(c)) / 1000000.0, 4) AS w
     FROM df JOIN lr USING (f) GROUP BY doc_id, source
 )
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(w), 4) AS mean_log_iw,
+       {sql_exact_avg("w", 10000, 4)} AS mean_log_iw,
        round(avg(CASE WHEN w > 0 THEN 1.0 ELSE 0.0 END), 4) AS selected_frac
 FROM pd GROUP BY source ORDER BY source
 """.format(
@@ -1948,29 +1959,40 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tt))
         .select(
             "f",
+            # integer micro-unit log-ratio (r9): exact integer weighted
+            # sums below, order-invariant — see the oracle's lr CTE
             F.round(
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("tt") + F.lit(float(DSIR_B)))
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("tt") + F.lit(float(DSIR_B)))
+                    )
+                    - F.log(
+                        (F.col("cr") + F.lit(1.0))
+                        / (F.col("tr") + F.lit(float(DSIR_B)))
+                    )
                 )
-                - F.log(
-                    (F.col("cr") + F.lit(1.0))
-                    / (F.col("tr") + F.lit(float(DSIR_B)))
-                ),
-                6,
-            ).alias("lr"),
+                * F.lit(1_000_000),
+                0,
+            )
+            .cast("long")
+            .alias("lru"),
         )
     )
     pd_ = (
         dfc.join(F.broadcast(lr), "f")
         .groupBy("doc_id", "source")
-        .agg(F.round(F.sum(F.col("c") * F.col("lr")) / F.sum("c"), 4).alias("w"))
+        .agg(
+            F.round(
+                (F.sum(F.col("c") * F.col("lru")) / F.sum("c")) / F.lit(1e6), 4
+            ).alias("w")
+        )
     )
     return (
         pd_.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.round(F.avg("w"), 4).alias("mean_log_iw"),
+            exact_avg("w", 10000, 4).alias("mean_log_iw"),
             F.round(
                 F.avg(F.when(F.col("w") > 0, F.lit(1.0)).otherwise(F.lit(0.0))), 4
             ).alias("selected_frac"),

@@ -13,6 +13,15 @@ from pyspark.sql import functions as F
 
 from ..caching import scoped_persist
 from ..functions.geo import infer_continent, infer_continent_ref
+from ..functions.money import (
+    exact_avg,
+    exact_sum,
+    exact_sum_units,
+    sql_exact_avg,
+    sql_exact_sum,
+    sql_units,
+    units,
+)
 from ..operators import aggregations as agg
 from ..operators import filters as flt
 from ..operators import joins as jn
@@ -30,11 +39,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Flagship: "country intelligence" (SURVEY §7 Phase 1, app.py:341-352)
 # --------------------------------------------------------------------------
 
-COUNTRY_INTELLIGENCE_ORACLE = """
+COUNTRY_INTELLIGENCE_ORACLE = f"""
 SELECT n_name,
        count(o_orderkey) AS num_orders,
-       round(avg(o_totalprice), 2) AS avg_totalprice,
-       round(avg(c_acctbal), 2) AS avg_acctbal
+       {sql_exact_avg("o_totalprice")} AS avg_totalprice,
+       {sql_exact_avg("c_acctbal")} AS avg_acctbal
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -61,8 +70,9 @@ def country_intelligence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("o_orderkey").alias("num_orders"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_totalprice"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+            # exact integer-cent avg (r9: order-invariant money class)
+            exact_avg("o_totalprice").alias("avg_totalprice"),
+            exact_avg("c_acctbal").alias("avg_acctbal"),
         )
         .orderBy(F.desc("num_orders"), F.asc("n_name"))
         .limit(10)
@@ -73,14 +83,14 @@ def country_intelligence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Aggregation surface (A1-A10)
 # --------------------------------------------------------------------------
 
-PRICING_SUMMARY_ORACLE = """
+PRICING_SUMMARY_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 2) AS avg_qty,
-       round(avg(l_extendedprice), 2) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       {sql_exact_sum("l_quantity")} AS sum_qty,
+       {sql_exact_sum("l_extendedprice")} AS sum_base_price,
+       {sql_exact_sum("l_extendedprice * (1 - l_discount)", 10000)} AS sum_disc_price,
+       {sql_exact_avg("l_quantity")} AS avg_qty,
+       {sql_exact_avg("l_extendedprice")} AS avg_price,
+       {sql_exact_avg("l_discount", 100, 4)} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -98,14 +108,17 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # exact integer-unit sums/avgs (r9: order-invariant money
+            # class — cents for bare 2-dec columns, 1e-4 units for the
+            # price x discount product; functions/money.py)
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            ).alias("sum_disc_price"),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount", 100, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -199,10 +212,10 @@ def event_type_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Joins (J1-J3 + semi/anti extensions)
 # --------------------------------------------------------------------------
 
-BRAND_REVENUE_ORACLE = """
+BRAND_REVENUE_ORACLE = f"""
 SELECT p_brand,
        count(*) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {sql_exact_sum("l_extendedprice * (1 - l_discount)", 10000)} AS revenue
 FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 ORDER BY revenue DESC, p_brand
@@ -222,9 +235,10 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched.groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # exact 1e-4-unit sum (r9: order-invariant money class)
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            ).alias("revenue"),
         )
         .orderBy(F.desc("revenue"), F.asc("p_brand"))
         .limit(10)
@@ -270,13 +284,13 @@ def first_match_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-UNION_SEGMENTS_ORACLE = """
+UNION_SEGMENTS_ORACLE = f"""
 WITH unioned AS (
     SELECT event_type, value FROM events WHERE user_id % 2 = 0
     UNION ALL
     SELECT event_type, value FROM events WHERE user_id % 2 = 1
 )
-SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+SELECT event_type, count(*) AS n, {sql_exact_sum("value")} AS total_value
 FROM unioned
 GROUP BY event_type
 """
@@ -296,7 +310,7 @@ def union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact_sum("value").alias("total_value"),
         )
     )
 
@@ -354,8 +368,8 @@ def suppliers_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Filters / predicates (F1-F8)
 # --------------------------------------------------------------------------
 
-MEMBERSHIP_RANGE_FILTER_ORACLE = """
-SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+MEMBERSHIP_RANGE_FILTER_ORACLE = f"""
+SELECT event_type, count(*) AS n, {sql_exact_sum("value")} AS total_value
 FROM events
 WHERE event_type IN ('click', 'view', 'purchase')
   AND value BETWEEN 10 AND 250
@@ -377,7 +391,7 @@ def membership_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact_sum("value").alias("total_value"),
         )
         .orderBy("event_type")
     )
@@ -410,7 +424,7 @@ def suspicious_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NULL_FILL_DROP_ORACLE = """
+NULL_FILL_DROP_ORACLE = f"""
 WITH masked AS (
     SELECT event_type,
            CASE WHEN value > 300 THEN NULL ELSE value END AS v
@@ -419,7 +433,7 @@ WITH masked AS (
 SELECT event_type,
        count(v) AS n_present,
        count(*) - count(v) AS n_missing,
-       round(sum(coalesce(v, 0.0)), 2) AS filled_sum
+       {sql_exact_sum("coalesce(v, 0.0)")} AS filled_sum
 FROM masked
 GROUP BY event_type
 ORDER BY event_type
@@ -439,7 +453,7 @@ def null_fill_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("v").alias("n_present"),
             (F.count(F.lit(1)) - F.count("v")).alias("n_missing"),
-            F.round(F.sum(F.coalesce(F.col("v"), F.lit(0.0))), 2).alias("filled_sum"),
+            exact_sum(F.coalesce(F.col("v"), F.lit(0.0))).alias("filled_sum"),
         )
         .orderBy("event_type")
     )
@@ -716,11 +730,11 @@ def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(*cols).orderBy("o_orderstatus")
 
 
-LINEITEM_ROLLUP_ORACLE = """
+LINEITEM_ROLLUP_ORACLE = f"""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        count(*) AS n,
-       round(sum(l_quantity), 2) AS sum_qty
+       {sql_exact_sum("l_quantity")} AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 ORDER BY returnflag, linestatus
@@ -736,7 +750,7 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            exact_sum("l_quantity").alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -791,11 +805,11 @@ def users_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.subtract(errs).orderBy("user_id", "hr")
 
 
-ORDERS_CUBE_ORACLE = """
+ORDERS_CUBE_ORACLE = f"""
 SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
        coalesce(o_orderpriority, 'ALL') AS orderpriority,
        count(*) AS n,
-       round(sum(o_totalprice), 2) AS total_price
+       {sql_exact_sum("o_totalprice")} AS total_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY orderstatus, orderpriority
@@ -812,7 +826,7 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            exact_sum("o_totalprice").alias("total_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
@@ -900,9 +914,9 @@ def file_ts_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fname")
 
 
-SHIPPING_PRIORITY_ORACLE = """
+SHIPPING_PRIORITY_ORACLE = f"""
 SELECT l.l_orderkey,
-       round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue,
+       {sql_exact_sum("l.l_extendedprice * (1 - l.l_discount)", 10000)} AS revenue,
        strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -938,8 +952,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
             ).alias("revenue")
         )
         .select(
@@ -1011,9 +1025,9 @@ def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, df.schema).orderBy("decile")
 
 
-LOCAL_SUPPLIER_VOLUME_ORACLE = """
+LOCAL_SUPPLIER_VOLUME_ORACLE = f"""
 SELECT n.n_name AS nation,
-       round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue
+       {sql_exact_sum("l.l_extendedprice * (1 - l.l_discount)", 10000)} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -1059,17 +1073,17 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s_nationkey") == F.col("c_nationkey"))  # local supplier
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "nation")
     )
 
 
-RETURNED_ITEM_REPORT_ORACLE = """
+RETURNED_ITEM_REPORT_ORACLE = f"""
 SELECT c.c_custkey, c.c_name,
-       round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue,
+       {sql_exact_sum("l.l_extendedprice * (1 - l.l_discount)", 10000)} AS revenue,
        n.n_name AS nation
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1098,8 +1112,8 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
             ).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "nation")
@@ -1108,17 +1122,17 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LARGE_VOLUME_ORDERS_ORACLE = """
+LARGE_VOLUME_ORDERS_ORACLE = f"""
 SELECT c.c_name, c.c_custkey, o.o_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
        round(o.o_totalprice, 2) AS total_price,
-       round(t.total_qty, 2) AS total_qty
+       round(t.qty_cents / 100.0, 2) AS total_qty
 FROM orders o
 JOIN (
-    SELECT l_orderkey, sum(l_quantity) AS total_qty
+    SELECT l_orderkey, sum({sql_units("l_quantity")}) AS qty_cents
     FROM lineitem
     GROUP BY l_orderkey
-    HAVING sum(l_quantity) > 300
+    HAVING sum({sql_units("l_quantity")}) > 30000
 ) t ON o.o_orderkey = t.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 ORDER BY total_price DESC, o.o_orderkey
@@ -1141,10 +1155,12 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # exact integer-cent rollup so the HAVING threshold can never flip
+    # on float drift when a per-order sum lands exactly on 300.00
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("total_qty"))
-        .where(F.col("total_qty") > 300)
+        .agg(exact_sum_units("l_quantity").alias("qty_cents"))
+        .where(F.col("qty_cents") > 30000)
     )
     hot = o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
     return (
@@ -1155,7 +1171,7 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
             F.round("o_totalprice", 2).alias("total_price"),
-            F.round("total_qty", 2).alias("total_qty"),
+            F.round(F.col("qty_cents") / F.lit(100.0), 2).alias("total_qty"),
         )
         .orderBy(F.col("total_price").desc(), "o_orderkey")
         .limit(100)
@@ -1303,8 +1319,8 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DISJUNCTIVE_REVENUE_ORACLE = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+DISJUNCTIVE_REVENUE_ORACLE = f"""
+SELECT {sql_exact_sum("l_extendedprice * (1 - l_discount)", 10000)} AS revenue,
        CAST(count(*) AS BIGINT) AS matched_lines
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
@@ -1351,9 +1367,9 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .where(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("matched_lines"),
         )
     )
@@ -1431,9 +1447,9 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NATION_TRADE_FLOWS_ORACLE = """
+NATION_TRADE_FLOWS_ORACLE = f"""
 SELECT supp_nation, cust_nation, ship_year,
-       round(sum(volume), 2) AS revenue
+       {sql_exact_sum("volume", 10000)} AS revenue
 FROM (
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
@@ -1505,24 +1521,25 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("ship_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            ).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "ship_year")
     )
 
 
-MARKET_SHARE_BY_YEAR_ORACLE = """
+MARKET_SHARE_BY_YEAR_ORACLE = f"""
 SELECT ship_year,
-       round(round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END), 2)
-             / round(sum(volume), 2), 6) AS mkt_share,
-       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END), 2) AS nation_volume,
-       round(sum(volume), 2) AS total_volume
+       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN u ELSE 0 END)
+             / CAST(sum(u) AS DOUBLE), 6) AS mkt_share,
+       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN u ELSE 0 END) / 10000.0, 2)
+           AS nation_volume,
+       round(sum(u) / 10000.0, 2) AS total_volume
 FROM (
     SELECT CAST(year(o_orderdate) AS BIGINT) AS ship_year,
            n1.n_name AS supp_nation,
-           l_extendedprice * (1 - l_discount) AS volume
+           {sql_units("l_extendedprice * (1 - l_discount)", 10000)} AS u
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -1545,10 +1562,11 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-numerator / unconditional-denominator pattern computes
     both in ONE aggregation pass (sum(CASE) + sum), never two jobs.
 
-    The share divides the two ROUNDED sums (then rounds the quotient):
-    dividing pre-rounded doubles makes the ratio a pure function of
-    values both engines already agree on, so no ulp of summation order
-    can flip the 6th decimal. Scale: part/supplier/nation/region all
+    The share divides two EXACT integer 1e-4-unit sums (then rounds
+    the quotient): integer accumulation is order-invariant, so the
+    ratio is a pure function of values both engines agree on bit-for-
+    bit — no ulp of summation order can flip the 6th decimal (r9
+    rewrite of the pre-rounded-double form). Scale: part/supplier/nation/region all
     broadcast (part pre-filtered by type); customer pre-joined to the
     ASIA nation subset; the orderkey join is the one data exchange.
 
@@ -1573,11 +1591,11 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    nat_vol = F.round(
-        F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))), 2
+    u = units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    nat_units = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", u).otherwise(F.lit(0))
     )
-    tot_vol = F.round(F.sum(vol), 2)
+    tot_units = F.sum(u)
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -1586,9 +1604,9 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(F.year("o_orderdate").cast("bigint").alias("ship_year"))
         .agg(
-            F.round(nat_vol / tot_vol, 6).alias("mkt_share"),
-            nat_vol.alias("nation_volume"),
-            tot_vol.alias("total_volume"),
+            F.round(nat_units / tot_units, 6).alias("mkt_share"),
+            F.round(nat_units / F.lit(10000.0), 2).alias("nation_volume"),
+            F.round(tot_units / F.lit(10000.0), 2).alias("total_volume"),
         )
         .orderBy("ship_year")
     )
@@ -1707,13 +1725,15 @@ def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PROMO_REVENUE_SHARE_ORACLE = """
-SELECT round(100.0 * round(sum(CASE WHEN p_type = 'PROMO' THEN volume ELSE 0 END), 2)
-             / round(sum(volume), 2), 4) AS promo_share_pct,
-       round(sum(CASE WHEN p_type = 'PROMO' THEN volume ELSE 0 END), 2) AS promo_revenue,
-       round(sum(volume), 2) AS total_revenue
+PROMO_REVENUE_SHARE_ORACLE = f"""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN u ELSE 0 END)
+             / CAST(sum(u) AS DOUBLE), 4) AS promo_share_pct,
+       round(sum(CASE WHEN p_type = 'PROMO' THEN u ELSE 0 END) / 10000.0, 2)
+           AS promo_revenue,
+       round(sum(u) / 10000.0, 2) AS total_revenue
 FROM (
-    SELECT p_type, l_extendedprice * (1 - l_discount) AS volume
+    SELECT p_type,
+           {sql_units("l_extendedprice * (1 - l_discount)", 10000)} AS u
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01'
@@ -1729,8 +1749,9 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-ratio aggregate over a month-bounded fact scan.
 
     Same determinism rule as market_share_by_year: the percentage
-    divides the two already-rounded sums so both engines divide
-    identical doubles. The month predicate is a pushed parquet filter
+    divides two exact integer 1e-4-unit sums so both engines divide
+    identical integers (r9 rewrite of the pre-rounded-double form).
+    The month predicate is a pushed parquet filter
     (at scale: partition pruning if the lake is shipdate-partitioned);
     part broadcasts pre-projected to (key, type).
 
@@ -1739,17 +1760,15 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.round(
-        F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))), 2
-    )
-    total = F.round(F.sum(vol), 2)
+    u = units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", u).otherwise(F.lit(0)))
+    total = F.sum(u)
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             F.round(F.lit(100.0) * promo / total, 4).alias("promo_share_pct"),
-            promo.alias("promo_revenue"),
-            total.alias("total_revenue"),
+            F.round(promo / F.lit(10000.0), 2).alias("promo_revenue"),
+            F.round(total / F.lit(10000.0), 2).alias("total_revenue"),
         )
     )
 
@@ -1859,7 +1878,7 @@ def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SMALL_QTY_AVG_REVENUE_ORACLE = """
+SMALL_QTY_AVG_REVENUE_ORACLE = f"""
 WITH pq AS (
     SELECT l_partkey AS pk,
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
@@ -1867,7 +1886,8 @@ WITH pq AS (
     FROM lineitem
     GROUP BY l_partkey
 )
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_weekly_revenue,
+SELECT round(sum({sql_units("l_extendedprice")}) / 100.0 / 7.0, 2)
+           AS avg_weekly_revenue,
        CAST(count(*) AS BIGINT) AS matched_lines
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
@@ -1911,7 +1931,9 @@ def small_qty_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_lines.join(F.broadcast(pq), F.col("l_partkey") == F.col("pk"))
         .where(F.col("l_quantity").cast("bigint") * 5 * F.col("n") < F.col("qty_sum"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_weekly_revenue"),
+            F.round(
+                exact_sum_units("l_extendedprice") / F.lit(100.0) / F.lit(7.0), 2
+            ).alias("avg_weekly_revenue"),
             F.count(F.lit(1)).alias("matched_lines"),
         )
     )
@@ -2245,12 +2267,12 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_GROUPING_SETS_ORACLE = """
+EVENTS_GROUPING_SETS_ORACLE = f"""
 SELECT coalesce(event_type, 'ALL') AS event_type,
        CAST(coalesce(CAST(hour(ts) AS BIGINT), -1) AS BIGINT) AS hr,
        CAST(grouping(event_type) * 2 + grouping(hour(ts)) AS INT) AS gid,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 2) AS total_value
+       {sql_exact_sum("value")} AS total_value
 FROM events
 GROUP BY GROUPING SETS ((event_type), (hour(ts)), (event_type, hour(ts)))
 ORDER BY gid, event_type, hr
@@ -2288,7 +2310,7 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             gid.alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact_sum("value").alias("total_value"),
         )
         .select(
             F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
@@ -2443,20 +2465,22 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Percent-of-total contribution (ratio-to-report)
 # ---------------------------------------------------------------------------
 
-REVENUE_CONTRIBUTION_ORACLE = """
+REVENUE_CONTRIBUTION_ORACLE = f"""
 WITH nat AS (
     SELECT r.r_name AS region, n.n_name AS nation,
-           round(sum(o.o_totalprice), 2) AS revenue
+           sum({sql_units("o.o_totalprice")}) AS rev_cents
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n   ON c.c_nationkey = n.n_nationkey
     JOIN region r   ON n.n_regionkey = r.r_regionkey
     GROUP BY 1, 2
 )
-SELECT region, nation, revenue,
-       round(100.0 * revenue / sum(revenue) OVER (PARTITION BY region), 4)
+SELECT region, nation,
+       round(rev_cents / 100.0, 2) AS revenue,
+       round(100.0 * rev_cents
+             / CAST(sum(rev_cents) OVER (PARTITION BY region) AS DOUBLE), 4)
            AS pct_of_region,
-       rank() OVER (PARTITION BY region ORDER BY revenue DESC, nation)
+       rank() OVER (PARTITION BY region ORDER BY rev_cents DESC, nation)
            AS rank_in_region
 FROM nat
 ORDER BY region, rank_in_region, nation
@@ -2474,8 +2498,9 @@ def revenue_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST (one partial-aggregated shuffle; customer/nation/region
     dims broadcast), so both windows run over a 25-row frame —
     metadata-scale, same argument as monthly_revenue_growth. Revenue
-    is rounded before the share divide so both engines window over
-    identical inputs."""
+    stays in EXACT integer cents through the window sum (r9): the
+    share divides two integers both engines agree on bit-for-bit, so
+    no window-frame summation order can flip the 4th decimal."""
     from pyspark.sql import Window
 
     orders = _t(spark, sf_dir, "orders")
@@ -2490,17 +2515,17 @@ def revenue_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(exact_sum_units("o_totalprice").alias("rev_cents"))
     )
     wsum = Window.partitionBy("region")
-    wrank = Window.partitionBy("region").orderBy(F.desc("revenue"), "nation")
+    wrank = Window.partitionBy("region").orderBy(F.desc("rev_cents"), "nation")
     return nat.select(
         "region",
         "nation",
-        "revenue",
-        F.round(100.0 * F.col("revenue") / F.sum("revenue").over(wsum), 4).alias(
-            "pct_of_region"
-        ),
+        F.round(F.col("rev_cents") / F.lit(100.0), 2).alias("revenue"),
+        F.round(
+            100.0 * F.col("rev_cents") / F.sum("rev_cents").over(wsum), 4
+        ).alias("pct_of_region"),
         F.rank().over(wrank).cast("bigint").alias("rank_in_region"),
     ).orderBy("region", "rank_in_region", "nation")
 
@@ -2509,7 +2534,7 @@ def revenue_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Time-hierarchy ROLLUP (year -> month -> grand total)
 # ---------------------------------------------------------------------------
 
-TIME_ROLLUP_ORACLE = """
+TIME_ROLLUP_ORACLE = f"""
 SELECT coalesce(CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR), 'ALL') AS yr,
        coalesce(strftime(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)), '%Y-%m'),
                 'ALL') AS mon,
@@ -2517,7 +2542,7 @@ SELECT coalesce(CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR), 'ALL') AS
             + grouping(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)))
             AS BIGINT) AS lvl,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       {sql_exact_sum("o_totalprice")} AS revenue
 FROM orders
 GROUP BY ROLLUP (year(CAST(o_orderdate AS TIMESTAMP)),
                  date_trunc('month', CAST(o_orderdate AS TIMESTAMP)))
@@ -2547,7 +2572,7 @@ def revenue_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("y").cast("bigint").alias("gy"),
         F.grouping("m").cast("bigint").alias("gm"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        exact_sum("o_totalprice").alias("revenue"),
     )
     return rolled.select(
         F.coalesce(F.col("y").cast("string"), F.lit("ALL")).alias("yr"),
@@ -2625,33 +2650,34 @@ def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rank movers (period-over-period rank delta + indexed-to-base)
 # ---------------------------------------------------------------------------
 
-RANK_MOVERS_ORACLE = """
+RANK_MOVERS_ORACLE = f"""
 WITH yearly AS (
     SELECT n.n_name AS nation,
            year(CAST(o.o_orderdate AS TIMESTAMP)) AS yr,
-           round(sum(o.o_totalprice), 2) AS revenue
+           sum({sql_units("o.o_totalprice")}) AS rev_cents
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n   ON c.c_nationkey = n.n_nationkey
     GROUP BY 1, 2
 ),
 r1 AS (
-    SELECT nation, yr, revenue,
-           rank() OVER (PARTITION BY yr ORDER BY revenue DESC, nation) AS rnk,
-           first_value(revenue) OVER (
+    SELECT nation, yr, rev_cents,
+           rank() OVER (PARTITION BY yr ORDER BY rev_cents DESC, nation) AS rnk,
+           first_value(rev_cents) OVER (
                PARTITION BY nation ORDER BY yr
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS base_rev
+           ) AS base_cents
     FROM yearly
 ),
 ranked AS (
     SELECT *, lag(rnk) OVER (PARTITION BY nation ORDER BY yr) AS prev_rnk
     FROM r1
 )
-SELECT nation, CAST(yr AS BIGINT) AS yr, revenue,
+SELECT nation, CAST(yr AS BIGINT) AS yr,
+       round(rev_cents / 100.0, 2) AS revenue,
        CAST(rnk AS BIGINT) AS rnk,
        CAST(prev_rnk - rnk AS BIGINT) AS rank_gain,
-       round(100.0 * revenue / base_rev, 4) AS index_to_base
+       round(100.0 * rev_cents / base_cents, 4) AS index_to_base
 FROM ranked
 WHERE prev_rnk IS NOT NULL
 ORDER BY yr, rnk, nation
@@ -2682,30 +2708,30 @@ def nation_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(exact_sum_units("o_totalprice").alias("rev_cents"))
     )
-    w_rank = Window.partitionBy("yr").orderBy(F.desc("revenue"), "nation")
+    w_rank = Window.partitionBy("yr").orderBy(F.desc("rev_cents"), "nation")
     w_hist = Window.partitionBy("nation").orderBy("yr")
     ranked = yearly.select(
         "nation",
         F.col("yr").cast("bigint").alias("yr"),
-        "revenue",
+        "rev_cents",
         F.rank().over(w_rank).cast("bigint").alias("rnk"),
-        F.first("revenue").over(
+        F.first("rev_cents").over(
             w_hist.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("base_rev"),
+        ).alias("base_cents"),
     )
     prev = F.lag("rnk").over(w_hist)
     return (
         ranked.select(
             "nation",
             "yr",
-            "revenue",
+            F.round(F.col("rev_cents") / F.lit(100.0), 2).alias("revenue"),
             "rnk",
             (prev - F.col("rnk")).cast("bigint").alias("rank_gain"),
-            F.round(100.0 * F.col("revenue") / F.col("base_rev"), 4).alias(
-                "index_to_base"
-            ),
+            F.round(
+                100.0 * F.col("rev_cents") / F.col("base_cents"), 4
+            ).alias("index_to_base"),
         )
         .where(F.col("rank_gain").isNotNull())
         .orderBy("yr", "rnk", "nation")
