@@ -154,6 +154,25 @@ def _bloom_positions(value, bits: int, k: int) -> set[int]:
     return {((_BLOOM_A[j] * h + _BLOOM_B[j]) % _BLOOM_P) % bits for j in range(k)}
 
 
+def _append_compatible(df_schema, table_schema) -> bool:
+    """Strict append check, modulo SAFE nullability narrowing: the
+    same column names, order, and types are required, but a
+    NON-nullable df column may append into a nullable table column
+    (every non-null value fits). The reverse (nullable df into a
+    non-nullable table column) stays rejected — it could land nulls a
+    reader was promised never to see. Needed because frames built
+    from literals/sketch expressions carry nullable=false where the
+    parquet-read build path produced nullable=true."""
+    if [f.name for f in df_schema.fields] != [f.name for f in table_schema.fields]:
+        return False
+    for fd, ft in zip(df_schema.fields, table_schema.fields):
+        if fd.dataType != ft.dataType:
+            return False
+        if fd.nullable and not ft.nullable:
+            return False
+    return True
+
+
 class ExpectationViolation(ValueError):
     """A write was rejected because expectation rules failed."""
 
@@ -414,7 +433,7 @@ class LakeTable:
                 + [f for f in df.schema.fields if f.name not in prev_schema.names]
             )
             df = df.select([F.col(f.name) for f in merged.fields])
-        elif df.schema != prev_schema:
+        elif not _append_compatible(df.schema, prev_schema):
             raise ValueError(
                 "append schema differs from table schema; pass merge_schema=True "
                 f"for additive evolution. table={prev_schema.simpleString()} "

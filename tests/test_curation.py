@@ -199,6 +199,64 @@ def test_minhash_index_maintained_equals_recomputed(spark, tmp_path):
     assert got_bands.exceptAll(want_bands).count() == 0
 
 
+def test_minhash_index_maintained_through_excision_commit(spark, tmp_path):
+    """r8 verdict item #4: the dedup index must survive the OTHER
+    half of its lifecycle — a corpus delete/rewrite commit. Build the
+    maintained index, apply the ExactSubstr excision change set to the
+    archive (delete fully-excised ids, rewrite partially-excised
+    docs), run maintain_minhash_index_for_commit, then assert the
+    maintained tables equal a one-shot recomputation over the
+    POST-excision corpus state. Without the maintenance, excised
+    documents' stale signatures would keep matching future batches
+    against text that no longer exists."""
+    from pyspark.sql import functions as F2
+
+    from big_data_data_lake_spark.queries.curation import (
+        _archive_sig_frames,
+        _build_minhash_archive_index,
+        _excision_lake_changes,
+        maintain_minhash_index_for_commit,
+    )
+    from big_data_data_lake_spark.queries.llm_ops import _spread, _t
+    from big_data_data_lake_spark.sources.metadata import LakeTable
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "idx")
+    _build_minhash_archive_index(spark, sf, path)
+    docs = _spread(spark, _t(spark, sf, "documents"))
+    archive = docs.where(F2.col("doc_id") % 5 != 0)
+
+    # the excision change set, restricted to the indexed archive
+    upserts, gone = _excision_lake_changes(spark, sf, docs)
+    upserts = upserts.where(F2.col("doc_id") % 5 != 0).persist()
+    gone = gone.where(F2.col("doc_id") % 5 != 0).persist()
+    # the fixture corpus must actually exercise both paths
+    assert upserts.count() > 0
+    assert gone.count() > 0
+
+    maintain_minhash_index_for_commit(spark, path, upserts, gone)
+
+    # expected: recompute from the post-excision archive state
+    after = (
+        archive.join(gone.select("doc_id"), "doc_id", "left_anti")
+        .join(upserts.select("doc_id", F2.col("text").alias("t1")), "doc_id", "left")
+        .select(
+            "doc_id",
+            F2.coalesce("t1", "text").alias("text"),
+        )
+    )
+    want_sig, want_bands = _archive_sig_frames(after)
+    got_sig = LakeTable(spark, path + "/sigs").read()
+    got_bands = LakeTable(spark, path + "/bands").read()
+    assert got_sig.count() == want_sig.count()
+    assert want_sig.exceptAll(got_sig).count() == 0
+    assert got_sig.exceptAll(want_sig).count() == 0
+    assert want_bands.exceptAll(got_bands).count() == 0
+    assert got_bands.exceptAll(want_bands).count() == 0
+    upserts.unpersist()
+    gone.unpersist()
+
+
 def test_incremental_excision_matches_from_parquet_twin(spark):
     """The pre-staged incremental rewrite must land the same
     accounting as the from-parquet twin — same upsert, same delete,
