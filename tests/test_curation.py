@@ -383,3 +383,97 @@ def test_excision_rewrite_lake_cdf_agrees_with_manifest(spark, tmp_path):
     for d, txt in cdf.items():
         if d not in cut:
             assert txt == v0[d], d
+
+
+def test_excision_upsert_zone_map_pruning_on_clustered_cuts(spark, tmp_path):
+    """r8 verdict item #3: the excision rewrite's claimed zone-map
+    pruning, DEMONSTRATED. The benchmark corpus spreads affected
+    doc_ids uniformly (the adversarial-worst layout: the incoming key
+    range spans every file, so nothing can prune). This fixture
+    concentrates the boilerplate in a narrow doc_id range — the
+    clustered-duplication shape real crawls have (one template, one
+    crawl window) — and asserts through the SAME _commit_excision
+    write path that:
+      (a) only files whose zone-map doc_id range intersects the cut
+          range are rewritten,
+      (b) every other file carries into the new manifest BY REFERENCE
+          (identical path — zero rewrite I/O), and
+      (c) the same change set applied uniformly rewrites every file
+          (the contrast that makes (a)/(b) meaningful).
+    """
+    from big_data_data_lake_spark.queries.curation import _commit_excision
+    from big_data_data_lake_spark.sources.metadata import LakeTable
+
+    n_docs, n_files = 20_000, 16
+    corpus = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("unique text body "), F.col("id")).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("crawl").alias("source"),
+            F.lit(20).cast("long").alias("n_chars"),
+        )
+        .repartitionByRange(n_files, "doc_id")
+    )
+
+    def change_set(ids_rewrite, ids_delete):
+        up = (
+            spark.createDataFrame([(i,) for i in ids_rewrite], "doc_id long")
+            .select(
+                "doc_id",
+                F.lit("excised survivor").alias("text"),
+                F.lit("en").alias("lang"),
+                F.lit("crawl").alias("source"),
+                F.lit(16).cast("long").alias("n_chars"),
+            )
+        )
+        gone = spark.createDataFrame([(i,) for i in ids_delete], "doc_id long")
+        return up, gone
+
+    # --- clustered cut list: one template's id neighborhood ---
+    t1 = LakeTable(spark, str(tmp_path / "clustered"))
+    t1.create(corpus)
+    v0_files = {f["path"] for f in t1.manifest()["files"]}
+    assert len(v0_files) == n_files
+    lo, hi = 1_000, 1_400
+    up, gone = change_set(range(lo, hi), range(hi, hi + 100))
+    _commit_excision(t1, up, gone)
+    v_files = {f["path"] for f in t1.manifest()["files"]}
+    carried = v0_files & v_files
+    rewritten = v0_files - v_files
+    # (a) exactly the zone-map intersectors of [lo, hi+100) rewrote
+    expect_touch = {
+        f["path"]
+        for f in t1.manifest(0)["files"]
+        if not (
+            f["stats"]["doc_id"]["min"] > hi + 99
+            or f["stats"]["doc_id"]["max"] < lo
+        )
+    }
+    # both commits (upsert + delete) may only rewrite files whose
+    # zone-map range intersects the full affected range
+    assert rewritten <= expect_touch
+    # (b) the overwhelming majority carried by reference
+    assert len(carried) >= n_files - 2
+    # correctness: rewrite landed, deletes gone, survivors intact
+    got = {r.doc_id: r.text for r in t1.read().where(
+        (F.col("doc_id") >= lo - 5) & (F.col("doc_id") < hi + 105)
+    ).collect()}
+    assert all(got[i] == "excised survivor" for i in range(lo, hi))
+    assert all((hi + j) not in got for j in range(100))  # deleted
+    assert got[lo - 1].startswith("unique text body")
+    assert got[hi + 100].startswith("unique text body")
+
+    # --- uniform cut list: the adversarial layout (no pruning possible) ---
+    t2 = LakeTable(spark, str(tmp_path / "uniform"))
+    t2.create(corpus)
+    u0_files = {f["path"] for f in t2.manifest()["files"]}
+    stride = n_docs // 500
+    up_u, gone_u = change_set(
+        range(0, n_docs, stride), range(1, n_docs, n_docs // 100)
+    )
+    _commit_excision(t2, up_u, gone_u)
+    u_files = {f["path"] for f in t2.manifest()["files"]}
+    # (c) the incoming range spans the table: every v0 file rewrote
+    assert len(u0_files & u_files) == 0

@@ -71,6 +71,12 @@ def main() -> int:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF1_DIR", ".bench/sf1"))
     ap.add_argument("--out", default="PARITY_SF1.json")
     ap.add_argument("--queries", default=None, help="comma list; overrides ranking")
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="sweep the FULL registry (r8 verdict item #2: every "
+        "registered query value-attested at sf1, not just the heavy set)",
+    )
     args = ap.parse_args()
 
     from big_data_data_lake_spark.queries import (
@@ -81,7 +87,9 @@ def main() -> int:
     from big_data_data_lake_spark.session import get_spark
 
     registry = load_all()
-    if args.queries:
+    if args.all:
+        names = sorted(registry)
+    elif args.queries:
         names = [n.strip() for n in args.queries.split(",") if n.strip()]
     else:
         ranked: list[str] = []
