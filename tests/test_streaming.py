@@ -1048,3 +1048,90 @@ def test_watermark_health_reports_dropped_rows(spark, tmpdir):
     assert h["rows_dropped_by_watermark"] >= 1, h
     assert h["batch_id"] is not None
     assert h["watermark"] is not None
+
+
+def test_indexed_novelty_sink_matches_batch_twin_across_triggers(spark, tmpdir):
+    """r8 verdict item #5: the lake-maintained dedup index driven by
+    an ACTUAL streaming query. Three document files arrive as three
+    micro-batch triggers (maxFilesPerTrigger=1); each trigger probes
+    the index built by the previous triggers, emits novelty verdicts,
+    and appends its own signatures — so the stream's output must equal
+    a batch replay that probes each day's docs against the union of
+    the prior days, and the final index must equal a one-shot
+    recomputation over everything ingested."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from big_data_data_lake_spark.queries.curation import (
+        _archive_sig_frames,
+        probe_minhash_novelty,
+    )
+    from big_data_data_lake_spark.queries.llm_ops import _spread, _t
+    from big_data_data_lake_spark.sources.metadata import LakeTable
+    from big_data_data_lake_spark.streaming.ingest import indexed_novelty_sink
+
+    docs = _spread(spark, _t(spark, "/root/testdata/sf0.001", "documents")).select(
+        "doc_id", "text"
+    )
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    days = [docs.where(F2.pmod("doc_id", F2.lit(3)) == d) for d in range(3)]
+    for d, frame in enumerate(days):
+        frame.coalesce(1).write.parquet(f"{tmpdir}/stage{d}")
+        part = next(
+            f for f in os.listdir(f"{tmpdir}/stage{d}") if f.endswith(".parquet")
+        )
+        os.rename(f"{tmpdir}/stage{d}/{part}", f"{src}/day{d}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = indexed_novelty_sink(
+        stream,
+        f"{tmpdir}/idx",
+        f"{tmpdir}/novelty",
+        f"{tmpdir}/ckpt",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    out_t = LakeTable(spark, f"{tmpdir}/novelty")
+    sigs_t = LakeTable(spark, f"{tmpdir}/idx/sigs")
+    bands_t = LakeTable(spark, f"{tmpdir}/idx/bands")
+    # >= 3 triggers committed (one create + >= 2 appends per table)
+    assert out_t.latest_version() >= 2
+    assert sigs_t.latest_version() >= 2
+
+    # batch replay: day d probes the union of days < d
+    want = {}
+    for d in range(3):
+        sig, _ = _archive_sig_frames(days[d])
+        if d == 0:
+            for r in days[0].select("doc_id").collect():
+                want[r.doc_id] = (0.0, True)
+            continue
+        archive = days[0] if d == 1 else days[0].unionByName(days[1])
+        a_sig, a_bands = _archive_sig_frames(archive)
+        nov = probe_minhash_novelty(
+            sig,
+            a_bands.select(F2.col("doc_id").alias("old_id"), "band", "bkey"),
+            a_sig,
+        )
+        for r in nov.collect():
+            want[r.doc_id] = (r.max_est_sim, r.is_novel)
+
+    got = {
+        r.doc_id: (r.max_est_sim, r.is_novel)
+        for r in out_t.read().collect()
+    }
+    assert got == want
+
+    # final index == one-shot recomputation over all ingested docs
+    want_sig, want_bands = _archive_sig_frames(docs)
+    assert sigs_t.read().count() == want_sig.count()
+    assert want_sig.exceptAll(sigs_t.read()).count() == 0
+    assert want_bands.exceptAll(bands_t.read()).count() == 0
+    assert bands_t.read().exceptAll(want_bands).count() == 0
