@@ -55,12 +55,49 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # tools/parity_sf1.py always includes exactly this prefix in the sf1
 # sweep, so an off-by-one silently drops a current-round query from
 # the guaranteed set (round-8 advisory).
-N_CURRENT_ROUND = 11
+N_CURRENT_ROUND = 34
 SAMPLE_FIRST: tuple[str, ...] = (
-    # new in round 8 (new registration or semantic change), enumerated
-    # first so the prefix-biased driver sampler attests them this
-    # round; all pass the local DuckDB mirror at sf0.001+sf0.01.
-    "incremental_minhash_novelty_indexed",  # r8: index-fed novelty (lake-maintained)
+    # changed in round 9 (the wholesale exact-integer-unit rewrite of
+    # every order-dependent float money/value aggregate, r8 verdict
+    # item #2 — query AND oracle changed together), enumerated first
+    # so the prefix-biased driver sampler attests them this round; all
+    # re-verified against the local DuckDB mirror at sf0.001+sf0.01 on
+    # landing, and the full 213-query sf0.01 sweep re-ran green.
+    "pricing_summary",  # r9: exact cents/1e-4-unit sums+avgs (TPC-H Q1)
+    "country_intelligence",  # r9: exact integer-cent avgs (flagship)
+    "brand_revenue",  # r9: exact 1e-4-unit revenue
+    "union_segments",  # r9: exact cents
+    "membership_range_filter",  # r9: exact cents
+    "null_fill_drop",  # r9: exact cents (coalesced)
+    "lineitem_rollup",  # r9: exact cents
+    "orders_cube",  # r9: exact cents
+    "shipping_priority",  # r9: exact 1e-4 units (Q3)
+    "local_supplier_volume",  # r9: exact 1e-4 units (Q5)
+    "returned_item_report",  # r9: exact 1e-4 units (Q10)
+    "large_volume_orders",  # r9: exact-cent HAVING threshold (Q18)
+    "nation_trade_flows",  # r9: exact 1e-4 units (Q7)
+    "market_share_by_year",  # r9: integer-unit ratio (Q8)
+    "promo_revenue_share",  # r9: integer-unit ratio (Q14)
+    "disjunctive_revenue",  # r9: exact 1e-4 units (Q19)
+    "small_qty_avg_revenue",  # r9: exact cents / 7 (Q17)
+    "events_grouping_sets",  # r9: exact cents
+    "revenue_contribution",  # r9: integer cents through the window
+    "revenue_time_rollup",  # r9: exact cents
+    "nation_rank_movers",  # r9: integer cents through all windows
+    "running_value",  # r9: exact-cent window prefix sum
+    "daily_activity",  # r9: exact cents
+    "daily_activity_filled",  # r9: exact cents
+    "monthly_revenue_growth",  # r9: integer cents through lag windows
+    "range_band_join",  # r9: exact-cent avg
+    "salted_event_rollup",  # r9: exact cents through both salt phases
+    "event_dow_chi2",  # r9: 1e-6-unit cell contributions
+    "rfm_segments",  # r9: integer-cent monetary quartile
+    "top_user_by_type",  # r9: integer-cent argmax
+    "last_touch_attribution",  # r9: exact cents + exact avg
+    "ccnet_perplexity_buckets",  # r9: micro-nat sup + 1e-4-unit mean
+    "dsir_importance_weights",  # r9: micro-unit log-ratios end to end
+    "incremental_minhash_novelty_indexed",  # r9: shared probe refactor (same plan)
+    # carried from round 8:
     "incremental_semantic_novelty_indexed",  # r8: index-fed semantic novelty
     "excision_rewrite_incremental",  # r8: pre-staged v0, incremental-only cost
     "continent_classification_ref",  # r8: reference-exact parity twin
@@ -74,9 +111,9 @@ SAMPLE_FIRST: tuple[str, ...] = (
     # carried from round 7:
     "incremental_minhash_novelty",  # r7: new (batch-vs-archive LSH probe)
     "embedding_prototypicality",  # r7: null-label centroid skip
-    # carried from round 6 (all green in CORRECTNESS_r06):
-    "ccnet_perplexity_buckets",  # r6: new (CCNet head/middle/tail)
-    "dsir_importance_weights",  # r6: new (DSIR hashed-bigram IW)
+    # carried from round 6 (all green in CORRECTNESS_r06; ccnet/dsir
+    # moved into the round-9 prefix above after their micro-unit
+    # rewrite):
     "repeated_span_excision",  # r6: new (ExactSubstr span cut list)
     "excision_source_accounting",  # r6: new (per-source cut rollup)
     "excision_rewrite_checksum",  # r6: new (executed rewrite manifest)
@@ -124,7 +161,6 @@ SAMPLE_FIRST: tuple[str, ...] = (
     "denylist_redaction_audit",
     "variant_props_profile",
     "cusum_changepoint",
-    "last_touch_attribution",
     "portable_hll_audit",
 )
 
