@@ -1348,7 +1348,8 @@ WITH RECURSIVE nxt AS (
 ),
 edges AS (
   SELECT event_id AS src, nid AS dst, ntype AS dst_type
-  FROM nxt WHERE nid IS NOT NULL AND epoch(nts) - epoch(ts) <= {CHAIN_GAP_S}
+  FROM nxt WHERE nid IS NOT NULL
+   AND epoch_us(nts) - epoch_us(ts) <= CAST({CHAIN_GAP_S} AS BIGINT) * 1000000
 ),
 chains AS (
   SELECT event_id AS tail, 1 AS depth, event_type AS last_type
@@ -1399,9 +1400,14 @@ def event_chain_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("nts"),
         F.lead("event_type").over(w).alias("ntype"),
     )
-    gap_s = (F.unix_micros("nts") - F.unix_micros("ts")) / F.lit(1e6)
+    # integer-microsecond threshold: the boundary edge can never flip
+    # on a double-epoch subtraction ulp (r9, same class as
+    # view_purchase_pairs' sf1 catch)
+    gap_us = F.unix_micros("nts") - F.unix_micros("ts")
     edges = scoped_persist(
-        nxt.where(F.col("nid").isNotNull() & (gap_s <= CHAIN_GAP_S)).select(
+        nxt.where(
+            F.col("nid").isNotNull() & (gap_us <= CHAIN_GAP_S * 1_000_000)
+        ).select(
             F.col("event_id").alias("src"),
             F.col("nid").alias("dst"),
             F.col("ntype").alias("dst_type"),
@@ -1444,7 +1450,7 @@ VIEW_PURCHASE_PAIRS_ORACLE = f"""
 SELECT v.user_id,
        v.event_id AS view_event_id,
        p.event_id AS purchase_event_id,
-       round(epoch(p.ts) - epoch(v.ts), 3) AS gap_s
+       round((epoch_us(p.ts) - epoch_us(v.ts)) / 1000000.0, 3) AS gap_s
 FROM events v
 JOIN events p
   ON v.user_id = p.user_id
@@ -1489,6 +1495,11 @@ def view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower_s=0,
         upper_s=INTERVAL_JOIN_HORIZON_S,
     )
+    # exact integer-microsecond difference, divided once (r9, caught
+    # by the full-registry sf1 sweep): DuckDB's epoch() returns DOUBLE
+    # seconds (~1.7e9), whose subtraction loses sub-millisecond
+    # precision and flipped round(.,3) on 10 rows at sf1 — both
+    # engines now divide the identical exact integer.
     gap_s = (F.unix_micros("r_ts") - F.unix_micros("ts")) / F.lit(1e6)
     return joined.select(
         "user_id",
