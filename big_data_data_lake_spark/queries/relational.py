@@ -1249,9 +1249,15 @@ def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     — each order is emitted at most once no matter how many late
     lineitems it has, nothing is re-scanned per group, and the only
     data-scale shuffle is the semi join's key exchange (the date
-    filter prunes orders at the scan first). Reference parity: the
-    filter→group→count shape of app.py's priority breakdowns over the
-    medallion tables."""
+    filter prunes orders at the scan first). The SHUFFLE_HASH hint
+    pins that shape (r9: the round's drift triage caught the
+    optimizer BROADCASTING the 2-column lineitem projection under the
+    box-tuned 256 MB threshold — a fact-table broadcast whose build
+    cost cliffed 4.6x at sf1 and which is exactly the plan you must
+    never ship against a 100 TB fact side; the hint restores the
+    key-exchange semi join the docstring always claimed).
+    Reference parity: the filter→group→count shape of app.py's
+    priority breakdowns over the medallion tables."""
     o = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -1261,7 +1267,7 @@ def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
     return (
-        o.join(li, late, "left_semi")
+        o.join(li.hint("SHUFFLE_HASH"), late, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
