@@ -237,7 +237,9 @@ def kmeans_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled.groupBy("phase")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("altitude_like"), 2).alias("avg_altitude_like"),
+            # exact cents (rows-only query, but layout invariance
+            # still wants an order-invariant aggregate)
+            exact_avg("altitude_like").alias("avg_altitude_like"),
         )
         .orderBy("phase")
     )
@@ -305,7 +307,8 @@ lab AS (
                      ELSE 'Cruise' END AS phase
     FROM a{iters} GROUP BY cid
 )
-SELECT phase, CAST(count(*) AS BIGINT) AS n, round(avg(f0), 2) AS avg_altitude_like
+SELECT phase, CAST(count(*) AS BIGINT) AS n,
+       {sql_exact_avg("f0")} AS avg_altitude_like
 FROM a{iters} JOIN lab USING (cid)
 GROUP BY phase ORDER BY phase"""
     )
@@ -361,7 +364,8 @@ def kmeans_lloyd_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("phase")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("altitude_like"), 2).alias("avg_altitude_like"),
+            # altitude_like IS the 2-decimal value column: exact cents
+            exact_avg("altitude_like").alias("avg_altitude_like"),
         )
         .orderBy("phase")
     )

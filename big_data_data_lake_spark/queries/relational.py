@@ -516,9 +516,10 @@ def value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MARKER_SIZES_ORACLE = """
+MARKER_SIZES_ORACLE = f"""
 SELECT event_type,
-       round(avg(least(greatest(value / 1000.0 + 5.0, 5.0), 20.0)), 4) AS avg_marker
+       {sql_exact_avg("least(greatest(value / 1000.0 + 5.0, 5.0), 20.0)", 100000, 4)}
+           AS avg_marker
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -532,7 +533,10 @@ def marker_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("m", tr.marker_size("value"))
         .groupBy("event_type")
-        .agg(F.round(F.avg("m"), 4).alias("avg_marker"))
+        # marker = clip(value/1000 + 5, [5, 20]) over a 2-decimal
+        # value: an exact multiple of 1e-5, so 1e-5 integer units make
+        # the mean order-invariant (r9 money-avg class)
+        .agg(exact_avg("m", 100000, 4).alias("avg_marker"))
         .orderBy("event_type")
     )
 
