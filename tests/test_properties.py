@@ -530,3 +530,40 @@ def test_cell_cross_max_cos_kernel_property(spark, nb, na, dim, rnd):
     assert set(got) == set(expect)
     for i, v in expect.items():
         assert got[i] == v, i
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.integers(-10_000_000, 10_000_000),  # cents: +/- $100k, 2-dec
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(1, 8),
+)
+def test_exact_money_sum_matches_decimal_ground_truth(cents, nparts):
+    """functions/money.py (r9): exact_sum/exact_avg over ANY partition
+    layout must equal Decimal arithmetic exactly — the property the
+    wholesale float-sum excision claims. Values are 2-decimal money;
+    the ground truth is integer-cent arithmetic in Python."""
+    from decimal import Decimal
+
+    from big_data_data_lake_spark import session as S
+    from big_data_data_lake_spark.functions.money import exact_avg, exact_sum
+
+    spark = S.get_spark()
+    vals = [c / 100.0 for c in cents]
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "v double"
+    ).repartition(nparts)
+    row = df.agg(
+        exact_sum("v").alias("s"), exact_avg("v").alias("a")
+    ).collect()[0]
+    want_sum = float(Decimal(sum(cents)) / 100)
+    want_avg = float(
+        (Decimal(sum(cents)) / Decimal(len(cents)) / 100).quantize(
+            Decimal("0.01"), rounding="ROUND_HALF_UP"
+        )
+    )
+    assert row["s"] == round(want_sum, 2), (row["s"], want_sum)
+    assert row["a"] == want_avg, (row["a"], want_avg)
