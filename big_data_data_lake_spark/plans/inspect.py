@@ -93,6 +93,64 @@ _UNPARTITIONED_WINDOW_RE = re.compile(
 )
 
 
+# Tables whose volume scales with the corpus: broadcasting one of
+# these UNREDUCED (no filter, no aggregate, no join shrinking it
+# first) is a plan that dies on a 100 TB fact side no matter what a
+# box-tuned autoBroadcastJoinThreshold thinks (round-9 catch: the
+# optimizer broadcast a 2-column lineitem projection into a semi
+# join under the local 256 MB threshold).
+FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+
+_NODE_MARK_RE = re.compile(r"^(?P<prefix>[\s:+*\-(0-9)]*)(?P<name>[A-Za-z]+)")
+
+
+def fact_broadcast_findings(df: DataFrame) -> list[str]:
+    """Names of fact tables whose UNREDUCED scan feeds a
+    BroadcastExchange: the subtree below the exchange contains a scan
+    of a fact table but NO Filter / Join / Aggregate node — i.e. the
+    broadcast build is the raw (possibly projected) fact table.
+    Filtered or pre-aggregated builds (a HAVING survivor set, a
+    type-filtered part dim) never fire."""
+    lines = _simple_plan(df).splitlines()
+
+    def depth(line: str) -> int:
+        m = re.search(r"[+:]-", line)
+        return m.start() if m else -1
+
+    findings: list[str] = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = depth(line)
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            nd = depth(nxt)
+            if nd != -1 and nd <= d:
+                break
+            subtree.append(nxt)
+        sub = "\n".join(subtree)
+        if re.search(r"Join|Aggregate|TakeOrdered|Limit", sub):
+            continue
+        # a Filter counts as a reduction only if it is SELECTIVE —
+        # bare isnotnull() guards that Spark inserts for join keys
+        # don't shrink a fact table
+        selective = False
+        for fl in re.finditer(r"Filter (.+)", sub):
+            residue = re.sub(r"isnotnull\([^)]*\)", "", fl.group(1))
+            residue = re.sub(r"\bAND\b|[()\s]", "", residue)
+            if residue:
+                selective = True
+                break
+        if selective:
+            continue
+        for t in FACT_TABLES:
+            if f"/{t}.parquet" in sub or re.search(
+                rf"Scan parquet[^\n]*[/ ]{t}\b", sub
+            ):
+                findings.append(t)
+    return findings
+
+
 def lint_plan(df: DataFrame, allow: set[str] | frozenset[str] = frozenset()) -> list[str]:
     """Scan a plan for scale antipatterns; returns finding names
     (empty = clean). ``allow`` suppresses findings a query has a
@@ -108,4 +166,8 @@ def lint_plan(df: DataFrame, allow: set[str] | frozenset[str] = frozenset()) -> 
         findings.append("broadcast-nested-loop-join")
     if "unpartitioned-window" not in allow and _UNPARTITIONED_WINDOW_RE.search(plan):
         findings.append("unpartitioned-window")
+    if "fact-broadcast" not in allow:
+        facts = fact_broadcast_findings(df)
+        if facts:
+            findings.append(f"fact-broadcast:{','.join(sorted(set(facts)))}")
     return findings

@@ -722,6 +722,39 @@ LINT_ALLOWED = {
     ]
 }
 
+# Queries where the OPTIMIZER (not the code — none of these authors an
+# F.broadcast on a fact side) promotes a projected fact scan to a
+# broadcast build under the box-tuned 256 MB
+# autoBroadcastJoinThreshold. On a production cluster (10 MB default +
+# AQE) every one of these resolves to the shuffle join the docstrings
+# describe, so they are MONITORED rather than failed; anything NOT
+# listed here that plans an unreduced fact-table broadcast fails the
+# sweep — that is how the round-9 Q4 regression
+# (late_order_priority_counts broadcasting lineitem, 4.6x standalone
+# cliff at sf1, fixed with a SHUFFLE_HASH hint) stays fixed.
+# sf10 A/B measurements for the orders-broadcast members are recorded
+# in SCALE.md; pin a hint (and remove the entry) whenever the shuffle
+# form wins at scale like Q4's did.
+FACT_BROADCAST_MONITORED = {
+    "cluster_quality_survivors",
+    "customers_without_orders",
+    "idle_rich_customers",
+    "market_share_by_year",
+    "minhash_accuracy_audit",
+    "minhash_lsh_pairs",
+    "nation_product_profit",
+    "nation_trade_flows",
+    "priority_line_counts",
+    "referential_integrity_audit",
+    "returned_item_report",
+    "semantic_dedup_crosscheck",
+    "simhash_near_dups",
+    "supplier_lead_time",
+    "suppliers_with_shipments",
+}
+for _n in FACT_BROADCAST_MONITORED:
+    LINT_ALLOWED[_n] = LINT_ALLOWED.get(_n, set()) | {"fact-broadcast"}
+
 
 def test_plan_lint_every_registered_query(spark):
     """Registry-wide plan QA: EVERY query's physical plan is linted
