@@ -67,11 +67,24 @@ def get_spark(
         # session timezone pinned UTC above, reading them as plain
         # TIMESTAMP is bit-identical to DuckDB's naive semantics.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        # The reference's enrichment dimension is ~100 MB
-        # (docker-compose.yml:182) — above Spark's 10 MB default, so raise
-        # the auto-broadcast threshold; explicit broadcast() hints are still
-        # used on every known-small dimension.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
+        # Spark's production default (10 MB). Rounds 1-8 raised this to
+        # 256 MB for the fat single box; round-9 A/B measurements
+        # killed that tuning: at 10 MB the 15 optimizer-promoted
+        # fact-side broadcasts resolve to the shuffle joins the query
+        # docstrings describe, and the monitored set runs 2-9x FASTER
+        # at sf10, 20% faster at sf1, and even at sf0.1 (SCALE.md,
+        # round-9 A/B). It also caused the Q4 cliff
+        # (late_order_priority_counts, 4.6x standalone). Matching the
+        # production default means local plan shapes ARE the cluster
+        # plan shapes. Explicit broadcast() hints still pin every
+        # known-small dimension regardless of the threshold;
+        # $SPARK_GRAFT_BROADCAST_THR overrides for experiments.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get(
+                "SPARK_GRAFT_BROADCAST_THR", str(10 * 1024 * 1024)
+            ),
+        )
         .config("spark.ui.enabled", "false")
         # local mode runs every task thread inside the driver JVM — size
         # the heap for all of them, not for a lone driver process
