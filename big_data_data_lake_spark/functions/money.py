@@ -55,22 +55,49 @@ def units(col: Column | str, scale: int = 100) -> Column:
 
 
 def exact_sum_units(col: Column | str, scale: int = 100) -> Column:
-    """``sum(units)`` — the exact integer accumulator, un-rescaled."""
+    """``sum(units)`` — the exact integer accumulator, un-rescaled.
+
+    Accumulates as ``long``: exact below 2^63 units. Callers that EMIT
+    this column (``*_cents`` outputs) are schema-pinned to BIGINT
+    against their oracles; each such call site's row-count ceiling is
+    ~9.2e18 / max_units_per_row (>= 9e11 rows even at 1e7 units/row —
+    a 100 TB lineitem). The rescaling aggregates below, which dominate
+    the ~96 money call sites, accumulate in DECIMAL(38,0) instead and
+    carry no ceiling at any reachable scale (round-9 advice: Spark
+    wraps long sums silently past 2^63 in non-ANSI mode)."""
     return F.sum(units(col, scale))
 
 
+def _exact_sum_units_wide(col: Column | str, scale: int) -> Column:
+    """``sum(units)`` accumulated in DECIMAL(38,0) — exact to 1e38
+    units, overflow-checked (NULL, never silent wraparound). The
+    measured cost vs the long accumulator is nil (sf0.1 lineitem A/B:
+    within noise), so every rescaling aggregate uses this form.
+    DuckDB's twin ``sum(BIGINT)`` already accumulates in HUGEINT
+    (int128), so the oracle SQL needs no change."""
+    return F.sum(units(col, scale).cast("decimal(38,0)"))
+
+
 def exact_sum(col: Column | str, scale: int = 100, dec: int = 2) -> Column:
-    """Order-invariant ``round(sum(col), dec)`` for fixed-decimal cols."""
-    return F.round(exact_sum_units(col, scale) / F.lit(float(scale)), dec)
+    """Order-invariant ``round(sum(col), dec)`` for fixed-decimal cols.
+
+    The decimal-unit sum divided by a float literal promotes to
+    DOUBLE — bit-identical to DuckDB's ``sum(BIGINT) / 100.0``
+    (HUGEINT -> double) on every path, including sums past 2^53 where
+    both engines round the exact integer to the same nearest double.
+    """
+    return F.round(_exact_sum_units_wide(col, scale) / F.lit(float(scale)), dec)
 
 
 def exact_avg(col: Column | str, scale: int = 100, dec: int = 2) -> Column:
-    """Order-invariant ``round(avg(col), dec)``: exact integer-unit sum
+    """Order-invariant ``round(avg(col), dec)``: exact decimal-unit sum
     divided by the non-null count (matching ``avg`` null semantics),
-    rescaled once."""
+    rescaled once. Division order mirrors ``sql_exact_avg`` exactly:
+    (sum -> double) / count / scale."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(
-        exact_sum_units(c, scale) / F.count(c) / F.lit(float(scale)), dec
+        _exact_sum_units_wide(c, scale) / F.count(c).cast("double") / F.lit(float(scale)),
+        dec,
     )
 
 

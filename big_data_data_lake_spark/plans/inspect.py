@@ -101,9 +101,6 @@ _UNPARTITIONED_WINDOW_RE = re.compile(
 # join under the local 256 MB threshold).
 FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
 
-_NODE_MARK_RE = re.compile(r"^(?P<prefix>[\s:+*\-(0-9)]*)(?P<name>[A-Za-z]+)")
-
-
 def fact_broadcast_findings(df: DataFrame) -> list[str]:
     """Names of fact tables whose UNREDUCED scan feeds a
     BroadcastExchange: the subtree below the exchange contains a scan
@@ -114,8 +111,17 @@ def fact_broadcast_findings(df: DataFrame) -> list[str]:
     lines = _simple_plan(df).splitlines()
 
     def depth(line: str) -> int:
+        """Tree depth = column of the node marker. A line with no
+        '+-'/':-' marker (root-position node, ReusedExchange
+        formatting) is depth 0 — falling through as -1 would let the
+        subtree walk below a root BroadcastExchange swallow the whole
+        remaining plan, where any unrelated Join/Aggregate masks the
+        finding (round-9 advice)."""
         m = re.search(r"[+:]-", line)
-        return m.start() if m else -1
+        if m:
+            return m.start()
+        stripped = len(line) - len(line.lstrip(" :"))
+        return stripped  # leading-whitespace width; 0 at the root
 
     findings: list[str] = []
     for i, line in enumerate(lines):
@@ -124,8 +130,9 @@ def fact_broadcast_findings(df: DataFrame) -> list[str]:
         d = depth(line)
         subtree = []
         for nxt in lines[i + 1 :]:
-            nd = depth(nxt)
-            if nd != -1 and nd <= d:
+            if not nxt.strip():
+                continue  # blank separator, not a tree node
+            if depth(nxt) <= d:
                 break
             subtree.append(nxt)
         sub = "\n".join(subtree)

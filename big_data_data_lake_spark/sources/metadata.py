@@ -342,10 +342,18 @@ class LakeTable:
         files: list[dict],
         partition_by: list[str],
         extra: dict | None = None,
+        schema=None,
     ) -> dict:
+        """``schema`` overrides ``df.schema`` as the committed table
+        schema — append() passes the nullability UNION of the previous
+        table schema and the appended frame, because committing the
+        frame's own (possibly narrower) nullability would apply a
+        non-nullable schema to older null-bearing files and make
+        append acceptance order-dependent (round-9 advice)."""
+        schema = schema if schema is not None else df.schema
         out = {
-            "schema_ddl": df.schema.simpleString(),  # human-readable
-            "schema_json": df.schema.jsonValue(),  # exact reconstruction
+            "schema_ddl": schema.simpleString(),  # human-readable
+            "schema_json": schema.jsonValue(),  # exact reconstruction
             "partition_by": partition_by,
             "files": files,
             "rows": sum(f["rows"] for f in files),
@@ -441,8 +449,37 @@ class LakeTable:
             )
         files = self._write_files(df, prev["partition_by"])
         v = self.latest_version() + 1
+        # Commit the per-field nullability UNION of the table schema
+        # and the appended frame, never the frame's schema alone: a
+        # non-nullable df appending into a nullable column must not
+        # narrow the recorded schema (older committed files may hold
+        # nulls, and acceptance of later nullable appends would become
+        # order-dependent). merge_schema-new columns are forced
+        # nullable — pre-existing files read back NULL for them.
+        from pyspark.sql.types import StructField, StructType
+
+        prev_nullable = {f.name: f.nullable for f in prev_schema.fields}
+        committed = StructType(
+            [
+                StructField(
+                    f.name,
+                    f.dataType,
+                    (
+                        prev_nullable[f.name] or f.nullable
+                        if f.name in prev_nullable
+                        else True
+                    ),
+                    f.metadata,
+                )
+                for f in df.schema.fields
+            ]
+        )
         man = self._new_manifest(
-            df, prev["files"] + files, prev["partition_by"], self._carry(prev, extra)
+            df,
+            prev["files"] + files,
+            prev["partition_by"],
+            self._carry(prev, extra),
+            schema=committed,
         )
         self._commit(v, man, "append")
         return v

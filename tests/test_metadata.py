@@ -901,3 +901,65 @@ def test_quantizer_codebooks_roundtrip_through_lake_versions(spark, tmp_path):
     assert fa_new != fa_direct  # the retrain is visible at the head
     # and the retrained assignment only ever uses fcen in {0,1,2}
     assert {f for _, f in fa_new.values()} <= {0, 1, 2}
+
+
+def test_append_never_narrows_nullability(spark, tmp_path):
+    """A non-nullable frame appending into a nullable table column
+    must NOT narrow the committed schema to nullable=false (round-9
+    advice): older committed files may hold nulls, and a later
+    nullable append of the same shape must stay accepted regardless
+    of append order."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    nullable_schema = StructType(
+        [
+            StructField("id", LongType(), True),
+            StructField("k", StringType(), True),
+        ]
+    )
+    t = LakeTable(spark, str(tmp_path / "t"))
+    # v0 holds an actual NULL in k under a nullable schema
+    t.create(spark.createDataFrame([(1, None), (2, "b")], nullable_schema))
+
+    # literal-built frames carry nullable=false — the exact shape the
+    # narrowing bug was triggered by
+    tight = spark.range(3, 4).select(
+        F.col("id"), F.lit("c").alias("k")
+    )
+    assert not tight.schema["k"].nullable  # precondition: df IS narrow
+    t.append(tight)
+
+    # committed schema must still say nullable=true for k ...
+    committed = StructType.fromJson(t.manifest()["schema_json"])
+    assert committed["k"].nullable, "append narrowed the table schema"
+    # ... the v0 null row must read back intact under the head schema
+    rows = {r.id: r.k for r in t.read().collect()}
+    assert rows == {1: None, 2: "b", 3: "c"}
+    # ... and a nullable append afterwards stays accepted (no
+    # order-dependent acceptance)
+    t.append(spark.createDataFrame([(4, None)], nullable_schema))
+    assert t.read().where(F.col("k").isNull()).count() == 2
+
+
+def test_merge_schema_new_column_committed_nullable(spark, tmp_path):
+    """merge_schema-new columns must commit nullable=true even when
+    the appended frame's column is non-nullable: every pre-existing
+    file reads back NULL for them."""
+    from pyspark.sql.types import StructType
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(2).select(F.col("id")))
+    widened = spark.range(2, 4).select(
+        F.col("id"), F.lit(7).cast("long").alias("extra")
+    )
+    assert not widened.schema["extra"].nullable
+    t.append(widened, merge_schema=True)
+    committed = StructType.fromJson(t.manifest()["schema_json"])
+    assert committed["extra"].nullable
+    got = {r.id: r.extra for r in t.read().collect()}
+    assert got == {0: None, 1: None, 2: 7, 3: 7}
