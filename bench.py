@@ -49,14 +49,14 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_capped",
     "minhash_lsh_pairs",
-    "simhash_near_dups",
+    "simhash_dup_summary",
     "embedding_topk_pairs",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "token_stats",
     "multimodal_features",
-    "benchmark_decontamination",
+    "decontamination_verdicts",
     "shipping_priority",
     "audio_triage",
     "large_volume_orders",
@@ -209,6 +209,7 @@ REGISTRY_ONLY = {
     "ann_lsh_recall": "audit",
     "ann_truncation_recall": "audit",
     "approx_distinct_audit": "audit",
+    "benchmark_decontamination": "audit",  # r10: raw (train,bench) pair dump; headline runs decontamination_verdicts
     "approx_quantile_audit": "audit",
     "bpe_token_stats": "twin",  # token_stats carries the BPE regex path
     "cluster_quality_survivors": "comp",  # exact pairs + propagation
@@ -253,6 +254,7 @@ REGISTRY_ONLY = {
     "running_value": "twin",  # cumulative window inside cusum_changepoint
     "salted_event_rollup": "twin",  # salted agg inside skew family
     "semantic_dedup_crosscheck": "comp",  # joins two other queries' plans
+    "simhash_near_dups": "audit",  # r10: raw O(k^2) pair dump; headline runs simhash_dup_summary
     "simhash_signatures": "twin",  # sketch projection inside simhash_near_dups
     "split_leakage_pairs": "comp",  # shingle join over train_split_assign
     "stratified_sample_counts": "gated",

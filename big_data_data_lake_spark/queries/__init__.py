@@ -55,16 +55,31 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # tools/parity_sf1.py always includes exactly this prefix in the sf1
 # sweep, so an off-by-one silently drops a current-round query from
 # the guaranteed set (round-8 advisory).
-N_CURRENT_ROUND = 34
+N_CURRENT_ROUND = 11
 SAMPLE_FIRST: tuple[str, ...] = (
+    # NEW or changed in round 10, enumerated first so the
+    # prefix-biased driver sampler attests them this round; all
+    # verified against the local DuckDB mirror at sf0.001+sf0.01 on
+    # landing, and the full-registry sf0.01 sweep re-ran green.
+    "simhash_dup_summary",  # r10 NEW: bounded per-doc near-dup verdicts
+    "decontamination_verdicts",  # r10 NEW: bounded per-doc contamination verdicts
+    "lsh_pr_audit",  # r10: absolute-doc-budget gate (same values <= sf0.1)
+    "semantic_dedup_crosscheck",  # r10: broadcasts bounded pair list, not documents
+    "pricing_summary",  # r10: decimal(38,0) unit accumulation (same values)
+    "country_intelligence",  # r10: decimal(38,0) unit accumulation (same values)
+    # changed in round 9 but OMITTED from the r9 prefix (r9 advice #2)
+    # — full sf1 sweep covered them green; attested in the guaranteed
+    # prefix now:
+    "marker_sizes",
+    "kmeans_phases",
+    "kmeans_lloyd_phases",
+    "view_purchase_pairs",
+    "event_chain_expansion",
     # changed in round 9 (the wholesale exact-integer-unit rewrite of
     # every order-dependent float money/value aggregate, r8 verdict
-    # item #2 — query AND oracle changed together), enumerated first
-    # so the prefix-biased driver sampler attests them this round; all
-    # re-verified against the local DuckDB mirror at sf0.001+sf0.01 on
-    # landing, and the full 213-query sf0.01 sweep re-ran green.
-    "pricing_summary",  # r9: exact cents/1e-4-unit sums+avgs (TPC-H Q1)
-    "country_intelligence",  # r9: exact integer-cent avgs (flagship)
+    # item #2 — query AND oracle changed together); all re-verified
+    # against the local DuckDB mirror at sf0.001+sf0.01 on landing,
+    # and the full 213-query sf0.01 sweep re-ran green.
     "brand_revenue",  # r9: exact 1e-4-unit revenue
     "union_segments",  # r9: exact cents
     "membership_range_filter",  # r9: exact cents

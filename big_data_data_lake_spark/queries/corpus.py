@@ -343,9 +343,14 @@ def semantic_dedup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pipeline runs before trusting embedding-only dedup
     (semantic-but-not-lexical pairs are paraphrases or translations;
     lexical-but-not-semantic ones are template noise). The embedding
-    ids double as document ids (same corpus row), so the annotation is
-    two broadcast-able dim joins plus a left join against the bounded
-    pair list — nothing new shuffles at data scale."""
+    ids double as document ids (same corpus row). The BOUNDED side is
+    the top-20 pair list — so THAT is what broadcasts, streamed
+    against the pruned 2-column documents scan twice (r10 fix: the
+    original form broadcast the documents projection itself, an
+    author-written fact-table broadcast the new sf10 lint tier caught
+    — at a 100 TB corpus a (doc_id, lang) broadcast is still the
+    whole corpus); the lexical gate is a left join against the other
+    bounded pair list."""
     from .llm_ops import audit_embedding_topk_pairs
 
     emb = audit_embedding_topk_pairs(spark, sf_dir)
@@ -353,15 +358,12 @@ def semantic_dedup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = _ngram_jaccard_pairs(spark, sf_dir).select(
         F.col("d1").alias("id1"), F.col("d2").alias("id2"), F.lit(True).alias("__lex")
     )
+    annotated1 = docs.select(
+        F.col("doc_id").alias("id1"), F.col("lang").alias("lang1")
+    ).join(F.broadcast(emb), "id1")
     return (
-        emb.join(
-            F.broadcast(docs.select(F.col("doc_id").alias("id1"), F.col("lang").alias("lang1"))),
-            "id1",
-        )
-        .join(
-            F.broadcast(docs.select(F.col("doc_id").alias("id2"), F.col("lang").alias("lang2"))),
-            "id2",
-        )
+        docs.select(F.col("doc_id").alias("id2"), F.col("lang").alias("lang2"))
+        .join(F.broadcast(annotated1), "id2")
         .join(lex, ["id1", "id2"], "left")
         .select(
             "id1",
@@ -843,20 +845,47 @@ LSH_PR_THRESHOLD = 0.5
 
 from .llm_ops import _minhash_lsh_oracle, _minhash_lsh_pairs_impl  # noqa: E402
 
-# Deterministic 50% doc hash-sample gating BOTH sides of the audit:
-# the exact inverted-index truth side is quadratic in per-shingle doc
+# Deterministic doc hash-sample gating BOTH sides of the audit: the
+# exact inverted-index truth side is quadratic in per-shingle doc
 # frequency, so on a skewed corpus the ungated audit is the one query
 # in the registry whose cost is unbounded. Sampling docs (not pairs)
 # keeps the audit honest — a pair survives iff both endpoints survive,
 # identically on both sides, so precision/recall are computed over the
 # exact pair population of the sampled sub-corpus.
+#
+# r10 (r9 verdict #1): the gate is an ABSOLUTE doc budget, not a fixed
+# rate — keep = min(35%, ceil(BUDGET / n_docs)) in mod-thousandths,
+# exact integer ceildiv on BOTH engines. At a fixed 35% the audit's
+# quadratic pair work still grew with the corpus (193 s at sf10, the
+# sweep's slowest entry); with the budget the sampled sub-corpus is
+# ~LSH_PR_DOC_BUDGET docs at ANY corpus size >= sf0.1 — constant
+# audit cost, the same recipe as the embedding pair budget — while
+# tiers at or below sf0.1 keep the exact historical 35% sample (the
+# cap binds there, so attested results are unchanged).
 LSH_PR_SAMPLE_MOD = 1000
-LSH_PR_SAMPLE_KEEP = 350  # 35%: candidate-pair cost scales ~keep^2
-# (vs 50%: ~2x cheaper audit, CI only ~1.2x wider — see docstring)
-_LSH_PR_DOC_FILTER = (
-    _mix("doc_id", SAMPLE_A, SAMPLE_B, SAMPLE_C, LSH_PR_SAMPLE_MOD)
-    + f" < {LSH_PR_SAMPLE_KEEP}"
+LSH_PR_SAMPLE_KEEP = 350  # rate CAP: never more than 35% of the corpus
+LSH_PR_DOC_BUDGET = 1750  # target sampled docs (= 35% of sf0.1's 5000)
+_LSH_PR_MIX = _mix("doc_id", SAMPLE_A, SAMPLE_B, SAMPLE_C, LSH_PR_SAMPLE_MOD)
+
+
+def _lsh_pr_keep(n_docs: int) -> int:
+    """keep threshold in mod-thousandths for a corpus of n_docs —
+    integer ceildiv, mirrored verbatim by the oracle's SQL form."""
+    n = max(n_docs, 1)
+    return min(
+        LSH_PR_SAMPLE_KEEP, (LSH_PR_SAMPLE_MOD * LSH_PR_DOC_BUDGET + n - 1) // n
+    )
+
+
+# Oracle twin: same integer arithmetic as _lsh_pr_keep via a scalar
+# subquery over the documents table (// is integer division in DuckDB;
+# greatest() guards the empty-corpus division).
+_LSH_PR_KEEP_SQL = (
+    f"(SELECT least({LSH_PR_SAMPLE_KEEP}, "
+    f"({LSH_PR_SAMPLE_MOD} * {LSH_PR_DOC_BUDGET} + greatest(count(*), 1) - 1) "
+    f"// greatest(count(*), 1)) FROM documents)"
 )
+_LSH_PR_DOC_FILTER = f"{_LSH_PR_MIX} < {_LSH_PR_KEEP_SQL}"
 
 LSH_PR_AUDIT_ORACLE = f"""
 WITH lsh AS ({_minhash_lsh_oracle(_LSH_PR_DOC_FILTER).strip()}),
@@ -888,18 +917,24 @@ def lsh_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the similarity ESTIMATE error; this bounds the retrieval
     SET error).
 
-    SAMPLE-GATED: both sides run over the same deterministic 35% doc
+    BUDGET-GATED (r10): both sides run over the same deterministic doc
     hash-sample (pmod-style quadratic mix of doc_id — identical
     expression in Spark and the oracle), applied BEFORE shingling so
     the exact side's per-shingle fan-out is bounded by the sample,
-    not the corpus. Precision/recall are therefore estimates over the
-    sampled sub-corpus's exact pair population: with n observed truth
-    pairs the binomial 95% CI on recall is ±1.96·sqrt(r(1-r)/n)
-    (~±0.1 at n=100, tightening as 1/sqrt(n)); doc-sampling keeps
-    within-pair similarity exact, so the estimates are unbiased for
-    pairs of sampled docs. Audit-grade: tune LSH_PR_SAMPLE_KEEP down
-    for bigger corpora — cost scales ~quadratically in the keep rate
-    while CI widens only as its inverse square root.
+    not the corpus. The keep rate is min(35%, LSH_PR_DOC_BUDGET /
+    n_docs) — an ABSOLUTE budget of ~1750 sampled docs, so the
+    audit's quadratic pair work is CONSTANT in corpus size (at a
+    fixed 35% it was the sf10 sweep's slowest entry at 193 s); at and
+    below sf0.1 the 35% cap binds and results match the historical
+    gate exactly. Spark computes the keep threshold from a parquet
+    count-star (metadata-fast); the oracle computes the identical
+    integer via a scalar subquery — same ceildiv arithmetic, no
+    floats. Precision/recall are estimates over the sampled
+    sub-corpus's exact pair population: with n observed truth pairs
+    the binomial 95% CI on recall is ±1.96·sqrt(r(1-r)/n) (~±0.1 at
+    n=100, tightening as 1/sqrt(n)); doc-sampling keeps within-pair
+    similarity exact, so the estimates are unbiased for pairs of
+    sampled docs.
 
     Both sides reuse the registered queries' own plan cores (the same
     composition trick as semantic_dedup_crosscheck), so the audit
@@ -907,10 +942,14 @@ def lsh_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     set-level join and counts are pair-bounded — metadata-scale."""
     from .llm_ops import _shingle_hashes
 
+    # the keep threshold depends only on the corpus row count — a
+    # parquet count-star served from footer statistics
+    n_docs = _t(spark, sf_dir, "documents").count()
+    doc_filter = f"{_LSH_PR_MIX} < {_lsh_pr_keep(n_docs)}"
     # one persisted shingle-hash fold feeds BOTH sketch paths — the
     # per-char token fold is the dominant row-local cost and would
     # otherwise be paid twice
-    sh = _shingle_hashes(spark, sf_dir, _LSH_PR_DOC_FILTER)
+    sh = _shingle_hashes(spark, sf_dir, doc_filter)
     lsh = _minhash_lsh_pairs_impl(spark, sf_dir, shingles=sh).select("d1", "d2")
     truth = (
         _ngram_jaccard_pairs(spark, sf_dir, None, shingles=sh)

@@ -257,19 +257,10 @@ WHERE 2 * o.c >= s.bsz
 """
 
 
-@register("benchmark_decontamination", DECONTAMINATION_ORACLE)
-def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: (training doc, benchmark doc) pairs
-    where the training document covers >= half of the benchmark
-    document's distinct bigram shingles (stand-in benchmark set:
-    doc_id % 11 == 0). Coverage-of-benchmark is the metric that
-    matters for eval integrity — an absolute shared-shingle floor
-    would either drown in small-vocabulary noise or miss short
-    benchmark docs. The inverted-index join's benchmark side is ~9% of
-    the corpus and its per-doc sizes are a tiny aggregate — broadcast
-    both, so the training index never shuffles; per-shingle fan-out is
-    bounded by the benchmark side's doc frequency, keeping the join
-    linear in the training corpus at 100 TB."""
+def _decontamination_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair core of benchmark_decontamination (raw audit form)
+    and decontamination_verdicts (bounded per-doc deliverable):
+    (doc_id, bench_id, n_shared, bench_coverage) contaminated pairs."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     hs = docs.selectExpr(
         "doc_id", dd.spark_token_hashes_expr() + " AS th"
@@ -293,6 +284,74 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("n_shared"),
             F.round(F.col("c").cast("double") / F.col("bsz"), 4).alias("bench_coverage"),
         )
+    )
+
+
+@register("benchmark_decontamination", DECONTAMINATION_ORACLE)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: (training doc, benchmark doc) pairs
+    where the training document covers >= half of the benchmark
+    document's distinct bigram shingles (stand-in benchmark set:
+    doc_id % 11 == 0). Coverage-of-benchmark is the metric that
+    matters for eval integrity — an absolute shared-shingle floor
+    would either drown in small-vocabulary noise or miss short
+    benchmark docs. The inverted-index join's benchmark side is ~9% of
+    the corpus and its per-doc sizes are a tiny aggregate — broadcast
+    both, so the training index never shuffles; per-shingle fan-out is
+    bounded by the benchmark side's doc frequency, keeping the join
+    linear in the training corpus at 100 TB.
+
+    AUDIT-CLASS (r10, r9 verdict #1): the plan is linear but the
+    OUTPUT is the raw (train, bench) pair cross — 157,314 rows at
+    sf10. The production deliverable is decontamination_verdicts
+    (one row per contaminated training doc); this raw form stays
+    registered for correctness attestation and forensic drill-down,
+    out of the headline bench."""
+    return _decontamination_pairs_impl(spark, sf_dir)
+
+
+DECONTAMINATION_VERDICTS_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM documents),
+hsh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS hs FROM tok),
+ex AS (SELECT doc_id, unnest(hs) AS g FROM hsh),
+bench AS (SELECT * FROM ex WHERE doc_id % {BENCH_MOD} = 0),
+bsz AS (SELECT doc_id AS bench_id, count(*) AS bsz FROM bench GROUP BY 1),
+train AS (SELECT * FROM ex WHERE doc_id % {BENCH_MOD} <> 0),
+overlap AS (
+    SELECT t.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS c
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT o.doc_id, o.bench_id,
+           round(CAST(o.c AS DOUBLE) / s.bsz, 4) AS bench_coverage
+    FROM overlap o JOIN bsz s USING (bench_id)
+    WHERE 2 * o.c >= s.bsz
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bench_hits,
+       max(bench_coverage) AS max_coverage
+FROM pairs
+GROUP BY doc_id
+"""
+
+
+@register("decontamination_verdicts", DECONTAMINATION_VERDICTS_ORACLE)
+def decontamination_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-document contamination verdict — the bounded
+    deliverable a decontamination run actually consumes (r9 verdict
+    #1), replacing the raw pair dump of benchmark_decontamination in
+    the headline bench: one row per contaminated training document
+    with how many benchmark docs it hits and its worst coverage
+    ratio. Output is O(contaminated training docs) — the drop list —
+    instead of O(train x bench pairs); at a 100 TB corpus the verdict
+    list joins straight back into the excision path. Same
+    broadcast-index plan as the pair form (shared impl) plus one
+    per-doc aggregate."""
+    pairs = _decontamination_pairs_impl(spark, sf_dir)
+    return pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bench_hits"),
+        F.max("bench_coverage").alias("max_coverage"),
     )
 
 

@@ -689,20 +689,10 @@ WHERE bit_count(xor(a.h, b.h)) <= {dd.SIMHASH_HAMMING_BUDGET}
 """
 
 
-@register("simhash_near_dups", SIMHASH_NEAR_DUPS_ORACLE)
-def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: Hamming distance <= budget (6) on the
-    62-bit widened sketches, found WITHOUT an all-pairs scan. The
-    sketch splits into 7 chunks of 8 bits (chunks > budget), so every
-    qualifying pair agrees exactly on at least one chunk (pigeonhole);
-    the plan is explode-to-chunks -> self-equi-join on (chunk_idx,
-    chunk_val) -> exact Hamming re-check -> dedup. Same answer as the
-    all-pairs definition (the oracle SQL keeps that form), but the
-    only shuffles are a bucketed equi-join and a dedup of the (small)
-    survivor set. 8-bit slots keep bucket fan-out ~n/256 per chunk —
-    the r2-advice fix for the old 32-bit/8-chunk config whose 16-value
-    slots degenerated quadratically; simhash_chunks now guards the
-    width (dedup.py)."""
+def _simhash_near_dup_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair core of simhash_near_dups (the raw audit form) and
+    simhash_dup_summary (the bounded per-doc deliverable): deduped
+    (d1 < d2, hamming) near-dup pairs via the pigeonhole chunk join."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     hs = (
         docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
@@ -729,6 +719,78 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (already Hamming-filtered, tiny) survivor set
         .select("d1", "d2", ham.cast("int").alias("hamming"))
         .dropDuplicates(["d1", "d2"])
+    )
+
+
+@register("simhash_near_dups", SIMHASH_NEAR_DUPS_ORACLE)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance <= budget (6) on the
+    62-bit widened sketches, found WITHOUT an all-pairs scan. The
+    sketch splits into 7 chunks of 8 bits (chunks > budget), so every
+    qualifying pair agrees exactly on at least one chunk (pigeonhole);
+    the plan is explode-to-chunks -> self-equi-join on (chunk_idx,
+    chunk_val) -> exact Hamming re-check -> dedup. Same answer as the
+    all-pairs definition (the oracle SQL keeps that form), but the
+    only shuffles are a bucketed equi-join and a dedup of the (small)
+    survivor set. 8-bit slots keep bucket fan-out ~n/256 per chunk —
+    the r2-advice fix for the old 32-bit/8-chunk config whose 16-value
+    slots degenerated quadratically; simhash_chunks now guards the
+    width (dedup.py).
+
+    AUDIT-CLASS (r10, r9 verdict #1): the PLAN is scale-safe but the
+    OUTPUT is O(sum over dup clusters of k^2) raw pair rows — 805,942
+    at sf10 with the corpus's ~4x duplication rate, the sweep's
+    slowest entry by output volume alone. The production deliverable
+    is simhash_dup_summary (per-doc degree/min-distance, O(docs)
+    rows); this raw form stays registered for correctness attestation
+    and on-demand audits, out of the headline bench."""
+    return _simhash_near_dup_pairs_impl(spark, sf_dir)
+
+
+SIMHASH_DUP_SUMMARY_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM documents),
+hsh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS hs FROM tok),
+wid AS (SELECT doc_id, {dd.widened_hashes_sql()} AS wh FROM hsh),
+sig AS (SELECT doc_id, {dd.simhash_sql()} AS h FROM wid),
+pairs AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= {dd.SIMHASH_HAMMING_BUDGET}
+),
+sym AS (
+    SELECT d1 AS doc_id, hamming FROM pairs
+    UNION ALL
+    SELECT d2 AS doc_id, hamming FROM pairs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_near_dups,
+       CAST(min(hamming) AS INT) AS min_hamming
+FROM sym
+GROUP BY doc_id
+"""
+
+
+@register("simhash_dup_summary", SIMHASH_DUP_SUMMARY_ORACLE)
+def simhash_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document near-dup verdict — the bounded deliverable a
+    curation run actually consumes (r9 verdict #1), replacing the raw
+    O(dup-cluster k^2) pair dump of simhash_near_dups in the headline
+    bench: for every document with at least one SimHash near-dup
+    (Hamming <= 6), its near-dup degree and closest distance. A dup
+    cluster of size k contributes k rows here vs k(k-1)/2 pair rows —
+    output is O(docs), the keep/drop worklist shape that survives a
+    100 TB corpus with a 4x duplication rate. Same pigeonhole chunk
+    join as the pair form (shared impl), one extra per-doc aggregate;
+    cf. the reference's count-style dedup reporting
+    (dashboard.py:173-183)."""
+    pairs = _simhash_near_dup_pairs_impl(spark, sf_dir)
+    sym = pairs.select(F.col("d1").alias("doc_id"), "hamming").unionAll(
+        pairs.select(F.col("d2").alias("doc_id"), "hamming")
+    )
+    return sym.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_near_dups"),
+        F.min("hamming").alias("min_hamming"),
     )
 
 

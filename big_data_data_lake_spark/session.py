@@ -54,6 +54,24 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-partition CACHED plans too (default false). The
+        # engine persists hot intermediates (scoped_persist: inverted
+        # indexes, sketch tables); with the default, every cached plan
+        # is pinned to the INITIAL shuffle-partition count and exempt
+        # from AQE coalescing — at sf1's volume-sized 128 partitions
+        # the cache-heavy corpus aggregates paid 3-4x scheduling/
+        # small-block overhead (r10 root-cause of the chronic
+        # dsir/bigram "in-bench movers": dsir 20.0s -> 7.6s, bigram
+        # 8.4s -> 6.2s median at sp=128 with this on; SCALE.md r10).
+        # The trade (Spark disables it by default so cached output
+        # partitioning stays reusable deterministically) does not
+        # bind here: every consumer re-shuffles on its own keys or
+        # aggregates, and the registry's layout-invariance sweep
+        # attests results are partitioning-independent.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # The lake's event stream lands with nanosecond timestamps

@@ -477,3 +477,20 @@ def test_excision_upsert_zone_map_pruning_on_clustered_cuts(spark, tmp_path):
     u_files = {f["path"] for f in t2.manifest()["files"]}
     # (c) the incoming range spans the table: every v0 file rewrote
     assert len(u0_files & u_files) == 0
+
+
+def test_decontamination_verdicts_consistent_with_pairs(spark):
+    """The bounded per-doc verdict list (r10, r9 verdict #1) must be
+    an exact aggregate of the raw pair form: one row per contaminated
+    training doc, hit count and worst coverage matching the pairs."""
+    pairs = REGISTRY["benchmark_decontamination"].fn(spark, SF).collect()
+    verdicts = {
+        r["doc_id"]: (r["n_bench_hits"], r["max_coverage"])
+        for r in REGISTRY["decontamination_verdicts"].fn(spark, SF).collect()
+    }
+    want: dict[int, list[float]] = {}
+    for p in pairs:
+        want.setdefault(p["doc_id"], []).append(p["bench_coverage"])
+    assert set(verdicts) == set(want)
+    for doc, (n, mc) in verdicts.items():
+        assert n == len(want[doc]) and mc == max(want[doc]), doc

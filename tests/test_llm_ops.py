@@ -1129,3 +1129,25 @@ def test_embedding_prototypicality_tolerates_null_labels(spark):
     for lab, row in base.items():
         assert got[lab].n_vecs == row.n_vecs
         assert got[lab].mean_cos == row.mean_cos
+
+
+def test_simhash_dup_summary_consistent_with_pairs(spark):
+    """The bounded per-doc summary (r10, r9 verdict #1) must be an
+    exact aggregate of the raw pair form: every doc appearing in a
+    pair appears once, degrees sum to 2x the pair count, and each
+    doc's min_hamming equals the min over its incident pairs."""
+    from pyspark.sql import functions as F
+
+    pairs = REG["simhash_near_dups"].fn(spark, SF).collect()
+    summary = {
+        r["doc_id"]: (r["n_near_dups"], r["min_hamming"])
+        for r in REG["simhash_dup_summary"].fn(spark, SF).collect()
+    }
+    want: dict[int, list[int]] = {}
+    for p in pairs:
+        want.setdefault(p["d1"], []).append(p["hamming"])
+        want.setdefault(p["d2"], []).append(p["hamming"])
+    assert set(summary) == set(want)
+    assert sum(n for n, _ in summary.values()) == 2 * len(pairs)
+    for doc, (n, mh) in summary.items():
+        assert n == len(want[doc]) and mh == min(want[doc]), doc

@@ -9,6 +9,8 @@ once, and hot pipelines compile into whole-stage codegen.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -722,19 +724,27 @@ LINT_ALLOWED = {
     ]
 }
 
-# Queries where the OPTIMIZER (not the code — none of these authors an
-# F.broadcast on a fact side) promotes a projected fact scan to a
-# broadcast build under the box-tuned 256 MB
-# autoBroadcastJoinThreshold. On a production cluster (10 MB default +
-# AQE) every one of these resolves to the shuffle join the docstrings
-# describe, so they are MONITORED rather than failed; anything NOT
-# listed here that plans an unreduced fact-table broadcast fails the
-# sweep — that is how the round-9 Q4 regression
+# Queries where the OPTIMIZER (not the code) promotes a projected
+# fact scan to a broadcast build when the PRUNED projection estimate
+# sits under the production 10 MB autoBroadcastJoinThreshold at the
+# small test tiers — a broadcast any real cluster would also pick at
+# that size, so they are MONITORED rather than failed at sf0.001;
+# anything NOT listed here that plans an unreduced fact-table
+# broadcast fails the sweep — that is how the round-9 Q4 regression
 # (late_order_priority_counts broadcasting lineitem, 4.6x standalone
 # cliff at sf1, fixed with a SHUFFLE_HASH hint) stays fixed.
-# sf10 A/B measurements for the orders-broadcast members are recorded
-# in SCALE.md; pin a hint (and remove the entry) whenever the shuffle
-# form wins at scale like Q4's did.
+#
+# r10 (r9 verdict #3): this allowlist is no longer a blind spot —
+# test_monitored_fact_broadcasts_vanish_at_scale below re-lints every
+# member at the sf10 tier, where every fact's pruned projection
+# exceeds the threshold, and requires ZERO findings: a NEW unreduced
+# fact broadcast (optimizer-promoted or author-written) in a
+# monitored query cannot land silently. The tier test already caught
+# one: semantic_dedup_crosscheck AUTHORED F.broadcast(documents)
+# (fixed r10 — broadcasts the bounded pair list instead, and left
+# this list). sf10 A/B measurements for the orders-broadcast members
+# are recorded in SCALE.md; pin a hint (and remove the entry)
+# whenever the shuffle form wins at scale like Q4's did.
 FACT_BROADCAST_MONITORED = {
     "cluster_quality_survivors",
     "customers_without_orders",
@@ -747,13 +757,70 @@ FACT_BROADCAST_MONITORED = {
     "priority_line_counts",
     "referential_integrity_audit",
     "returned_item_report",
-    "semantic_dedup_crosscheck",
+    "simhash_dup_summary",  # same pair core as simhash_near_dups
     "simhash_near_dups",
     "supplier_lead_time",
     "suppliers_with_shipments",
 }
 for _n in FACT_BROADCAST_MONITORED:
     LINT_ALLOWED[_n] = LINT_ALLOWED.get(_n, set()) | {"fact-broadcast"}
+
+_SF10_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench", "sf10"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_SF10_DIR),
+    reason="sf10 tier not generated (tools/gen_scale_data.py)",
+)
+def test_monitored_fact_broadcasts_vanish_at_scale(spark):
+    """r9 verdict #3: every FACT_BROADCAST_MONITORED query, re-linted
+    at the sf10 tier where each fact table's pruned projection
+    exceeds the production 10 MB broadcast threshold (documents is
+    the last to cross, at ~66 MB on disk), must plan ZERO unreduced
+    fact broadcasts — the allowlist above suppresses only genuinely
+    under-threshold promotions at the tiny tiers, never a plan that
+    would ship a fact broadcast at scale. Plan-compile only (no
+    execution): ~0.2-1.3 s per query measured.
+
+    cluster_quality_survivors is the one member checked at its lazy
+    tail instead: its build EXECUTES the connected-components
+    propagation loop (minutes at sf10). Its only join against a fact
+    table — clusters x documents-quality — is replicated here
+    shape-identically on the real sf10 scan, and must likewise plan
+    no documents broadcast."""
+    from big_data_data_lake_spark.caching import release_query_caches
+    from big_data_data_lake_spark.plans.inspect import fact_broadcast_findings
+
+    failures = []
+    for name in sorted(FACT_BROADCAST_MONITORED - {"cluster_quality_survivors"}):
+        try:
+            findings = fact_broadcast_findings(REG[name].fn(spark, _SF10_DIR))
+        finally:
+            release_query_caches()
+        if findings:
+            failures.append(f"{name}: {findings}")
+    # cluster_quality_survivors' lazy tail: the clusters frame is tiny
+    # (one row per clustered doc), the quality side is the documents
+    # scan — the join must stream documents, not broadcast it
+    from big_data_data_lake_spark.operators import text as tx
+    from big_data_data_lake_spark.queries.llm_ops import _t
+
+    docs_q = _t(spark, _SF10_DIR, "documents").select(
+        "doc_id", tx.quality_score("text").alias("q")
+    )
+    clusters = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("cluster")
+    )
+    tail = clusters.join(docs_q, "doc_id")
+    try:
+        findings = fact_broadcast_findings(tail)
+    finally:
+        release_query_caches()
+    if findings:
+        failures.append(f"cluster_quality_survivors(tail): {findings}")
+    assert not failures, "\n".join(failures)
 
 
 def test_plan_lint_every_registered_query(spark):

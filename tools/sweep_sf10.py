@@ -35,6 +35,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _replay(spark, fn, sf_dir: str, reps: int) -> float:
     from big_data_data_lake_spark.caching import release_query_caches
 
+    # Tier-faithful config (r10): shuffle partitions follow bench.py's
+    # volume rule for THIS sf_dir, so sweep numbers are comparable to
+    # bench records at the same tier (see replay_outliers._replay).
+    from bench import _auto_shuffle_partitions
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_auto_shuffle_partitions(sf_dir, cpus)),
+    )
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
