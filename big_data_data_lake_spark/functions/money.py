@@ -54,49 +54,55 @@ def units(col: Column | str, scale: int = 100) -> Column:
     return F.round(c * F.lit(scale), 0).cast("long")
 
 
-def exact_sum_units(col: Column | str, scale: int = 100) -> Column:
+def exact_sum_units(col: Column | str, scale: int = 100, wide: bool = False) -> Column:
     """``sum(units)`` — the exact integer accumulator, un-rescaled.
 
-    Accumulates as ``long``: exact below 2^63 units. Callers that EMIT
-    this column (``*_cents`` outputs) are schema-pinned to BIGINT
-    against their oracles; each such call site's row-count ceiling is
-    ~9.2e18 / max_units_per_row (>= 9e11 rows even at 1e7 units/row —
-    a 100 TB lineitem). The rescaling aggregates below, which dominate
-    the ~96 money call sites, accumulate in DECIMAL(38,0) instead and
-    carry no ceiling at any reachable scale (round-9 advice: Spark
-    wraps long sums silently past 2^63 in non-ANSI mode)."""
-    return F.sum(units(col, scale))
+    Default accumulator is ``long``: exact below 2^63 units, and under
+    this engine's ANSI mode (Spark 4 default) an overflow is a LOUD
+    ``ARITHMETIC_OVERFLOW`` error — never a silently wrong answer
+    (the round-9 advice assumed non-ANSI silent wraparound, which
+    this session never runs; ``tests/test_properties.py::
+    test_exact_sum_survives_past_long_range`` pins the behavior).
+    Per-call ceilings: scale=100 on ~1e5-dollar values is ~1e7
+    units/row -> >9e11 rows per GROUP before the bound (a 100 TB
+    lineitem's GLOBAL cent-sum is ~2e18, inside it); scale=10000
+    global sums cross it around 1e12 rows — for those call sites pass
+    ``wide=True`` to accumulate in DECIMAL(38,0) (exact to 1e38,
+    overflow-checked). Decimal is NOT the default because it is not
+    free: measured 1.9x on the Q1 aggregation stage (sf0.1, medians
+    0.77 s long vs 1.47 s decimal after JIT warm-up — the first,
+    JIT-contaminated A/B read "free" and briefly shipped decimal
+    everywhere in r10; SCALE.md r10 records the honest numbers).
+    DuckDB's ``sum(BIGINT)`` is HUGEINT either way, so oracle SQL is
+    identical for both accumulators."""
+    u = units(col, scale)
+    return F.sum(u.cast("decimal(38,0)") if wide else u)
 
 
-def _exact_sum_units_wide(col: Column | str, scale: int) -> Column:
-    """``sum(units)`` accumulated in DECIMAL(38,0) — exact to 1e38
-    units, overflow-checked (NULL, never silent wraparound). The
-    measured cost vs the long accumulator is nil (sf0.1 lineitem A/B:
-    within noise), so every rescaling aggregate uses this form.
-    DuckDB's twin ``sum(BIGINT)`` already accumulates in HUGEINT
-    (int128), so the oracle SQL needs no change."""
-    return F.sum(units(col, scale).cast("decimal(38,0)"))
-
-
-def exact_sum(col: Column | str, scale: int = 100, dec: int = 2) -> Column:
+def exact_sum(
+    col: Column | str, scale: int = 100, dec: int = 2, wide: bool = False
+) -> Column:
     """Order-invariant ``round(sum(col), dec)`` for fixed-decimal cols.
 
-    The decimal-unit sum divided by a float literal promotes to
-    DOUBLE — bit-identical to DuckDB's ``sum(BIGINT) / 100.0``
-    (HUGEINT -> double) on every path, including sums past 2^53 where
-    both engines round the exact integer to the same nearest double.
-    """
-    return F.round(_exact_sum_units_wide(col, scale) / F.lit(float(scale)), dec)
+    The unit sum divided by a float literal promotes to DOUBLE —
+    bit-identical to DuckDB's ``sum(BIGINT) / 100.0`` (HUGEINT ->
+    double) on both accumulators (see exact_sum_units for the
+    long-vs-decimal trade)."""
+    return F.round(exact_sum_units(col, scale, wide) / F.lit(float(scale)), dec)
 
 
-def exact_avg(col: Column | str, scale: int = 100, dec: int = 2) -> Column:
-    """Order-invariant ``round(avg(col), dec)``: exact decimal-unit sum
+def exact_avg(
+    col: Column | str, scale: int = 100, dec: int = 2, wide: bool = False
+) -> Column:
+    """Order-invariant ``round(avg(col), dec)``: exact integer-unit sum
     divided by the non-null count (matching ``avg`` null semantics),
     rescaled once. Division order mirrors ``sql_exact_avg`` exactly:
     (sum -> double) / count / scale."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(
-        _exact_sum_units_wide(c, scale) / F.count(c).cast("double") / F.lit(float(scale)),
+        exact_sum_units(c, scale, wide)
+        / F.count(c).cast("double")
+        / F.lit(float(scale)),
         dec,
     )
 

@@ -570,26 +570,24 @@ def test_exact_money_sum_matches_decimal_ground_truth(cents, nparts):
 
 
 def test_exact_sum_survives_past_long_range():
-    """functions/money.py (r10, round-9 advice): the rescaling
-    aggregates accumulate in DECIMAL(38,0), so a unit-sum past 2^63 —
-    where a LongType accumulator silently wraps negative in non-ANSI
-    mode — still produces the exact answer. Two rows of 9.2e14 at
-    scale=10000 are 1.84e19 units, past the 9.22e18 long bound."""
+    """functions/money.py (r10, round-9 advice): past 2^63 units the
+    DEFAULT long accumulator must fail LOUDLY (ARITHMETIC_OVERFLOW
+    under this engine's ANSI mode — never a silently wrong answer;
+    the advice's silent-wraparound premise never applies to this
+    session), and the ``wide=True`` DECIMAL(38,0) escape hatch must
+    return the exact answer for call sites whose documented ceiling
+    is reachable. Two rows of 9.2e14 at scale=10000 are 1.84e19
+    units, past the 9.22e18 long bound."""
+    import pytest
+
     from big_data_data_lake_spark import session as S
     from big_data_data_lake_spark.functions.money import exact_sum
 
     spark = S.get_spark()
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
     v = 9.2e14  # 9.2e18 units each at scale=10000
     df = spark.createDataFrame([(v,), (v,)], "v double")
-    got = df.agg(exact_sum("v", scale=10000).alias("s")).collect()[0]["s"]
-    assert got == round(2 * v, 2), got
-    # the long accumulator FAILS on the same input — ARITHMETIC_OVERFLOW
-    # under this session's ANSI mode (silent negative wrap with ANSI
-    # off); either way the rescaling aggregates must not use it
-    import pytest
-    from pyspark.sql import functions as F
-
-    from big_data_data_lake_spark.functions.money import units
-
+    wide = df.agg(exact_sum("v", scale=10000, wide=True).alias("s"))
+    assert wide.collect()[0]["s"] == round(2 * v, 2)
     with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
-        df.agg(F.sum(units("v", 10000)).alias("s")).collect()
+        df.agg(exact_sum("v", scale=10000).alias("s")).collect()
