@@ -225,6 +225,7 @@ REGISTRY_ONLY = {
     "event_gaps": "twin",  # lag window inside interarrival_histogram
     "event_type_domain": "twin",  # collect_set inside global_kpis family
     "events_sample": "gated",  # deterministic hash membership only
+    "decontamination_verdicts_13g": "twin",  # r10: linear 13-gram production verdicts (SCALE.md r10)
     "exact_substring_decontamination": "twin",  # 13-gram path inside benchmark_decontamination
     "file_ts_parse": "twin",  # parse/format inside hourly family
     "fingerprint_dedup": "twin",  # rolling hash inside curation e2e stage 2

@@ -55,7 +55,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # tools/parity_sf1.py always includes exactly this prefix in the sf1
 # sweep, so an off-by-one silently drops a current-round query from
 # the guaranteed set (round-8 advisory).
-N_CURRENT_ROUND = 11
+N_CURRENT_ROUND = 12
 SAMPLE_FIRST: tuple[str, ...] = (
     # NEW or changed in round 10, enumerated first so the
     # prefix-biased driver sampler attests them this round; all
@@ -63,10 +63,11 @@ SAMPLE_FIRST: tuple[str, ...] = (
     # landing, and the full-registry sf0.01 sweep re-ran green.
     "simhash_dup_summary",  # r10 NEW: bounded per-doc near-dup verdicts
     "decontamination_verdicts",  # r10 NEW: bounded per-doc contamination verdicts
+    "decontamination_verdicts_13g",  # r10 NEW: linear 13-gram production verdicts
     "lsh_pr_audit",  # r10: absolute-doc-budget gate (same values <= sf0.1)
     "semantic_dedup_crosscheck",  # r10: broadcasts bounded pair list, not documents
-    "pricing_summary",  # r10: decimal(38,0) unit accumulation (same values)
-    "country_intelligence",  # r10: decimal(38,0) unit accumulation (same values)
+    "pricing_summary",  # r10: money accumulator hardening (same values)
+    "country_intelligence",  # r10: money accumulator hardening (same values)
     # changed in round 9 but OMITTED from the r9 prefix (r9 advice #2)
     # — full sf1 sweep covered them green; attested in the guaranteed
     # prefix now:

@@ -403,6 +403,69 @@ def exact_substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+DECONTAMINATION_VERDICTS_13G_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM documents),
+hsh AS (SELECT doc_id, {dd.shingle_hashes_sql(EXACT_SUBSTRING_N)} AS hs FROM tok),
+ex AS (SELECT doc_id, unnest(hs) AS g FROM hsh),
+bench AS (SELECT doc_id AS bench_id, g FROM ex WHERE doc_id % {BENCH_MOD} = 0),
+train AS (SELECT * FROM ex WHERE doc_id % {BENCH_MOD} <> 0),
+hits AS (
+    SELECT t.doc_id, b.bench_id, count(*) AS c
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bench_hits,
+       CAST(sum(c) AS BIGINT) AS n_shared_13grams
+FROM hits
+GROUP BY doc_id
+"""
+
+
+@register("decontamination_verdicts_13g", DECONTAMINATION_VERDICTS_13G_ORACLE)
+def decontamination_verdicts_13g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-document contamination verdicts under the
+    published-practice EXACT-SUBSTRING rule (one shared contiguous
+    13-token run flags the pair — GPT-3 appendix C / PaLM style): one
+    row per contaminated training doc with how many benchmark docs it
+    hits and the total shared 13-gram count. This is the form that
+    holds at 100 TB where the bigram-coverage family does not: at
+    n=13 the inverted index's per-shingle doc frequency is ~1, so the
+    train x bench join output is LINEAR in the corpus, while the
+    bigram index's stopword-pair keys give the coverage join a
+    sum-over-shingles df_train x df_bench cost that is quadratic in
+    df (measured: the bigram verdicts run 96 s at sf10; this form is
+    the production path — sf10 number recorded in SCALE.md r10).
+    Output is O(contaminated docs), same bounded-deliverable shape as
+    decontamination_verdicts (r9 verdict #1)."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    hs = docs.selectExpr(
+        "doc_id", dd.spark_token_hashes_expr() + " AS th"
+    ).selectExpr(
+        "doc_id", dd.spark_shingle_hashes_expr(EXACT_SUBSTRING_N) + " AS hs"
+    )
+    ex = scoped_persist(hs).select("doc_id", F.explode("hs").alias("g"))
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = ex.where(is_bench).select(F.col("doc_id").alias("bench_id"), "g")
+    train = ex.where(~is_bench)
+    # plain shuffled equi-join on the 13-gram hash: with df ~= 1 per
+    # key the output is linear in the corpus, and NOT broadcasting
+    # the bench side matters — at 100 TB the bench docs' shingle set
+    # is itself fact-scale (~tokens-12 rows per doc, the same row
+    # count as bigrams), so the broadcast the bigram family leans on
+    # stops being a plan any cluster would accept
+    return (
+        train.join(bench, "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bench_hits"),
+            F.sum("c").cast("bigint").alias("n_shared_13grams"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Quality-weighted sampling (Efraimidis-Spirakis)
 # --------------------------------------------------------------------------

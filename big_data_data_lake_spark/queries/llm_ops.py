@@ -785,9 +785,18 @@ def simhash_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cf. the reference's count-style dedup reporting
     (dashboard.py:173-183)."""
     pairs = _simhash_near_dup_pairs_impl(spark, sf_dir)
-    sym = pairs.select(F.col("d1").alias("doc_id"), "hamming").unionAll(
-        pairs.select(F.col("d2").alias("doc_id"), "hamming")
-    )
+    # symmetrize in ONE pass: a unionAll of two selects would execute
+    # the whole chunk-join lineage twice (the pair frame is not
+    # persisted — at sf10 that doubled a 70 s candidate join; caught
+    # by the r10 sweep at 138 s vs the raw form's 85 s)
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("d1").alias("doc_id"), F.col("hamming")),
+                F.struct(F.col("d2").alias("doc_id"), F.col("hamming")),
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.hamming")
     return sym.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_near_dups"),
         F.min("hamming").alias("min_hamming"),
