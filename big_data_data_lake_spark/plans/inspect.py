@@ -108,26 +108,46 @@ def fact_broadcast_findings(df: DataFrame) -> list[str]:
     broadcast build is the raw (possibly projected) fact table.
     Filtered or pre-aggregated builds (a HAVING survivor set, a
     type-filtered part dim) never fire."""
-    lines = _simple_plan(df).splitlines()
+    return fact_broadcast_findings_in_plan(_simple_plan(df))
+
+
+def fact_broadcast_findings_in_plan(plan: str) -> list[str]:
+    """String-level core of :func:`fact_broadcast_findings`, split out
+    so fixture plans (e.g. a root-position BroadcastExchange, which no
+    local query produces) can be linted directly in tests."""
+    lines = plan.splitlines()
 
     def depth(line: str) -> int:
         """Tree depth = column of the node marker. A line with no
         '+-'/':-' marker (root-position node, ReusedExchange
-        formatting) is depth 0 — falling through as -1 would let the
-        subtree walk below a root BroadcastExchange swallow the whole
-        remaining plan, where any unrelated Join/Aggregate masks the
-        finding (round-9 advice)."""
+        formatting) is depth 0 — as a CHILD comparison that is right:
+        falling through as -1 would let the subtree walk below a root
+        BroadcastExchange swallow the whole remaining plan, where any
+        unrelated Join/Aggregate masks the finding (round-9 advice)."""
         m = re.search(r"[+:]-", line)
         if m:
             return m.start()
         stripped = len(line) - len(line.lstrip(" :"))
         return stripped  # leading-whitespace width; 0 at the root
 
+    def anchor_depth(line: str) -> int:
+        """Depth used for the exchange line that ANCHORS a subtree
+        walk. A marker-less root-position exchange sits at column 0,
+        but so do its children's '+-' markers; anchoring at 0 would
+        end the walk before the first child and silently skip an
+        unreduced fact scan directly beneath it (round-10 advice —
+        false negative, the opposite failure of the child case
+        above). Anchor one level shallower instead: a marker-less
+        line can only be the root, so everything below it is its
+        subtree."""
+        m = re.search(r"[+:]-", line)
+        return m.start() if m else -1
+
     findings: list[str] = []
     for i, line in enumerate(lines):
         if "BroadcastExchange" not in line:
             continue
-        d = depth(line)
+        d = anchor_depth(line)
         subtree = []
         for nxt in lines[i + 1 :]:
             if not nxt.strip():

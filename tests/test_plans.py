@@ -25,6 +25,51 @@ def _q(spark, name):
     return REG[name].fn(spark, SF)
 
 
+def test_fact_broadcast_lint_sees_root_position_exchange():
+    """r10 advice: a BroadcastExchange in ROOT position has no
+    '+-'/':-' marker, so anchoring the subtree walk at its column-0
+    depth ended the walk before the first child ('+-' also at column
+    0) and an unreduced fact scan directly beneath it was silently
+    missed. The anchor now sits one level shallower (-1) for
+    marker-less lines; string fixtures because no local query plans a
+    root-position exchange."""
+    from big_data_data_lake_spark.plans.inspect import (
+        fact_broadcast_findings_in_plan,
+    )
+
+    unreduced = "\n".join(
+        [
+            "BroadcastExchange HashedRelationBroadcastMode(List(input[0]))",
+            "+- Project [l_orderkey#1L]",
+            "   +- Scan parquet [l_orderkey#1L] Location: file:/d/lineitem.parquet",
+        ]
+    )
+    assert fact_broadcast_findings_in_plan(unreduced) == ["lineitem"]
+
+    reduced = "\n".join(
+        [
+            "BroadcastExchange HashedRelationBroadcastMode(List(input[0]))",
+            "+- HashAggregate(keys=[l_orderkey#1L], functions=[count(1)])",
+            "   +- Scan parquet [l_orderkey#1L] Location: file:/d/lineitem.parquet",
+        ]
+    )
+    assert fact_broadcast_findings_in_plan(reduced) == []
+
+    # the round-9 case stays fixed: a CHILD line with no marker must
+    # still read as depth 0 so a root-position sibling after the
+    # exchange's subtree terminates the walk instead of masking the
+    # finding with an unrelated downstream Join/Aggregate
+    masked_sibling = "\n".join(
+        [
+            "+- BroadcastExchange HashedRelationBroadcastMode(List(input[0]))",
+            "   +- Scan parquet [l_orderkey#1L] Location: file:/d/lineitem.parquet",
+            "SubPlan outside the exchange",
+            "+- HashAggregate(keys=[x#2], functions=[count(1)])",
+        ]
+    )
+    assert fact_broadcast_findings_in_plan(masked_sibling) == ["lineitem"]
+
+
 def test_enrichment_join_broadcasts_dimension(spark):
     """J1: fact × dim must be a broadcast join — a shuffle join here
     would move the 100 TB side."""

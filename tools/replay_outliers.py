@@ -73,13 +73,17 @@ def _replay(spark, fn, sf_dir: str, reps: int) -> float:
     # that exonerates a query under a DIFFERENT config is not
     # evidence; same config in, same number out (probed r10:
     # fresh == in-bench within noise under the bench config).
+    # Mirror bench.py's FULL resolution order, env override included
+    # (r10 advice): a bench recorded under SPARK_GRAFT_SHUFFLE_PARTITIONS
+    # must replay under the same value, or this tool reintroduces the
+    # exact config-mismatch class the r10 fix closed.
     from bench import _auto_shuffle_partitions
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(_auto_shuffle_partitions(sf_dir, cpus)),
-    )
+    parts = int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")
+    ) or _auto_shuffle_partitions(sf_dir, cpus)
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()

@@ -38,13 +38,15 @@ def _replay(spark, fn, sf_dir: str, reps: int) -> float:
     # Tier-faithful config (r10): shuffle partitions follow bench.py's
     # volume rule for THIS sf_dir, so sweep numbers are comparable to
     # bench records at the same tier (see replay_outliers._replay).
+    # Mirror bench.py's FULL resolution order, env override included
+    # (r10 advice): see replay_outliers._replay.
     from bench import _auto_shuffle_partitions
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(_auto_shuffle_partitions(sf_dir, cpus)),
-    )
+    parts = int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")
+    ) or _auto_shuffle_partitions(sf_dir, cpus)
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
