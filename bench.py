@@ -48,7 +48,7 @@ HEADLINE = [
     "dedup_exact",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_capped",
-    "minhash_lsh_pairs",
+    "minhash_dup_summary",
     "simhash_dup_summary",
     "embedding_topk_pairs",
     "ann_cosine_topk",
@@ -56,7 +56,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "token_stats",
     "multimodal_features",
-    "decontamination_verdicts",
+    "decontamination_verdicts_13g",
     "shipping_priority",
     "audio_triage",
     "large_volume_orders",
@@ -209,7 +209,7 @@ REGISTRY_ONLY = {
     "ann_lsh_recall": "audit",
     "ann_truncation_recall": "audit",
     "approx_distinct_audit": "audit",
-    "benchmark_decontamination": "audit",  # r10: raw (train,bench) pair dump; headline runs decontamination_verdicts
+    "benchmark_decontamination": "audit",  # r10: raw (train,bench) pair dump; headline runs decontamination_verdicts_13g
     "approx_quantile_audit": "audit",
     "bpe_token_stats": "twin",  # token_stats carries the BPE regex path
     "cluster_quality_survivors": "comp",  # exact pairs + propagation
@@ -225,8 +225,8 @@ REGISTRY_ONLY = {
     "event_gaps": "twin",  # lag window inside interarrival_histogram
     "event_type_domain": "twin",  # collect_set inside global_kpis family
     "events_sample": "gated",  # deterministic hash membership only
-    "decontamination_verdicts_13g": "twin",  # r10: linear 13-gram production verdicts (SCALE.md r10)
-    "exact_substring_decontamination": "twin",  # 13-gram path inside benchmark_decontamination
+    "decontamination_verdicts": "audit",  # r11 (r10 verdict #1): bigram-coverage form — inner join quadratic in stopword-bigram df (96 s / ratio 103x at sf10); headline runs the linear 13-gram rule decontamination_verdicts_13g
+    "exact_substring_decontamination": "twin",  # 13-gram pair stage inside decontamination_verdicts_13g (headline)
     "file_ts_parse": "twin",  # parse/format inside hourly family
     "fingerprint_dedup": "twin",  # rolling hash inside curation e2e stage 2
     "first_match_enrichment": "twin",  # dedup_dim join inside brand_revenue shape
@@ -244,6 +244,7 @@ REGISTRY_ONLY = {
     "marker_sizes": "twin",  # clip/derive scalars inside dead_reckoning family
     "membership_range_filter": "twin",  # filter pushdown inside suspicious_events
     "minhash_accuracy_audit": "audit",
+    "minhash_lsh_pairs": "audit",  # r11 (r10 verdict #2): raw O(cluster k^2) pair dump (819k rows at sf10); headline runs minhash_dup_summary
     "mode_event_type": "twin",  # deterministic mode inside top_event_types
     "null_fill_drop": "twin",  # fill/drop inside curation e2e stage 1
     "order_priority_pivot": "twin",  # pivot of order_priority_counts
@@ -335,9 +336,10 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     timings: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = registry[name].fn
-        samples = []
+        samples = all_samples[name] = []
         for _ in range(reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -369,6 +371,16 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
+    # Ambient-variance metadata (r10 verdict #4): this host swings
+    # up to ~1.4x between identical runs, and a record without its
+    # own spread forces SCALE.md archaeology to tell drift from
+    # noise. Every record carries reps, the raw per-query samples
+    # (the median of which IS "queries"), and the worst per-query
+    # max/min ratio as a one-number ambient-noise gauge.
+    spread_ratio = max(
+        (max(s) / min(s) for s in all_samples.values() if min(s) > 0),
+        default=1.0,
+    )
     print(
         json.dumps(
             {
@@ -377,6 +389,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "stat": "median",
+                "max_spread_ratio": round(spread_ratio, 2),
+                "samples": {
+                    n: [round(x, 3) for x in s] for n, s in all_samples.items()
+                },
             }
         )
     )
@@ -393,6 +411,9 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "reps": reps,
+                "stat": "median",
+                "max_spread_ratio": round(spread_ratio, 2),
             }
         )
     )

@@ -55,15 +55,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # tools/parity_sf1.py always includes exactly this prefix in the sf1
 # sweep, so an off-by-one silently drops a current-round query from
 # the guaranteed set (round-8 advisory).
-N_CURRENT_ROUND = 12
+N_CURRENT_ROUND = 6
 SAMPLE_FIRST: tuple[str, ...] = (
-    # NEW or changed in round 10, enumerated first so the
+    # NEW or changed in round 11, enumerated first so the
     # prefix-biased driver sampler attests them this round; all
     # verified against the local DuckDB mirror at sf0.001+sf0.01 on
     # landing, and the full-registry sf0.01 sweep re-ran green.
-    "simhash_dup_summary",  # r10 NEW: bounded per-doc near-dup verdicts
-    "decontamination_verdicts",  # r10 NEW: bounded per-doc contamination verdicts
-    "decontamination_verdicts_13g",  # r10 NEW: linear 13-gram production verdicts
+    "minhash_dup_summary",  # r11 NEW: bounded per-doc MinHash near-dup verdicts
+    "simhash_dup_summary",  # r11: combo-key candidate join (same values)
+    "simhash_near_dups",  # r11: combo-key candidate join (same values)
+    "decontamination_verdicts_13g",  # r11: promoted to headline (unchanged)
+    "decontamination_verdicts",  # r11: reclassified audit (unchanged)
+    "minhash_lsh_pairs",  # r11: reclassified audit (unchanged)
+    # carried from round 10:
     "lsh_pr_audit",  # r10: absolute-doc-budget gate (same values <= sf0.1)
     "semantic_dedup_crosscheck",  # r10: broadcasts bounded pair list, not documents
     "pricing_summary",  # r10: money accumulator hardening (same values)

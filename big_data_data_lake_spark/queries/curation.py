@@ -338,16 +338,24 @@ GROUP BY doc_id
 
 @register("decontamination_verdicts", DECONTAMINATION_VERDICTS_ORACLE)
 def decontamination_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-training-document contamination verdict — the bounded
-    deliverable a decontamination run actually consumes (r9 verdict
-    #1), replacing the raw pair dump of benchmark_decontamination in
-    the headline bench: one row per contaminated training document
-    with how many benchmark docs it hits and its worst coverage
-    ratio. Output is O(contaminated training docs) — the drop list —
-    instead of O(train x bench pairs); at a 100 TB corpus the verdict
-    list joins straight back into the excision path. Same
-    broadcast-index plan as the pair form (shared impl) plus one
-    per-doc aggregate."""
+    """Per-training-document contamination verdict under the
+    bigram-COVERAGE rule (>= 50% of a benchmark doc's bigrams shared):
+    one row per contaminated training document with how many benchmark
+    docs it hits and its worst coverage ratio. Output is
+    O(contaminated training docs) — the drop-list shape (r9 verdict
+    #1) — and the coverage ratio is the forensic signal the 13-gram
+    rule doesn't carry.
+
+    AUDIT-CLASS (r11, r10 verdict #1): the bounded OUTPUT landed in
+    r10, but the inner inverted-index join inherits the bigram
+    family's sum-over-shingles df_train x df_bench cost — quadratic
+    in stopword-bigram doc frequency, which grows with the corpus
+    (measured 96 s / ratio 103x at sf10, the sweep's worst headline
+    shape) — and leans on a bench-side broadcast that is itself
+    fact-scale at 100 TB. The headline decontamination deliverable is
+    decontamination_verdicts_13g (published-practice exact-substring
+    rule, df~=1 per key, linear); this coverage form stays registered
+    for on-demand forensic drill-down on a sampled/filtered corpus."""
     pairs = _decontamination_pairs_impl(spark, sf_dir)
     return pairs.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bench_hits"),
@@ -434,9 +442,11 @@ def decontamination_verdicts_13g(spark: SparkSession, sf_dir: str) -> DataFrame:
     train x bench join output is LINEAR in the corpus, while the
     bigram index's stopword-pair keys give the coverage join a
     sum-over-shingles df_train x df_bench cost that is quadratic in
-    df (measured: the bigram verdicts run 96 s at sf10; this form is
-    the production path — sf10 number recorded in SCALE.md r10).
-    Output is O(contaminated docs), same bounded-deliverable shape as
+    df (measured: the bigram verdicts run 96 s at sf10 vs 5.8 s for
+    this form — SCALE.md r10). HEADLINE since r11 (r10 verdict #1):
+    this is the production decontamination deliverable the bench
+    times; the bigram-coverage form is audit-class. Output is
+    O(contaminated docs), same bounded-deliverable shape as
     decontamination_verdicts (r9 verdict #1)."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     hs = docs.selectExpr(

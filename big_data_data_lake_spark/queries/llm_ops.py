@@ -649,8 +649,82 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted signature table for the agreement filter >= 0.5 (see
     _minhash_lsh_pairs_impl for the shuffle-byte accounting vs the
     ride-along alternative). Constants are shared verbatim with the
-    oracle SQL (dedup.py)."""
+    oracle SQL (dedup.py).
+
+    AUDIT-CLASS (r11, r10 verdict #2): the PLAN is the scale-safe
+    banded equi-join, but the OUTPUT is the raw O(sum over dup
+    clusters of k^2) pair dump — 819,328 candidate pairs at sf10, the
+    r10 sweep's slowest entry by output volume alone. The production
+    deliverable is minhash_dup_summary (per-doc degree/max-agreement,
+    O(docs) rows — the same r10 treatment simhash_near_dups got); its
+    downstream consumers dedup_clusters/dedup_survivors remain
+    attested. This raw form stays registered for correctness
+    attestation and forensic drill-down, out of the headline bench."""
     return _minhash_lsh_pairs_impl(spark, sf_dir)
+
+
+MINHASH_DUP_SUMMARY_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM documents),
+hsh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS hs FROM tok),
+sig AS (SELECT doc_id,
+           {dd.minhash_sig_sql_columns()}
+        FROM hsh),
+bands AS (
+    {dd.minhash_bands_sql()}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT d1, d2, round({dd.minhash_est_sim_sql("x", "y")}, 4) AS est_sim
+    FROM cand
+    JOIN sig x ON cand.d1 = x.doc_id
+    JOIN sig y ON cand.d2 = y.doc_id
+    WHERE {dd.minhash_est_sim_sql("x", "y")} >= 0.5
+),
+sym AS (
+    SELECT d1 AS doc_id, est_sim FROM pairs
+    UNION ALL
+    SELECT d2 AS doc_id, est_sim FROM pairs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_near_dups,
+       max(est_sim) AS max_est_sim
+FROM sym
+GROUP BY doc_id
+"""
+
+
+@register("minhash_dup_summary", MINHASH_DUP_SUMMARY_ORACLE)
+def minhash_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash near-dup verdict — the bounded deliverable
+    a curation run actually consumes (r10 verdict #2, finishing the
+    pattern r10 applied to simhash/decontamination): for every
+    document with at least one LSH-candidate neighbor at estimated
+    Jaccard >= 0.5, its near-dup degree and strongest agreement. A dup
+    cluster of size k contributes k rows here vs k(k-1)/2 pair rows —
+    output is O(docs), the keep/drop worklist shape that survives a
+    100 TB corpus with a ~4x duplication rate, while the plan is the
+    identical banded equi-join + signature join-back as the raw pair
+    form (shared impl; see _minhash_lsh_pairs_impl). Symmetrized in
+    ONE pass via explode-array (a unionAll of two selects would
+    execute the whole candidate-join lineage twice — the r10 sf10
+    sweep caught exactly that on simhash_dup_summary)."""
+    pairs = _minhash_lsh_pairs_impl(spark, sf_dir)
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("d1").alias("doc_id"), F.col("est_sim")),
+                F.struct(F.col("d2").alias("doc_id"), F.col("est_sim")),
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.est_sim")
+    return sym.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_near_dups"),
+        F.max("est_sim").alias("max_est_sim"),
+    )
 
 
 SIMHASH_SIGNATURES_ORACLE = f"""
@@ -692,30 +766,42 @@ WHERE bit_count(xor(a.h, b.h)) <= {dd.SIMHASH_HAMMING_BUDGET}
 def _simhash_near_dup_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared pair core of simhash_near_dups (the raw audit form) and
     simhash_dup_summary (the bounded per-doc deliverable): deduped
-    (d1 < d2, hamming) near-dup pairs via the pigeonhole chunk join."""
+    (d1 < d2, hamming) near-dup pairs via the pigeonhole combo-key
+    join (see simhash_near_dups for the banding scheme)."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     hs = (
         docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
         .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
         .selectExpr("doc_id", dd.spark_widened_hashes_expr() + " AS wh")
     )
-    # Persist the sketches: the chunk self-join's two branches read
+    # Persist the sketches: the combo self-join's two branches read
     # the cached 8-byte sketches instead of recomputing hash lineage.
     sig = scoped_persist(hs.selectExpr("doc_id", dd.spark_simhash_expr() + " AS h"))
-    chunks = sig.select(
-        "doc_id", "h", F.explode(dd.simhash_chunks(F.col("h"))).alias("c")
-    ).select("doc_id", "h", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
-    a = chunks.select(
-        F.col("doc_id").alias("d1"), F.col("h").alias("h1"), "ci", "cv"
+    # Combination banding (r11, r10 verdict #3): the old single-chunk
+    # pigeonhole (7 chunks of 8 bits) bucketed n/256 docs per cell —
+    # ~2k per cell at sf10's 500k docs, so the candidate join did
+    # ~2k^2 comparisons per cell and the query cost 71.6 s. Packing
+    # 2-of-8 block combinations into 14-bit keys shrinks buckets 64x
+    # (n/16,384) for 4x the explode rows — same zero-false-negative
+    # pigeonhole guarantee (Hamming <= 6 on 8 blocks leaves >= 2
+    # blocks agreeing), A/B vs the chunk form recorded in SCALE.md
+    # r11. The key width, not the corpus, now sets bucket occupancy
+    # up through ~16M docs (1k-doc buckets); past that, raise
+    # N_SIMHASH_BLOCKS (B=9: 18-bit keys, 84 combos).
+    keys = sig.select(
+        "doc_id", "h", F.explode(dd.simhash_combo_keys(F.col("h"))).alias("k")
+    ).select("doc_id", "h", F.col("k.ki").alias("ki"), F.col("k.kv").alias("kv"))
+    a = keys.select(
+        F.col("doc_id").alias("d1"), F.col("h").alias("h1"), "ki", "kv"
     )
-    b = chunks.select(
-        F.col("doc_id").alias("d2"), F.col("h").alias("h2"), "ci", "cv"
+    b = keys.select(
+        F.col("doc_id").alias("d2"), F.col("h").alias("h2"), "ki", "kv"
     )
     ham = dd.hamming64(F.col("h1"), F.col("h2"))
     return (
-        a.join(b, ["ci", "cv"])
+        a.join(b, ["ki", "kv"])
         .where((F.col("d1") < F.col("d2")) & (ham <= dd.SIMHASH_HAMMING_BUDGET))
-        # a pair agreeing on k chunks surfaces k times — dedup the
+        # a pair agreeing on k combos surfaces k times — dedup the
         # (already Hamming-filtered, tiny) survivor set
         .select("d1", "d2", ham.cast("int").alias("hamming"))
         .dropDuplicates(["d1", "d2"])
@@ -726,16 +812,18 @@ def _simhash_near_dup_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance <= budget (6) on the
     62-bit widened sketches, found WITHOUT an all-pairs scan. The
-    sketch splits into 7 chunks of 8 bits (chunks > budget), so every
-    qualifying pair agrees exactly on at least one chunk (pigeonhole);
-    the plan is explode-to-chunks -> self-equi-join on (chunk_idx,
-    chunk_val) -> exact Hamming re-check -> dedup. Same answer as the
-    all-pairs definition (the oracle SQL keeps that form), but the
-    only shuffles are a bucketed equi-join and a dedup of the (small)
-    survivor set. 8-bit slots keep bucket fan-out ~n/256 per chunk —
-    the r2-advice fix for the old 32-bit/8-chunk config whose 16-value
-    slots degenerated quadratically; simhash_chunks now guards the
-    width (dedup.py).
+    sketch splits into 8 blocks and every 2-block combination becomes
+    a 14-bit join key (Manku et al.'s permuted-table scheme): a pair
+    within the budget differs in at most 6 blocks, so at least 2
+    blocks — hence at least one 2-block combination — agree exactly
+    (pigeonhole). The plan is explode-to-combo-keys -> self-equi-join
+    on (combo_idx, packed_val) -> exact Hamming re-check -> dedup.
+    Same answer as the all-pairs definition (the oracle SQL keeps
+    that form), but the only shuffles are a bucketed equi-join and a
+    dedup of the (small) survivor set. 14-bit keys keep bucket
+    fan-out ~n/16,384 per combo — the r11 fix for the single-chunk
+    8-bit slots that bucketed ~2k docs per cell at sf10 (r10 verdict
+    #3); simhash_combo_keys guards the key width (dedup.py).
 
     AUDIT-CLASS (r10, r9 verdict #1): the PLAN is scale-safe but the
     OUTPUT is O(sum over dup clusters of k^2) raw pair rows — 805,942
@@ -780,8 +868,9 @@ def simhash_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Hamming <= 6), its near-dup degree and closest distance. A dup
     cluster of size k contributes k rows here vs k(k-1)/2 pair rows —
     output is O(docs), the keep/drop worklist shape that survives a
-    100 TB corpus with a 4x duplication rate. Same pigeonhole chunk
-    join as the pair form (shared impl), one extra per-doc aggregate;
+    100 TB corpus with a 4x duplication rate. Same pigeonhole
+    combo-key join as the pair form (shared impl), one extra per-doc
+    aggregate;
     cf. the reference's count-style dedup reporting
     (dashboard.py:173-183)."""
     pairs = _simhash_near_dup_pairs_impl(spark, sf_dir)

@@ -796,6 +796,7 @@ FACT_BROADCAST_MONITORED = {
     "idle_rich_customers",
     "market_share_by_year",
     "minhash_accuracy_audit",
+    "minhash_dup_summary",  # same pair core as minhash_lsh_pairs
     "minhash_lsh_pairs",
     "nation_product_profit",
     "nation_trade_flows",

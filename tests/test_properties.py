@@ -125,6 +125,67 @@ def test_simhash_chunks_guards_narrow_slots():
     assert dd.N_SIMHASH_CHUNKS > dd.SIMHASH_HAMMING_BUDGET
 
 
+def test_simhash_combo_keys_guards():
+    """r11 (r10 verdict #3): the combination-banding helper must
+    refuse configs that break the pigeonhole guarantee or degenerate
+    bucket fan-out, same posture as simhash_chunks."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from big_data_data_lake_spark.operators import dedup as dd
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dd.simhash_combo_keys(F.lit(0).cast("long"), n_blocks=6, budget=6)
+    with pytest.raises(ValueError, match="combo key width"):
+        # 32 bits / 8 blocks = 4-bit blocks -> 8-bit combo keys < 12
+        dd.simhash_combo_keys(F.lit(0).cast("long"), bits=32, n_blocks=8)
+    # the production default: 8 blocks of 7 bits, 2-block combos
+    assert dd.N_SIMHASH_BLOCKS > dd.SIMHASH_HAMMING_BUDGET
+    width = dd.N_SIMHASH_BITS // dd.N_SIMHASH_BLOCKS
+    assert width * (dd.N_SIMHASH_BLOCKS - dd.SIMHASH_HAMMING_BUDGET) >= 12
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.randoms())
+def test_simhash_combo_keys_pigeonhole_property(rnd):
+    """Zero-false-negative property of combination banding, checked
+    against the arithmetic the Column expressions implement: flip up
+    to SIMHASH_HAMMING_BUDGET random bits of a random 62-bit sketch;
+    the perturbed and original sketches must share at least one
+    (combo_idx, packed_value) key. Pure-Python replica of the bit
+    slicing in dedup.simhash_combo_keys (same width/mask/pack order),
+    so the property covers the production geometry without a Spark
+    session."""
+    from itertools import combinations
+
+    from big_data_data_lake_spark.operators import dedup as dd
+
+    bits, m, budget = (
+        dd.N_SIMHASH_BITS,
+        dd.N_SIMHASH_BLOCKS,
+        dd.SIMHASH_HAMMING_BUDGET,
+    )
+    width = bits // m
+    csize = m - budget
+    mask = (1 << width) - 1
+
+    def keys(h: int) -> set[tuple[int, int]]:
+        blocks = [(h >> (i * width)) & mask for i in range(m)]
+        out = set()
+        for ki, combo in enumerate(combinations(range(m), csize)):
+            kv = 0
+            for i in combo:
+                kv = (kv << width) | blocks[i]
+            out.add((ki, kv))
+        return out
+
+    h = rnd.getrandbits(bits)
+    flipped = h
+    for pos in rnd.sample(range(bits), rnd.randint(0, budget)):
+        flipped ^= 1 << pos
+    assert keys(h) & keys(flipped), "pigeonhole guarantee violated"
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(
