@@ -703,27 +703,101 @@ def minhash_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     a curation run actually consumes (r10 verdict #2, finishing the
     pattern r10 applied to simhash/decontamination): for every
     document with at least one LSH-candidate neighbor at estimated
-    Jaccard >= 0.5, its near-dup degree and strongest agreement. A dup
-    cluster of size k contributes k rows here vs k(k-1)/2 pair rows —
-    output is O(docs), the keep/drop worklist shape that survives a
-    100 TB corpus with a ~4x duplication rate, while the plan is the
-    identical banded equi-join + signature join-back as the raw pair
-    form (shared impl; see _minhash_lsh_pairs_impl). Symmetrized in
-    ONE pass via explode-array (a unionAll of two selects would
-    execute the whole candidate-join lineage twice — the r10 sf10
-    sweep caught exactly that on simhash_dup_summary)."""
-    pairs = _minhash_lsh_pairs_impl(spark, sf_dir)
-    sym = pairs.select(
+    Jaccard >= 0.5, its near-dup degree and strongest agreement.
+
+    TWO-LEVEL PLAN (exact, same answer as the all-pairs oracle): a
+    corpus with a ~4x duplication rate spends almost all of the raw
+    pair form's cost on pairs WITHIN identical-signature groups — a
+    group of k exact dups collides in all 16 bands and contributes
+    k(k-1)/2 pairs with est 1.0, which is closed-form arithmetic, not
+    a join. So: (1) one window over the 32 signature columns gives
+    every doc its group size g and representative; (2) the banded
+    candidate join + signature agreement runs over DISTINCT
+    signatures only (reps) — est depends only on the signatures, so
+    doc-level and rep-level candidacy/agreement coincide; (3) each
+    doc's verdict expands as degree = (g-1) + sum of neighboring
+    groups' sizes, max_est = 1.0 if g>1 else max rep-pair est. The
+    duplication rate drops out of the join entirely — at 100 TB the
+    near-dup join's input is the distinct-signature table, exactly
+    the exact-dedup-before-near-dedup staging production pipelines
+    use. Measured vs the shared-pair-impl form in SCALE.md r11."""
+    from pyspark.sql import Window
+
+    hs = _shingle_hashes(spark, sf_dir)
+    sig_cols = [f"s{k}" for k in range(dd.N_MINHASH)]
+    w = Window.partitionBy(*sig_cols)
+    sigw = scoped_persist(
+        hs.selectExpr("doc_id", *dd.spark_minhash_sig_exprs())
+        .withColumn("g", F.count(F.lit(1)).over(w))
+        .withColumn("rep", F.min("doc_id").over(w))
+    )
+    reps = sigw.where(F.col("doc_id") == F.col("rep"))
+    bands = reps.select(
+        "rep", F.explode(dd.minhash_bands()).alias("bk")
+    ).select("rep", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = bands.select(F.col("rep").alias("r1"), "band", "bkey")
+    b = bands.select(F.col("rep").alias("r2"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("r1") < F.col("r2"))
+        .select("r1", "r2")
+        .dropDuplicates(["r1", "r2"])
+    )
+    x = reps.select(
+        F.col("rep").alias("r1"),
+        F.col("g").alias("g1"),
+        *[F.col(f"s{k}").alias(f"x{k}") for k in range(dd.N_MINHASH)],
+    )
+    y = reps.select(
+        F.col("rep").alias("r2"),
+        F.col("g").alias("g2"),
+        *[F.col(f"s{k}").alias(f"y{k}") for k in range(dd.N_MINHASH)],
+    )
+    est = sum(
+        (F.col(f"x{k}") == F.col(f"y{k}")).cast("int")
+        for k in range(dd.N_MINHASH)
+    ) / float(dd.N_MINHASH)
+    rep_pairs = (
+        cand.join(x, "r1")
+        .join(y, "r2")
+        .where(est >= 0.5)
+        .select("r1", "r2", "g1", "g2", F.round(est, 4).alias("est_sim"))
+    )
+    # symmetrize rep pairs in ONE pass (explode-array, r10 lesson) and
+    # roll up each representative's cross-group degree/agreement
+    sym = rep_pairs.select(
         F.explode(
             F.array(
-                F.struct(F.col("d1").alias("doc_id"), F.col("est_sim")),
-                F.struct(F.col("d2").alias("doc_id"), F.col("est_sim")),
+                F.struct(
+                    F.col("r1").alias("rep"),
+                    F.col("g2").alias("g_other"),
+                    F.col("est_sim"),
+                ),
+                F.struct(
+                    F.col("r2").alias("rep"),
+                    F.col("g1").alias("g_other"),
+                    F.col("est_sim"),
+                ),
             )
         ).alias("e")
-    ).select("e.doc_id", "e.est_sim")
-    return sym.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_near_dups"),
-        F.max("est_sim").alias("max_est_sim"),
+    ).select("e.rep", "e.g_other", "e.est_sim")
+    cross = sym.groupBy("rep").agg(
+        F.sum("g_other").alias("cross_deg"),
+        F.max("est_sim").alias("cross_max"),
+    )
+    n = (F.col("g") - 1 + F.coalesce(F.col("cross_deg"), F.lit(0))).cast(
+        "bigint"
+    )
+    max_est = F.when(F.col("g") > 1, F.lit(1.0)).otherwise(F.col("cross_max"))
+    return (
+        sigw.select("doc_id", "g", "rep")
+        .join(cross, "rep", "left")
+        .where(n >= 1)
+        .select(
+            "doc_id",
+            n.alias("n_near_dups"),
+            max_est.alias("max_est_sim"),
+        )
     )
 
 
@@ -868,27 +942,94 @@ def simhash_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Hamming <= 6), its near-dup degree and closest distance. A dup
     cluster of size k contributes k rows here vs k(k-1)/2 pair rows —
     output is O(docs), the keep/drop worklist shape that survives a
-    100 TB corpus with a 4x duplication rate. Same pigeonhole
-    combo-key join as the pair form (shared impl), one extra per-doc
-    aggregate;
-    cf. the reference's count-style dedup reporting
-    (dashboard.py:173-183)."""
-    pairs = _simhash_near_dup_pairs_impl(spark, sf_dir)
-    # symmetrize in ONE pass: a unionAll of two selects would execute
-    # the whole chunk-join lineage twice (the pair frame is not
-    # persisted — at sf10 that doubled a 70 s candidate join; caught
-    # by the r10 sweep at 138 s vs the raw form's 85 s)
-    sym = pairs.select(
+    100 TB corpus with a 4x duplication rate.
+
+    TWO-LEVEL PLAN (r11, exact — same answer as the all-pairs
+    oracle): the dominant near-dup population in a ~4x-duplicated
+    corpus is Hamming-0 pairs inside identical-sketch groups — a
+    group of k contributes k(k-1)/2 such pairs, closed-form
+    arithmetic, not a join. (1) One window over the 8-byte sketch
+    gives every doc its group size g and representative; (2) the
+    pigeonhole combo-key join (see simhash_near_dups) runs over
+    DISTINCT sketches only; (3) each doc expands to degree =
+    (g-1) + sum of neighboring groups' sizes, min_hamming = 0 if
+    g>1 else min rep-pair Hamming. The duplication rate drops out of
+    the join entirely; combined with the 14-bit combo keys this is
+    the config that holds past 1M docs (r10 verdict #3 — A/B vs the
+    r10 shared-pair form recorded in SCALE.md r11); cf. the
+    reference's count-style dedup reporting (dashboard.py:173-183)."""
+    from pyspark.sql import Window
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    hs = (
+        docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
+        .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
+        .selectExpr("doc_id", dd.spark_widened_hashes_expr() + " AS wh")
+    )
+    w = Window.partitionBy("h")
+    sigw = scoped_persist(
+        hs.selectExpr("doc_id", dd.spark_simhash_expr() + " AS h")
+        .withColumn("g", F.count(F.lit(1)).over(w))
+        .withColumn("rep", F.min("doc_id").over(w))
+    )
+    reps = sigw.where(F.col("doc_id") == F.col("rep"))
+    keys = reps.select(
+        "rep", "h", "g", F.explode(dd.simhash_combo_keys(F.col("h"))).alias("k")
+    ).select("rep", "h", "g", F.col("k.ki").alias("ki"), F.col("k.kv").alias("kv"))
+    a = keys.select(
+        F.col("rep").alias("r1"), F.col("h").alias("h1"),
+        F.col("g").alias("g1"), "ki", "kv",
+    )
+    b = keys.select(
+        F.col("rep").alias("r2"), F.col("h").alias("h2"),
+        F.col("g").alias("g2"), "ki", "kv",
+    )
+    ham = dd.hamming64(F.col("h1"), F.col("h2"))
+    rep_pairs = (
+        a.join(b, ["ki", "kv"])
+        .where((F.col("r1") < F.col("r2")) & (ham <= dd.SIMHASH_HAMMING_BUDGET))
+        .select("r1", "r2", "g1", "g2", ham.cast("int").alias("hamming"))
+        .dropDuplicates(["r1", "r2"])
+    )
+    # symmetrize rep pairs in ONE pass (explode-array: a unionAll of
+    # two selects would execute the whole combo-join lineage twice —
+    # at sf10 that doubled a 70 s candidate join, caught by the r10
+    # sweep at 138 s vs the raw form's 85 s)
+    sym = rep_pairs.select(
         F.explode(
             F.array(
-                F.struct(F.col("d1").alias("doc_id"), F.col("hamming")),
-                F.struct(F.col("d2").alias("doc_id"), F.col("hamming")),
+                F.struct(
+                    F.col("r1").alias("rep"),
+                    F.col("g2").alias("g_other"),
+                    F.col("hamming"),
+                ),
+                F.struct(
+                    F.col("r2").alias("rep"),
+                    F.col("g1").alias("g_other"),
+                    F.col("hamming"),
+                ),
             )
         ).alias("e")
-    ).select("e.doc_id", "e.hamming")
-    return sym.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_near_dups"),
-        F.min("hamming").alias("min_hamming"),
+    ).select("e.rep", "e.g_other", "e.hamming")
+    cross = sym.groupBy("rep").agg(
+        F.sum("g_other").alias("cross_deg"),
+        F.min("hamming").alias("cross_min"),
+    )
+    n = (F.col("g") - 1 + F.coalesce(F.col("cross_deg"), F.lit(0))).cast(
+        "bigint"
+    )
+    min_h = (
+        F.when(F.col("g") > 1, F.lit(0)).otherwise(F.col("cross_min"))
+    ).cast("int")
+    return (
+        sigw.select("doc_id", "g", "rep")
+        .join(cross, "rep", "left")
+        .where(n >= 1)
+        .select(
+            "doc_id",
+            n.alias("n_near_dups"),
+            min_h.alias("min_hamming"),
+        )
     )
 
 
