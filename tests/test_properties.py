@@ -186,6 +186,44 @@ def test_simhash_combo_keys_pigeonhole_property(rnd):
     assert keys(h) & keys(flipped), "pigeonhole guarantee violated"
 
 
+def test_simhash_combo_keys_column_matches_python_replica(spark):
+    """Pins the Column expression in dedup.simhash_combo_keys to the
+    pure-Python replica the pigeonhole property test exercises — the
+    property covers the real production arithmetic only if the two
+    agree bit-for-bit (shift/mask/pack order)."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from big_data_data_lake_spark.operators import dedup as dd
+
+    bits, m, budget = (
+        dd.N_SIMHASH_BITS,
+        dd.N_SIMHASH_BLOCKS,
+        dd.SIMHASH_HAMMING_BUDGET,
+    )
+    width, csize, mask = bits // m, m - budget, (1 << (bits // m)) - 1
+    samples = [0, 1, (1 << bits) - 1, 0x2D2816FE1D4F3A5B & ((1 << bits) - 1)]
+
+    def py_keys(h: int) -> list[tuple[int, int]]:
+        blocks = [(h >> (i * width)) & mask for i in range(m)]
+        out = []
+        for ki, combo in enumerate(combinations(range(m), csize)):
+            kv = 0
+            for i in combo:
+                kv = (kv << width) | blocks[i]
+            out.append((ki, kv))
+        return out
+
+    df = spark.createDataFrame([(h,) for h in samples], "h long")
+    rows = df.select(
+        "h", dd.simhash_combo_keys(F.col("h")).alias("ks")
+    ).collect()
+    for r in rows:
+        got = [(e["ki"], e["kv"]) for e in r["ks"]]
+        assert got == py_keys(r["h"]), f"mismatch for sketch {r['h']:#x}"
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(
