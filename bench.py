@@ -334,6 +334,54 @@ def main() -> None:
         _noop_batches, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Host-speed canary (r11, extending r10 verdict #4): three
+    # fixed-work microbenchmarks whose PLANS never change
+    # round-over-round — codegen'd CPU sum, a hash-aggregate shuffle,
+    # an Arrow/Python round trip. The canary ratio between two
+    # records measures the HOST, not the code: when every query
+    # moves together with the canary, the drift is ambient (this box
+    # swings up to ~1.4x between days); a query that moves WITHOUT
+    # the canary moved because of its plan.
+    def _canary() -> dict[str, float]:
+        def timed(run) -> float:
+            xs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run()
+                xs.append(time.perf_counter() - t0)
+            return round(statistics.median(xs), 3)
+
+        def _noop_pd(batches):
+            yield from batches
+
+        return {
+            "cpu": timed(
+                lambda: spark.range(200_000_000)
+                .selectExpr("sum(id * 2 + 1) s")
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            ),
+            "shuffle": timed(
+                lambda: spark.range(20_000_000)
+                .selectExpr("id % 997 AS k", "id AS v")
+                .groupBy("k")
+                .sum("v")
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            ),
+            "arrow": timed(
+                lambda: spark.range(2_000_000)
+                .mapInPandas(_noop_pd, schema="id long")
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            ),
+        }
+
+    canary = _canary()
+
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     timings: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
@@ -392,6 +440,7 @@ def main() -> None:
                 "reps": reps,
                 "stat": "median",
                 "max_spread_ratio": round(spread_ratio, 2),
+                "canary": canary,
                 "samples": {
                     n: [round(x, 3) for x in s] for n, s in all_samples.items()
                 },
@@ -414,6 +463,7 @@ def main() -> None:
                 "reps": reps,
                 "stat": "median",
                 "max_spread_ratio": round(spread_ratio, 2),
+                "canary_sec": round(sum(canary.values()), 3),
             }
         )
     )
