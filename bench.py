@@ -341,7 +341,11 @@ def main() -> None:
     # records measures the HOST, not the code: when every query
     # moves together with the canary, the drift is ambient (this box
     # swings up to ~1.4x between days); a query that moves WITHOUT
-    # the canary moved because of its plan.
+    # the canary moved because of its plan. SAME-TIER comparisons
+    # only: the shuffle leg runs under the tier's shuffle-partition
+    # count (r11 records: 0.48 s at sf0.1/32 partitions vs 1.25 s at
+    # sf1/128 — config, not host), so never read a cross-tier canary
+    # diff as host drift.
     def _canary() -> dict[str, float]:
         def timed(run) -> float:
             xs = []
