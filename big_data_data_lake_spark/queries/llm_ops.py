@@ -720,7 +720,17 @@ def minhash_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication rate drops out of the join entirely — at 100 TB the
     near-dup join's input is the distinct-signature table, exactly
     the exact-dedup-before-near-dedup staging production pipelines
-    use. Measured vs the shared-pair-impl form in SCALE.md r11."""
+    use. Measured vs the shared-pair-impl form in SCALE.md r11.
+
+    Degenerate docs (NULL text or <2 tokens) sketch to an all-NULL
+    signature (array_min over an empty/NULL shingle array). In the
+    oracle they can never be candidates — equi-joins and the est
+    filter both reject NULLs — but Window.partitionBy groups NULLs
+    TOGETHER, so without the isNotNull filter below they'd form one
+    phantom dup group (g = count of degenerate docs, est 1.0) and
+    downstream dedup would falsely drop unique short documents (r11
+    advice, reproduced in tests/test_dedup.py degenerate-corpus
+    case). All 32 sigs are NULL together, so filtering s0 suffices."""
     from pyspark.sql import Window
 
     hs = _shingle_hashes(spark, sf_dir)
@@ -728,6 +738,7 @@ def minhash_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(*sig_cols)
     sigw = scoped_persist(
         hs.selectExpr("doc_id", *dd.spark_minhash_sig_exprs())
+        .where(F.col("s0").isNotNull())
         .withColumn("g", F.count(F.lit(1)).over(w))
         .withColumn("rep", F.min("doc_id").over(w))
     )

@@ -82,7 +82,11 @@ def degenerate_sf_dir(spark, tmp_path_factory):
                 (9001, '', 'en', 'degenerate', 0),
                 (9002, 'solo', 'en', 'degenerate', 4),
                 (9003, 'two tokens', 'en', 'degenerate', 10),
-                (9004, 'two tokens', 'en', 'degenerate', 10)
+                (9004, 'two tokens', 'en', 'degenerate', 10),
+                (9005, NULL, 'en', 'degenerate', 0),
+                (9006, NULL, 'en', 'degenerate', 0),
+                (9007, NULL, 'en', 'degenerate', 0),
+                (9008, 'lone', 'en', 'degenerate', 4)
             ) t(doc_id, text, lang, source, n_chars)
         ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
         """
@@ -92,13 +96,24 @@ def degenerate_sf_dir(spark, tmp_path_factory):
 
 @pytest.mark.parametrize(
     "name",
-    ["ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_signatures", "simhash_near_dups"],
+    [
+        "ngram_jaccard_pairs",
+        "minhash_lsh_pairs",
+        "simhash_signatures",
+        "simhash_near_dups",
+        "minhash_dup_summary",
+        "simhash_dup_summary",
+    ],
 )
 def test_shingle_queries_survive_short_documents(spark, degenerate_sf_dir, name):
-    """Empty / one-token documents must neither crash the shingle
-    expressions (Spark's sequence(1,0) counts DOWN; element_at throws
-    under ANSI) nor diverge from the oracle, whose generate_series is
-    empty for the same rows."""
+    """Empty / one-token / NULL-text documents must neither crash the
+    shingle expressions (Spark's sequence(1,0) counts DOWN; element_at
+    throws under ANSI) nor diverge from the oracle, whose
+    generate_series is empty for the same rows. The NULL-text rows pin
+    the r11-advice minhash_dup_summary bug: all-NULL signatures group
+    TOGETHER under Window.partitionBy while the oracle's equi-joins
+    reject them, so without the isNotNull pre-filter the summary
+    falsely reported every degenerate doc as a near-dup (est 1.0)."""
     from big_data_data_lake_spark.testing import check_query
 
     issues = check_query(spark, name, sf_dir=degenerate_sf_dir)
