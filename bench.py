@@ -117,7 +117,8 @@ HEADLINE = [
     "doc_chunks",
     "token_entropy_by_source",
     "tfidf_cosine_pairs",
-    "fuzzy_dup_levenshtein",
+    "fuzzy_dup_summary",
+    "fuzzy_dup_lsh_summary",
     "event_type_transitions",
     "daily_anomaly_zscore",
     "mad_outlier_bounds",
@@ -230,6 +231,7 @@ REGISTRY_ONLY = {
     "file_ts_parse": "twin",  # parse/format inside hourly family
     "fingerprint_dedup": "twin",  # rolling hash inside curation e2e stage 2
     "first_match_enrichment": "twin",  # dedup_dim join inside brand_revenue shape
+    "fuzzy_dup_levenshtein": "audit",  # r12 (r11 verdict #1): raw pair dump, in-block DP count quadratic in identical-prefix cluster size (36x ratio at sf10); headline runs fuzzy_dup_summary + fuzzy_dup_lsh_summary
     "global_kpis": "twin",  # scalar KPIs inside orders_profile
     "grouped_percentiles": "twin",  # exact ntile inside grouped_value_quantiles
     "hourly_counts_gapfilled": "twin",  # sequence-fill over tumbling_hourly_counts

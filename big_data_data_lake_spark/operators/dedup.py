@@ -332,7 +332,17 @@ def simhash_combo_keys(
     64x smaller buckets (4,096x fewer in-bucket comparisons per doc
     pair budget) for 4x the explode rows. Guarded like
     simhash_chunks: the packed key must carry >= 12 bits or buckets
-    degenerate toward n^2 fan-out at corpus scale."""
+    degenerate toward n^2 fan-out at corpus scale.
+
+    The >16M-doc escalation is n_blocks=9 (6-bit blocks, C(9,3)=84
+    combos, 18-bit keys) — property-tested and pinned to the Python
+    replica at B=9 in tests/test_properties.py, A/B-executed at sf10
+    (SCALE.md r12). When ``bits % n_blocks != 0`` the top
+    ``bits - n_blocks*width`` sketch bits fall in NO block (B=9 on 62
+    bits leaves 8 uncovered); a flip there affects zero blocks, so
+    the zero-false-negative guarantee is unharmed — those bits just
+    stop contributing key entropy, and the Hamming re-check still
+    reads all 62 bits."""
     from itertools import combinations
 
     if n_blocks <= budget:

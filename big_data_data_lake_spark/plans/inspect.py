@@ -137,9 +137,11 @@ def fact_broadcast_findings_in_plan(plan: str) -> list[str]:
         end the walk before the first child and silently skip an
         unreduced fact scan directly beneath it (round-10 advice —
         false negative, the opposite failure of the child case
-        above). Anchor one level shallower instead: a marker-less
-        line can only be the root, so everything below it is its
-        subtree."""
+        above). Anchor one level shallower instead; the -1 walk then
+        terminates at the first marker-less depth-0 line (a new
+        section header / root sibling — see the r11-advice guard in
+        the walk below), not only at depth <= -1, which no tree line
+        ever reaches."""
         m = re.search(r"[+:]-", line)
         return m.start() if m else -1
 
@@ -152,6 +154,16 @@ def fact_broadcast_findings_in_plan(plan: str) -> list[str]:
         for nxt in lines[i + 1 :]:
             if not nxt.strip():
                 continue  # blank separator, not a tree node
+            has_marker = re.search(r"[+:]-", nxt) is not None
+            if d == -1 and not has_marker and depth(nxt) == 0:
+                # r11 advice: with a -1 anchor no tree depth is <= d,
+                # so without this the walk swallows everything after a
+                # root-position exchange — a later marker-less section
+                # header's unrelated Join/Aggregate would mask the
+                # finding (the same masking mode the round-9 fix
+                # closed for child positions). A marker-less depth-0
+                # line mid-plan is a section boundary, never a child.
+                break
             if depth(nxt) <= d:
                 break
             subtree.append(nxt)

@@ -55,13 +55,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # tools/parity_sf1.py always includes exactly this prefix in the sf1
 # sweep, so an off-by-one silently drops a current-round query from
 # the guaranteed set (round-8 advisory).
-N_CURRENT_ROUND = 6
+N_CURRENT_ROUND = 4
 SAMPLE_FIRST: tuple[str, ...] = (
-    # NEW or changed in round 11, enumerated first so the
+    # NEW or changed in round 12, enumerated first so the
     # prefix-biased driver sampler attests them this round; all
     # verified against the local DuckDB mirror at sf0.001+sf0.01 on
     # landing, and the full-registry sf0.01 sweep re-ran green.
-    "minhash_dup_summary",  # r11 NEW: bounded per-doc MinHash near-dup verdicts
+    "fuzzy_dup_summary",  # r12 NEW: bounded per-doc edit-distance verdicts (two-level)
+    "fuzzy_dup_lsh_summary",  # r12 NEW: LSH candidates + Levenshtein re-rank
+    "fuzzy_dup_levenshtein",  # r12: threshold-bounded DP (same values); reclassified audit
+    "minhash_dup_summary",  # r12: NULL-signature window fix (r11 advice)
+    # carried from round 11:
     "simhash_dup_summary",  # r11: combo-key candidate join (same values)
     "simhash_near_dups",  # r11: combo-key candidate join (same values)
     "decontamination_verdicts_13g",  # r11: promoted to headline (unchanged)

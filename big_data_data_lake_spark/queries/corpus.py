@@ -1417,9 +1417,19 @@ def fuzzy_dup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured at sf0.1). Pairs whose edit falls in the first 8 chars
     or whose lengths straddle a bucket boundary are missed by design
     (documented recall trade; standard blocking practice is a second
-    pass with offset keys). At 100 TB, swap the prefix key for
-    minhash LSH candidates (minhash_lsh_pairs) so edit-distance only
-    re-ranks — same plan shape, content-robust blocking."""
+    pass with offset keys).
+
+    AUDIT-CLASS (r12, r11 verdict #1): the raw O(dup-cluster k^2)
+    pair dump, and the in-block DP count is quadratic in block
+    occupancy — which identical-prefix dup clusters grow with the
+    corpus. It was the r11 sf10 sweep's worst scale ratio (36x at
+    100x data). The headline deliverables are fuzzy_dup_summary
+    (two-level prefix collapse: the DP runs across DISTINCT prefixes
+    only, per-doc O(docs) verdicts) and fuzzy_dup_lsh_summary (the
+    100 TB path this docstring used to only promise: MinHash-LSH
+    band candidates, edit distance re-ranks). This raw form stays
+    registered for correctness attestation and forensic drill-down,
+    out of the headline bench."""
     docs = _t(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
@@ -1434,16 +1444,293 @@ def fuzzy_dup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = d.select(
         F.col("doc_id").alias("d2"), "lang", "blk", "p8", F.col("p").alias("p2")
     )
+    # threshold-bounded levenshtein (Spark 3.5+): the DP abandons a row
+    # once every cell exceeds the budget, O(len*k) not O(len^2), and
+    # returns -1 past the budget — kept pairs carry the true distance,
+    # so oracle values are unchanged.
+    dist = F.levenshtein("p1", "p2", LEV_THRESHOLD).cast("int")
     return (
         a.join(b, ["lang", "blk", "p8"])
         .filter(F.col("d1") < F.col("d2"))
-        .select(
-            "d1",
-            "d2",
-            F.levenshtein("p1", "p2").cast("int").alias("edit_dist"),
-        )
-        .filter(F.col("edit_dist") <= LEV_THRESHOLD)
+        .select("d1", "d2", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist").between(0, LEV_THRESHOLD))
         .orderBy("d1", "d2")
+    )
+
+
+FUZZY_DUP_SUMMARY_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, lang, n_chars // {LEV_BUCKET} AS blk,
+           left(text, {LEV_BLOCK_PREFIX}) AS p8,
+           left(text, {LEV_PREFIX}) AS p
+    FROM documents
+),
+pairs AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(levenshtein(a.p, b.p) AS INTEGER) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.blk = b.blk AND a.p8 = b.p8
+         AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.p, b.p) <= {LEV_THRESHOLD}
+),
+sym AS (
+    SELECT d1 AS doc_id, edit_dist FROM pairs
+    UNION ALL
+    SELECT d2 AS doc_id, edit_dist FROM pairs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_fuzzy_dups,
+       CAST(min(edit_dist) AS INT) AS min_edit_dist
+FROM sym
+GROUP BY doc_id
+"""
+
+
+@register("fuzzy_dup_summary", FUZZY_DUP_SUMMARY_ORACLE)
+def fuzzy_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document edit-distance fuzzy-dup verdict — the bounded
+    deliverable replacing fuzzy_dup_levenshtein's raw pair dump in the
+    headline bench (r11 verdict #1, the same treatment simhash/minhash
+    got in r9-r11): for every document with at least one in-block
+    neighbor at prefix edit distance <= 30, its fuzzy-dup degree and
+    closest distance. Output is O(docs), not O(sum over dup clusters
+    of k^2).
+
+    TWO-LEVEL PLAN (exact — same answer as the all-pairs oracle): in a
+    ~4x-duplicated corpus almost all of the raw form's cost is DPs
+    between documents whose 120-char prefixes are IDENTICAL — edit
+    distance 0 by closed form, not a DP. (1) One window over
+    (lang, blk, p) gives every doc its identical-prefix group size g
+    and representative (the block keys lang/blk must join the grouping
+    key: same-prefix docs in different length buckets are NOT
+    candidates in the oracle); (2) the blocked self-join + banded DP
+    (threshold-bounded levenshtein, O(len*k) per pair) runs over
+    DISTINCT prefixes only, so block occupancy — and the DP count — no
+    longer grows with the duplication rate; (3) each doc expands to
+    degree = (g-1) + sum of neighboring groups' sizes, min_edit = 0 if
+    g>1 else min rep-pair distance. Degenerate docs (NULL text/lang/
+    n_chars) are filtered before the window: the oracle's equi-join
+    rejects NULL keys while Window.partitionBy groups NULLs together
+    (the minhash_dup_summary r11-advice bug class).
+
+    At 100 TB: the same recall trade as fuzzy_dup_levenshtein (the
+    8-char prefix block misses edits in the first 8 chars); the
+    content-robust production path is fuzzy_dup_lsh_summary, which
+    sources candidates from MinHash LSH bands instead."""
+    from pyspark.sql import Window
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / LEV_BUCKET).cast("bigint").alias("blk"),
+        F.substring("text", 1, LEV_BLOCK_PREFIX).alias("p8"),
+        F.substring("text", 1, LEV_PREFIX).alias("p"),
+    ).where(
+        F.col("lang").isNotNull()
+        & F.col("blk").isNotNull()
+        & F.col("p").isNotNull()
+    )
+    w = Window.partitionBy("lang", "blk", "p")
+    dw = scoped_persist(
+        d.withColumn("g", F.count(F.lit(1)).over(w)).withColumn(
+            "rep", F.min("doc_id").over(w)
+        )
+    )
+    reps = dw.where(F.col("doc_id") == F.col("rep"))
+    a = reps.select(
+        F.col("rep").alias("r1"), "lang", "blk", "p8",
+        F.col("p").alias("p1"), F.col("g").alias("g1"),
+    )
+    b = reps.select(
+        F.col("rep").alias("r2"), "lang", "blk", "p8",
+        F.col("p").alias("p2"), F.col("g").alias("g2"),
+    )
+    dist = F.levenshtein("p1", "p2", LEV_THRESHOLD).cast("int")
+    rep_pairs = (
+        a.join(b, ["lang", "blk", "p8"])
+        .where(F.col("r1") < F.col("r2"))
+        .select("r1", "r2", "g1", "g2", dist.alias("edit_dist"))
+        .where(F.col("edit_dist").between(0, LEV_THRESHOLD))
+    )
+    # symmetrize in ONE pass (explode-array; a unionAll of two selects
+    # would run the whole blocked-join lineage twice — the r10 lesson)
+    sym = rep_pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("r1").alias("rep"),
+                    F.col("g2").alias("g_other"),
+                    F.col("edit_dist"),
+                ),
+                F.struct(
+                    F.col("r2").alias("rep"),
+                    F.col("g1").alias("g_other"),
+                    F.col("edit_dist"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.rep", "e.g_other", "e.edit_dist")
+    cross = sym.groupBy("rep").agg(
+        F.sum("g_other").alias("cross_deg"),
+        F.min("edit_dist").alias("cross_min"),
+    )
+    n = (F.col("g") - 1 + F.coalesce(F.col("cross_deg"), F.lit(0))).cast(
+        "bigint"
+    )
+    min_e = (
+        F.when(F.col("g") > 1, F.lit(0)).otherwise(F.col("cross_min"))
+    ).cast("int")
+    return (
+        dw.select("doc_id", "g", "rep")
+        .join(cross, "rep", "left")
+        .where(n >= 1)
+        .select(
+            "doc_id",
+            n.alias("n_fuzzy_dups"),
+            min_e.alias("min_edit_dist"),
+        )
+    )
+
+
+FUZZY_LSH_SUMMARY_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {dd.TOKEN_HASHES_SQL.format(text="text")} AS th FROM documents),
+hsh AS (SELECT doc_id, {dd.shingle_hashes_sql(2)} AS hs FROM tok),
+sig AS (SELECT doc_id,
+           {dd.minhash_sig_sql_columns()}
+        FROM hsh),
+bands AS (
+    {dd.minhash_bands_sql()}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+pre AS (SELECT doc_id, left(text, {LEV_PREFIX}) AS p FROM documents),
+pairs AS (
+    SELECT d1, d2, CAST(levenshtein(x.p, y.p) AS INTEGER) AS edit_dist
+    FROM cand
+    JOIN pre x ON cand.d1 = x.doc_id
+    JOIN pre y ON cand.d2 = y.doc_id
+    WHERE levenshtein(x.p, y.p) <= {LEV_THRESHOLD}
+),
+sym AS (
+    SELECT d1 AS doc_id, edit_dist FROM pairs
+    UNION ALL
+    SELECT d2 AS doc_id, edit_dist FROM pairs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_fuzzy_dups,
+       CAST(min(edit_dist) AS INT) AS min_edit_dist
+FROM sym
+GROUP BY doc_id
+"""
+
+
+@register("fuzzy_dup_lsh_summary", FUZZY_LSH_SUMMARY_ORACLE)
+def fuzzy_dup_lsh_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-robust fuzzy-dup verdicts: MinHash-LSH band collisions
+    supply the candidates, threshold-bounded Levenshtein on the
+    120-char prefixes only RE-RANKS them — the 100 TB recipe
+    fuzzy_dup_levenshtein's docstring promised (r11 verdict #1
+    stretch), now executable. Versus the (lang, length-bucket, 8-char
+    prefix) blocking it has no first-8-chars or bucket-boundary blind
+    spot: a candidate only needs one of 16 band collisions, which
+    token-level edits rarely erase.
+
+    TWO-LEVEL PLAN (exact): docs group by (s0..s31, p) — candidacy is
+    a function of the signature alone, the re-rank distance of the
+    prefix alone, so both are group-constant and rep-level results
+    expand losslessly (in-group pairs: identical sigs collide in all
+    16 bands, distance 0). The banded candidate join runs over
+    distinct-signature reps exactly like minhash_dup_summary; the DP
+    count is bounded by the band-collision volume, not block
+    occupancy. Degenerate docs (<2 tokens) sketch to all-NULL
+    signatures and are filtered before the window: concat_ws skips
+    NULLs so their Spark-side band key would be '' and self-collide,
+    while the oracle's `||` concatenation yields NULL and never joins
+    (same bug class as the r11-advice minhash_dup_summary fix)."""
+    from pyspark.sql import Window
+
+    # One scan carries BOTH the prefix and the sketch lineage — a join
+    # back to documents for the prefix would broadcast (or worse,
+    # shuffle) the fact table; the prefix is a row-local projection of
+    # the same row, so it rides along for free (plan-linted).
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    hs = docs.selectExpr(
+        "doc_id",
+        f"substring(text, 1, {LEV_PREFIX}) AS p",
+        dd.spark_token_hashes_expr() + " AS th",
+    ).selectExpr("doc_id", "p", dd.spark_shingle_hashes_expr(2) + " AS hs")
+    sig_cols = [f"s{k}" for k in range(dd.N_MINHASH)]
+    w = Window.partitionBy(*sig_cols, "p")
+    dw = scoped_persist(
+        hs.selectExpr("doc_id", "p", *dd.spark_minhash_sig_exprs())
+        .where(F.col("s0").isNotNull())
+        .withColumn("g", F.count(F.lit(1)).over(w))
+        .withColumn("rep", F.min("doc_id").over(w))
+    )
+    reps = dw.where(F.col("doc_id") == F.col("rep"))
+    bands = reps.select("rep", F.explode(dd.minhash_bands()).alias("bk")).select(
+        "rep", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    a = bands.select(F.col("rep").alias("r1"), "band", "bkey")
+    b = bands.select(F.col("rep").alias("r2"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("r1") < F.col("r2"))
+        .select("r1", "r2")
+        .dropDuplicates(["r1", "r2"])
+    )
+    x = reps.select(
+        F.col("rep").alias("r1"), F.col("g").alias("g1"), F.col("p").alias("p1")
+    )
+    y = reps.select(
+        F.col("rep").alias("r2"), F.col("g").alias("g2"), F.col("p").alias("p2")
+    )
+    dist = F.levenshtein("p1", "p2", LEV_THRESHOLD).cast("int")
+    rep_pairs = (
+        cand.join(x, "r1")
+        .join(y, "r2")
+        .select("r1", "r2", "g1", "g2", dist.alias("edit_dist"))
+        .where(F.col("edit_dist").between(0, LEV_THRESHOLD))
+    )
+    sym = rep_pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("r1").alias("rep"),
+                    F.col("g2").alias("g_other"),
+                    F.col("edit_dist"),
+                ),
+                F.struct(
+                    F.col("r2").alias("rep"),
+                    F.col("g1").alias("g_other"),
+                    F.col("edit_dist"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.rep", "e.g_other", "e.edit_dist")
+    cross = sym.groupBy("rep").agg(
+        F.sum("g_other").alias("cross_deg"),
+        F.min("edit_dist").alias("cross_min"),
+    )
+    n = (F.col("g") - 1 + F.coalesce(F.col("cross_deg"), F.lit(0))).cast(
+        "bigint"
+    )
+    min_e = (
+        F.when(F.col("g") > 1, F.lit(0)).otherwise(F.col("cross_min"))
+    ).cast("int")
+    return (
+        dw.select("doc_id", "g", "rep")
+        .join(cross, "rep", "left")
+        .where(n >= 1)
+        .select(
+            "doc_id",
+            n.alias("n_fuzzy_dups"),
+            min_e.alias("min_edit_dist"),
+        )
     )
 
 

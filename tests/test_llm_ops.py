@@ -103,6 +103,8 @@ def degenerate_sf_dir(spark, tmp_path_factory):
         "simhash_near_dups",
         "minhash_dup_summary",
         "simhash_dup_summary",
+        "fuzzy_dup_summary",
+        "fuzzy_dup_lsh_summary",
     ],
 )
 def test_shingle_queries_survive_short_documents(spark, degenerate_sf_dir, name):

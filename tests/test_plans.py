@@ -69,6 +69,22 @@ def test_fact_broadcast_lint_sees_root_position_exchange():
     )
     assert fact_broadcast_findings_in_plan(masked_sibling) == ["lineitem"]
 
+    # r11 advice: a ROOT-position exchange anchors at -1, which no
+    # tree depth ever reaches, so the walk used to swallow the whole
+    # remaining plan — a later marker-less section header whose body
+    # holds an unrelated Join/Aggregate masked the finding. The walk
+    # must stop at the section boundary.
+    masked_after_root = "\n".join(
+        [
+            "BroadcastExchange HashedRelationBroadcastMode(List(input[0]))",
+            "+- Project [l_orderkey#1L]",
+            "   +- Scan parquet [l_orderkey#1L] Location: file:/d/lineitem.parquet",
+            "SubPlan outside the exchange",
+            "+- HashAggregate(keys=[x#2], functions=[count(1)])",
+        ]
+    )
+    assert fact_broadcast_findings_in_plan(masked_after_root) == ["lineitem"]
+
 
 def test_enrichment_join_broadcasts_dimension(spark):
     """J1: fact × dim must be a broadcast join — a shuffle join here

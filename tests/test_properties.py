@@ -110,9 +110,12 @@ def test_ppm_roundtrip_property(w, h, rnd):
     assert np.array_equal(mm.decode_ppm(mm.encode_ppm(img)), img)
 
 
-def test_simhash_chunks_guards_narrow_slots():
+def test_simhash_chunks_guards_narrow_slots(spark):
     """ADVICE r2: sub-8-bit chunk slots degenerate the candidate join
-    toward n² — the helper must refuse them loudly."""
+    toward n² — the helper must refuse them loudly. The spark fixture
+    is requested even though the Column is never evaluated: F.lit
+    asserts on an active SparkContext at CONSTRUCTION time, so without
+    it the test fails when selected in isolation (r11 advice)."""
     import pytest
     from pyspark.sql import functions as F
 
@@ -125,10 +128,11 @@ def test_simhash_chunks_guards_narrow_slots():
     assert dd.N_SIMHASH_CHUNKS > dd.SIMHASH_HAMMING_BUDGET
 
 
-def test_simhash_combo_keys_guards():
+def test_simhash_combo_keys_guards(spark):
     """r11 (r10 verdict #3): the combination-banding helper must
     refuse configs that break the pigeonhole guarantee or degenerate
-    bucket fan-out, same posture as simhash_chunks."""
+    bucket fan-out, same posture as simhash_chunks. spark fixture for
+    the same isolation reason as the chunks test (r11 advice)."""
     import pytest
     from pyspark.sql import functions as F
 
@@ -145,9 +149,10 @@ def test_simhash_combo_keys_guards():
     assert width * (dd.N_SIMHASH_BLOCKS - dd.SIMHASH_HAMMING_BUDGET) >= 12
 
 
+@pytest.mark.parametrize("m", [8, 9])
 @settings(max_examples=30, deadline=None)
 @given(st.randoms())
-def test_simhash_combo_keys_pigeonhole_property(rnd):
+def test_simhash_combo_keys_pigeonhole_property(m, rnd):
     """Zero-false-negative property of combination banding, checked
     against the arithmetic the Column expressions implement: flip up
     to SIMHASH_HAMMING_BUDGET random bits of a random 62-bit sketch;
@@ -155,16 +160,21 @@ def test_simhash_combo_keys_pigeonhole_property(rnd):
     (combo_idx, packed_value) key. Pure-Python replica of the bit
     slicing in dedup.simhash_combo_keys (same width/mask/pack order),
     so the property covers the production geometry without a Spark
-    session."""
+    session. Parameterized over B=8 (production default) AND B=9 (the
+    documented >16M-doc escalation: 6-bit blocks, C(9,3)=84 combos,
+    18-bit keys — r12, r11 verdict #5). At B=9 the top 62-9*6=8
+    sketch bits fall in NO block; flips there affect zero blocks, so
+    the guarantee still holds — which this property genuinely
+    exercises because flip positions range over all 62 bits."""
     from itertools import combinations
 
     from big_data_data_lake_spark.operators import dedup as dd
 
-    bits, m, budget = (
-        dd.N_SIMHASH_BITS,
-        dd.N_SIMHASH_BLOCKS,
-        dd.SIMHASH_HAMMING_BUDGET,
-    )
+    bits, budget = dd.N_SIMHASH_BITS, dd.SIMHASH_HAMMING_BUDGET
+    if m == dd.N_SIMHASH_BLOCKS + 1:
+        # keep the escalation case honest: it must satisfy the same
+        # guards production configs do
+        assert m > budget and (bits // m) * (m - budget) >= 12
     width = bits // m
     csize = m - budget
     mask = (1 << width) - 1
@@ -186,22 +196,20 @@ def test_simhash_combo_keys_pigeonhole_property(rnd):
     assert keys(h) & keys(flipped), "pigeonhole guarantee violated"
 
 
-def test_simhash_combo_keys_column_matches_python_replica(spark):
+@pytest.mark.parametrize("m", [8, 9])
+def test_simhash_combo_keys_column_matches_python_replica(spark, m):
     """Pins the Column expression in dedup.simhash_combo_keys to the
     pure-Python replica the pigeonhole property test exercises — the
     property covers the real production arithmetic only if the two
-    agree bit-for-bit (shift/mask/pack order)."""
+    agree bit-for-bit (shift/mask/pack order). Covers B=8 (production)
+    and B=9 (the >16M-doc escalation config, r11 verdict #5)."""
     from itertools import combinations
 
     from pyspark.sql import functions as F
 
     from big_data_data_lake_spark.operators import dedup as dd
 
-    bits, m, budget = (
-        dd.N_SIMHASH_BITS,
-        dd.N_SIMHASH_BLOCKS,
-        dd.SIMHASH_HAMMING_BUDGET,
-    )
+    bits, budget = dd.N_SIMHASH_BITS, dd.SIMHASH_HAMMING_BUDGET
     width, csize, mask = bits // m, m - budget, (1 << (bits // m)) - 1
     samples = [0, 1, (1 << bits) - 1, 0x2D2816FE1D4F3A5B & ((1 << bits) - 1)]
 
@@ -217,7 +225,7 @@ def test_simhash_combo_keys_column_matches_python_replica(spark):
 
     df = spark.createDataFrame([(h,) for h in samples], "h long")
     rows = df.select(
-        "h", dd.simhash_combo_keys(F.col("h")).alias("ks")
+        "h", dd.simhash_combo_keys(F.col("h"), n_blocks=m).alias("ks")
     ).collect()
     for r in rows:
         got = [(e["ki"], e["kv"]) for e in r["ks"]]
