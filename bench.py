@@ -300,6 +300,57 @@ def _auto_shuffle_partitions(sf_dir: str, cpus: int) -> int:
     return cpus * waves
 
 
+# Host-speed canary (r11, extending r10 verdict #4): three fixed-work
+# microbenchmarks whose PLANS never change round-over-round — codegen'd
+# CPU sum, a hash-aggregate shuffle, an Arrow/Python round trip. The
+# canary ratio between two records measures the HOST, not the code:
+# when every query moves together with the canary, the drift is ambient
+# (this box swings up to ~1.4x between days); a query that moves
+# WITHOUT the canary moved because of its plan. SAME-TIER comparisons
+# only: the shuffle leg runs under the tier's shuffle-partition count
+# (r11 records: 0.48 s at sf0.1/32 partitions vs 1.25 s at sf1/128 —
+# config, not host), so never read a cross-tier canary diff as host
+# drift. Module-level since r12 so the sf10 sweep and replay tools
+# stamp their records with the SAME fixed work (r11 verdict #2).
+def host_canary(spark) -> dict[str, float]:
+    def timed(run) -> float:
+        xs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            xs.append(time.perf_counter() - t0)
+        return round(statistics.median(xs), 3)
+
+    def _noop_pd(batches):
+        yield from batches
+
+    return {
+        "cpu": timed(
+            lambda: spark.range(200_000_000)
+            .selectExpr("sum(id * 2 + 1) s")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        ),
+        "shuffle": timed(
+            lambda: spark.range(20_000_000)
+            .selectExpr("id % 997 AS k", "id AS v")
+            .groupBy("k")
+            .sum("v")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        ),
+        "arrow": timed(
+            lambda: spark.range(2_000_000)
+            .mapInPandas(_noop_pd, schema="id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -336,57 +387,7 @@ def main() -> None:
         _noop_batches, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Host-speed canary (r11, extending r10 verdict #4): three
-    # fixed-work microbenchmarks whose PLANS never change
-    # round-over-round — codegen'd CPU sum, a hash-aggregate shuffle,
-    # an Arrow/Python round trip. The canary ratio between two
-    # records measures the HOST, not the code: when every query
-    # moves together with the canary, the drift is ambient (this box
-    # swings up to ~1.4x between days); a query that moves WITHOUT
-    # the canary moved because of its plan. SAME-TIER comparisons
-    # only: the shuffle leg runs under the tier's shuffle-partition
-    # count (r11 records: 0.48 s at sf0.1/32 partitions vs 1.25 s at
-    # sf1/128 — config, not host), so never read a cross-tier canary
-    # diff as host drift.
-    def _canary() -> dict[str, float]:
-        def timed(run) -> float:
-            xs = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                run()
-                xs.append(time.perf_counter() - t0)
-            return round(statistics.median(xs), 3)
-
-        def _noop_pd(batches):
-            yield from batches
-
-        return {
-            "cpu": timed(
-                lambda: spark.range(200_000_000)
-                .selectExpr("sum(id * 2 + 1) s")
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-            ),
-            "shuffle": timed(
-                lambda: spark.range(20_000_000)
-                .selectExpr("id % 997 AS k", "id AS v")
-                .groupBy("k")
-                .sum("v")
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-            ),
-            "arrow": timed(
-                lambda: spark.range(2_000_000)
-                .mapInPandas(_noop_pd, schema="id long")
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-            ),
-        }
-
-    canary = _canary()
+    canary = host_canary(spark)
 
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     timings: dict[str, float] = {}

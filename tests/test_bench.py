@@ -113,3 +113,47 @@ def test_latest_bench_records_cover_headline_exactly():
         extra = got - set(HEADLINE)
         assert not missing, f"{path} missing headline queries: {missing}"
         assert not extra, f"{path} has non-headline queries: {extra}"
+
+
+def test_bench_multi_selection_rule_is_deterministic():
+    """r11 verdict #3: the committed bench record's run-selection rule
+    must be pinned and mechanical. Odd N -> median-by-value run; even
+    N -> the calmer (lower-canary) of the two middle runs. Indexes are
+    EXECUTION order, so the record points at a real run."""
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_multi", os.path.join(root, "tools", "bench_multi.py")
+    )
+    bm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bm)
+
+    def run(value, canary):
+        return {"value": value, "canary": {"cpu": canary}}
+
+    # odd: median by value regardless of order
+    assert bm.select([run(210.4, 1.0), run(171.1, 0.9), run(199.2, 1.4)]) == 2
+    # the r11 manual pick (171.1, the calm best-of-three) would have
+    # been index 1 — the pinned rule picks the MEDIAN run instead
+    assert bm.select([run(199.2, 1.4), run(210.4, 1.5), run(171.1, 0.9)]) == 0
+    # even: of the two middle runs (here all-but-extremes), lower canary
+    assert bm.select([run(100.0, 2.0), run(101.0, 1.0)]) == 1
+    assert (
+        bm.select([run(90.0, 0.5), run(100.0, 2.0), run(101.0, 1.0), run(150.0, 3.0)])
+        == 2
+    )
+
+
+def test_host_canary_shape():
+    """The sweep/replay tools stamp records with bench.host_canary —
+    its keys are load-bearing for cross-round drift triage."""
+    from bench import host_canary
+
+    assert callable(host_canary)
+    # keys pinned: records compare canaries component-wise across rounds
+    import inspect
+
+    src = inspect.getsource(host_canary)
+    for leg in ('"cpu"', '"shuffle"', '"arrow"'):
+        assert leg in src
