@@ -1547,7 +1547,13 @@ def fuzzy_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("p2"), F.col("g").alias("g2"),
     )
     dist = F.levenshtein("p1", "p2", LEV_THRESHOLD).cast("int")
-    rep_pairs = (
+    # persist BEFORE the explode: projection collapse would inline the
+    # edit_dist expression into the filter AND both explode branches,
+    # re-running the (expensive) DP ~3x per surviving pair — the same
+    # explode-reevaluation class SCALE.md r8 documents; cheap-column
+    # twins (minhash est = 32 comparisons) tolerate it, a Levenshtein
+    # DP does not. Survivor set is bounded by candidate volume.
+    rep_pairs = scoped_persist(
         a.join(b, ["lang", "blk", "p8"])
         .where(F.col("r1") < F.col("r2"))
         .select("r1", "r2", "g1", "g2", dist.alias("edit_dist"))
@@ -1658,11 +1664,20 @@ def fuzzy_dup_lsh_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle) the fact table; the prefix is a row-local projection of
     # the same row, so it rides along for free (plan-linted).
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    hs = docs.selectExpr(
-        "doc_id",
-        f"substring(text, 1, {LEV_PREFIX}) AS p",
-        dd.spark_token_hashes_expr() + " AS th",
-    ).selectExpr("doc_id", "p", dd.spark_shingle_hashes_expr(2) + " AS hs")
+    # persist the shingle frame BEFORE the 32 sig exprs: without this
+    # cache barrier CollapseProject inlines the whole token+shingle
+    # fold into EVERY sig expression (32x the fold per row — measured
+    # 36.5 s for this frame alone at sf0.1 vs ~3 s persisted). Same
+    # reason llm_ops._shingle_hashes persists; re-built here rather
+    # than reused so the prefix rides the SAME scan (no join back to
+    # the fact table for p).
+    hs = scoped_persist(
+        docs.selectExpr(
+            "doc_id",
+            f"substring(text, 1, {LEV_PREFIX}) AS p",
+            dd.spark_token_hashes_expr() + " AS th",
+        ).selectExpr("doc_id", "p", dd.spark_shingle_hashes_expr(2) + " AS hs")
+    )
     sig_cols = [f"s{k}" for k in range(dd.N_MINHASH)]
     w = Window.partitionBy(*sig_cols, "p")
     dw = scoped_persist(
@@ -1690,7 +1705,11 @@ def fuzzy_dup_lsh_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rep").alias("r2"), F.col("g").alias("g2"), F.col("p").alias("p2")
     )
     dist = F.levenshtein("p1", "p2", LEV_THRESHOLD).cast("int")
-    rep_pairs = (
+    # persist BEFORE the explode (see fuzzy_dup_summary): without it
+    # the DP re-runs ~3x per pair via filter + explode projection
+    # collapse — measured 39 -> 13 s at sf0.1 on the 198k band-FP
+    # candidate volume.
+    rep_pairs = scoped_persist(
         cand.join(x, "r1")
         .join(y, "r2")
         .select("r1", "r2", "g1", "g2", dist.alias("edit_dist"))
