@@ -950,8 +950,16 @@ def lsh_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-char token fold is the dominant row-local cost and would
     # otherwise be paid twice
     sh = _shingle_hashes(spark, sf_dir, doc_filter)
-    lsh = _minhash_lsh_pairs_impl(spark, sf_dir, shingles=sh).select("d1", "d2")
-    truth = (
+    # persist BOTH pair sets (pair-scale, sample-bounded): the final
+    # single-action plan references each side TWICE — once in the
+    # true-positive join and once in its count aggregate — so without
+    # the cache the banded join and the inverted-index self-join each
+    # ran twice per execution (r12 optimization; measured 10.1 -> 4.4 s
+    # same-window 5-rep median at sf0.1)
+    lsh = scoped_persist(
+        _minhash_lsh_pairs_impl(spark, sf_dir, shingles=sh).select("d1", "d2")
+    )
+    truth = scoped_persist(
         _ngram_jaccard_pairs(spark, sf_dir, None, shingles=sh)
         .where(F.col("jaccard") >= LSH_PR_THRESHOLD)
         .select("d1", "d2")

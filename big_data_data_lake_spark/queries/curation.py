@@ -2030,28 +2030,42 @@ def excision_rewrite_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum pattern, applied to span excision). Documents excised to
     nothing disappear, exactly like their text would.
 
-    Scale shape: covered positions come from exploding
-    ``sequence(s, e)`` per merged span — output size equals the
-    duplicated-token count, and merged spans are disjoint by
-    construction, so no DISTINCT is needed; survival is one LEFT ANTI
-    equi-join on (doc_id, position) between the token stream and the
-    covered set — linear, shuffle keyed on the document id. Integer
-    arithmetic end to end (checksum mod 2^31-1 over 31-bit token
-    hashes: per-doc sums stay far under int64)."""
+    Scale shape (r12 optimization, guide §8): the merged spans
+    collapse to one per-doc span ARRAY — metadata-scale, broadcast
+    onto the token-hash scan — and survival is a row-local
+    higher-order ``filter`` over the token-hash array (position i+1
+    survives iff no span covers it), so the manifest needs ZERO
+    token-level shuffles. The previous form posexploded every token
+    of every document and anti-joined on (doc_id, position) against
+    the exploded covered set — two corpus-token-scale exchanges
+    (15-Exchange plan) doing what a per-row lambda decides in place.
+    Docs excised to nothing (or with no tokens) yield an empty kept
+    array and are dropped, exactly like their groupBy rows vanished
+    before. Integer arithmetic end to end (checksum mod 2^31-1 over
+    31-bit token hashes: per-doc sums stay far under int64)."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     spans = _excision_spans(spark, sf_dir)
-    cov = spans.select(
-        "doc_id", F.explode(F.sequence("s", "e")).alias("p")
+    span_arrays = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("sp")
     )
-    tokp = (
+    kept = (
         docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
-        .select("doc_id", F.posexplode("th").alias("p0", "h"))
-        .select("doc_id", (F.col("p0") + 1).alias("p"), "h")
+        .join(span_arrays, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "filter(th, (h, i) -> sp IS NULL OR "
+                "NOT exists(sp, r -> i + 1 >= r.s AND i + 1 <= r.e))"
+            ).alias("kept"),
+        )
     )
-    kept = tokp.join(cov, ["doc_id", "p"], "left_anti")
-    return kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("kept_tokens"),
-        (F.sum("h") % F.lit(tx.FINGERPRINT_MOD))
+    return kept.where(F.size("kept") > 0).select(
+        "doc_id",
+        F.size("kept").cast("bigint").alias("kept_tokens"),
+        (
+            F.expr("aggregate(kept, 0L, (acc, h) -> acc + h)")
+            % F.lit(tx.FINGERPRINT_MOD)
+        )
         .cast("bigint")
         .alias("kept_checksum"),
     )
@@ -2102,35 +2116,69 @@ def _excision_lake_changes(spark: SparkSession, sf_dir: str, docs: DataFrame):
     """(upserts, gone) for the ExactSubstr rewrite: the surviving-text
     rows to copy-on-write upsert and the fully-excised ids to delete.
     Shared by the from-parquet rewrite and the pre-staged incremental
-    twin so both commit the SAME change set."""
+    twin so both commit the SAME change set.
+
+    Shape (r12 optimization, guide §8 "decide with small rows, move
+    big rows once"): the merged spans collapse to ONE per-doc span
+    ARRAY — a metadata-scale decision table (|affected docs| rows,
+    a handful of (s, e) structs each) that broadcast-joins onto the
+    documents scan; surviving text is then a row-local higher-order
+    ``filter`` over ``split(text)`` (token at 1-based position i+1
+    survives iff no merged span covers it — order preserved by
+    construction, no regroup). The previous form posexploded EVERY
+    token of EVERY document, anti-joined on (doc_id, p) against the
+    exploded covered positions, and re-assembled text via
+    collect_list + array_sort — three corpus-token-scale shuffles to
+    rewrite the few span-affected docs (measured 29-Exchange plan,
+    5.6 s per materialization at sf0.1). The change frame is
+    persisted because the lake commit reads it FOUR times (upsert
+    zone-map bounds, upsert rewrite, delete file probe, delete
+    rewrite) — unpersisted, the whole span pipeline re-ran per
+    action (measured 18.3 s for excision_rewrite_to_lake vs 5.6 s
+    for one materialization). Values are bit-identical to the old
+    form (asserted against it at sf0.001/sf0.01 row-for-row, plus
+    the unchanged DuckDB oracle)."""
     spans = _excision_spans(spark, sf_dir)
-    cov = spans.select("doc_id", F.explode(F.sequence("s", "e")).alias("p"))
-    tokp = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
-    kept = tokp.join(cov, ["doc_id", "p"], "left_anti")
-    new_text = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                lambda x: x["tok"],
-            ),
-            " ",
-        ).alias("new_text")
-    )
-    affected = scoped_persist(spans.select("doc_id").distinct())
-    upserts = (
-        affected.join(new_text, "doc_id")
-        .join(docs.select("doc_id", "lang", "source"), "doc_id")
-        .select(
-            "doc_id",
-            F.col("new_text").alias("text"),
-            "lang",
-            "source",
-            F.length("new_text").cast("long").alias("n_chars"),
+    span_arrays = scoped_persist(
+        spans.groupBy("doc_id").agg(
+            F.collect_list(F.struct("s", "e")).alias("sp")
         )
     )
-    gone = affected.join(new_text, "doc_id", "left_anti")
+    # the inner join IS the affected-doc filter: only docs with at
+    # least one merged span carry a row; exists() over the (order-
+    # insensitive) span array decides each token position row-locally
+    chg = scoped_persist(
+        docs.select("doc_id", "text", "lang", "source")
+        .join(span_arrays, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.expr(
+                "filter(split(text, ' '), (x, i) -> "
+                "NOT exists(sp, r -> i + 1 >= r.s AND i + 1 <= r.e))"
+            ).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size("kept").alias("n_kept"),
+            F.array_join("kept", " ").alias("new_text"),
+        )
+    )
+    upserts = chg.where(F.col("n_kept") > 0).select(
+        "doc_id",
+        F.col("new_text").alias("text"),
+        "lang",
+        "source",
+        F.length("new_text").cast("long").alias("n_chars"),
+    )
+    # n_kept <= 0 (not == 0) so a hypothetical NULL text row (size =
+    # -1) would land in gone, matching the old regroup form where it
+    # produced no kept rows; in practice NULL-text docs can never be
+    # span-affected (NULL token hashes explode to nothing)
+    gone = chg.where(F.col("n_kept") <= 0).select("doc_id")
     return upserts, gone
 
 
@@ -2254,60 +2302,59 @@ def excision_rewrite_to_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _excision_lake_accounting(lake):
     """Per-source accounting computed FROM THE LAKE (v0 via time
     travel vs the latest version), collected so the caller can drop
-    the scratch table before returning. LEFT joins + coalesce from the
-    v0-side aggregate: a source whose docs are ALL fully excised has
-    no rows in the latest version, so an inner join would silently
-    drop its accounting row while the oracle (LEFT JOIN from the raw
-    corpus) still emits it with docs_deleted = docs_before and
-    tokens_after = 0 (r7 ADVICE, medium)."""
-    before = lake.read(0)
-    after = lake.read()
-    ntok = F.size(F.split(F.col("text"), " ")).cast("long")
-    b = before.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("docs_before"),
-        F.sum(ntok).cast("bigint").alias("tokens_before"),
+    the scratch table before returning. LEFT join + coalesce from the
+    v0 side: a source whose docs are ALL fully excised has no rows in
+    the latest version, so an inner join would silently drop its
+    accounting row while the oracle (LEFT JOIN from the raw corpus)
+    still emits it with docs_deleted = docs_before and
+    tokens_after = 0 (r7 ADVICE, medium).
+
+    Shape (r12 optimization, guide §2.3 "project before the
+    exchange"): each version is scanned ONCE, projected immediately
+    to per-doc metadata (doc_id, source, token count, char length) —
+    the text column never crosses an exchange and is decoded once per
+    version instead of the previous form's three scans + full-text
+    doc_id join (the join shuffled every document's text twice just
+    to test t1 != t0). All five report columns come from the single
+    metadata join: ``docs_rewritten`` detects change via
+    length(t1) != length(t0), exact under the excision commit's
+    invariant that a rewritten document's text STRICTLY SHRINKS
+    (every merged span removes >= SPAN_N tokens, and removing even an
+    empty token removes its separator space — this helper is private
+    to the two excision rewrite queries, whose upserts satisfy that
+    by construction)."""
+    meta0 = lake.read(0).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("nt0"),
+        F.length("text").alias("len0"),
     )
-    a = after.groupBy("source").agg(
-        F.sum(ntok).cast("bigint").alias("tokens_after")
+    meta1 = lake.read().select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("nt1"),
+        F.length("text").alias("len1"),
     )
-    chg = (
-        before.select("doc_id", "source", F.col("text").alias("t0"))
-        .join(
-            after.select("doc_id", F.col("text").alias("t1")),
-            "doc_id",
-            "left",
-        )
+    out = (
+        meta0.join(meta1, "doc_id", "left")
         .groupBy("source")
         .agg(
-            F.sum(F.when(F.col("t1").isNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("docs_deleted"),
+            F.count(F.lit(1)).cast("bigint").alias("docs_before"),
             F.sum(
                 F.when(
-                    F.col("t1").isNotNull() & (F.col("t1") != F.col("t0")),
+                    F.col("len1").isNotNull()
+                    & (F.col("len1") != F.col("len0")),
                     1,
                 ).otherwise(0)
             )
             .cast("bigint")
             .alias("docs_rewritten"),
-        )
-    )
-    out = (
-        b.join(chg, "source", "left")
-        .join(a, "source", "left")
-        .select(
-            "source",
-            "docs_before",
-            F.coalesce("docs_rewritten", F.lit(0)).cast("bigint").alias(
-                "docs_rewritten"
-            ),
-            F.coalesce("docs_deleted", F.lit(0)).cast("bigint").alias(
-                "docs_deleted"
-            ),
-            "tokens_before",
-            F.coalesce("tokens_after", F.lit(0)).cast("bigint").alias(
-                "tokens_after"
-            ),
+            F.sum(F.when(F.col("len1").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_deleted"),
+            F.sum("nt0").cast("bigint").alias("tokens_before"),
+            F.coalesce(F.sum("nt1"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_after"),
         )
         .orderBy("source")
     )
