@@ -1555,18 +1555,26 @@ def fuzzy_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("p2"), F.col("g").alias("g2"),
     )
     dist = F.levenshtein("p1", "p2", LEV_THRESHOLD).cast("int")
-    # persist BEFORE the explode: projection collapse would inline the
-    # edit_dist expression into the filter AND both explode branches,
-    # re-running the (expensive) DP ~3x per surviving pair — the same
-    # explode-reevaluation class SCALE.md r8 documents; cheap-column
-    # twins (minhash est = 32 comparisons) tolerate it, a Levenshtein
-    # DP does not. Survivor set is bounded by candidate volume.
+    # Persist the DP PROJECTION itself, before any filter or explode
+    # references edit_dist (r12; tightens the r12-build persist):
+    # a filter on the aliased DP column gets alias-substituted and
+    # pushed below the projection INTO the join as a two-conjunct
+    # join condition, so every pair paid the O(len*k) DP once per
+    # conjunct plus once in the projection (executed-plan receipt:
+    # `BroadcastHashJoin ... ((levenshtein(p1,p2,30) >= 0) AND
+    # (levenshtein(...) <= 30))`). With the cache boundary directly
+    # under the filter the DP runs EXACTLY ONCE per candidate pair.
+    # The repartition between the join and the projection fixes the
+    # second half (guide §2.5): the candidate frame is a few MB, AQE
+    # coalesces the post-join output to ONE partition, and the DP
+    # stage ran on a single core. The cached frame is candidate-
+    # bounded (r1, r2, g1, g2, edit_dist — ~40 B/row).
     rep_pairs = scoped_persist(
         a.join(b, ["lang", "blk", "p8"])
         .where(F.col("r1") < F.col("r2"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("r1", "r2", "g1", "g2", dist.alias("edit_dist"))
-        .where(F.col("edit_dist").between(0, LEV_THRESHOLD))
-    )
+    ).where(F.col("edit_dist").between(0, LEV_THRESHOLD))
     # symmetrize in ONE pass (explode-array; a unionAll of two selects
     # would run the whole blocked-join lineage twice — the r10 lesson)
     sym = rep_pairs.select(
@@ -1713,16 +1721,23 @@ def fuzzy_dup_lsh_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rep").alias("r2"), F.col("g").alias("g2"), F.col("p").alias("p2")
     )
     dist = F.levenshtein("p1", "p2", LEV_THRESHOLD).cast("int")
-    # persist BEFORE the explode (see fuzzy_dup_summary): without it
-    # the DP re-runs ~3x per pair via filter + explode projection
-    # collapse — measured 39 -> 13 s at sf0.1 on the 198k band-FP
-    # candidate volume.
+    # Persist the DP PROJECTION itself, before the threshold filter
+    # references edit_dist (r12; see fuzzy_dup_summary for the full
+    # receipt): the filter on the aliased DP column alias-substitutes
+    # and pushes below the projection INTO the join as a two-conjunct
+    # join condition — every one of the 198k band-FP pairs paid the
+    # bounded DP 1-3x. And the post-join output is a few MB, so AQE
+    # coalesced it to ONE partition and the DP stage ran single-core
+    # (measured 6.5 s for the bare DP at sf0.1; 1.5 s once spread).
+    # Cache boundary directly under the filter + repartition between
+    # the joins and the projection = exactly one DP per pair, spread
+    # over the session's cores.
     rep_pairs = scoped_persist(
         cand.join(x, "r1")
         .join(y, "r2")
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("r1", "r2", "g1", "g2", dist.alias("edit_dist"))
-        .where(F.col("edit_dist").between(0, LEV_THRESHOLD))
-    )
+    ).where(F.col("edit_dist").between(0, LEV_THRESHOLD))
     sym = rep_pairs.select(
         F.explode(
             F.array(
