@@ -972,11 +972,17 @@ def incremental_minhash_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (minhash_lsh_pairs), so batch-vs-archive novelty and in-corpus
     pair detection agree on what "near-dup" means."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    sig = scoped_persist(
+    # persist the shingle frame BEFORE the 32 sig exprs (r12): without
+    # this cache barrier CollapseProject inlines the whole
+    # token+shingle fold into EVERY sig expression — 32x the fold per
+    # row (measured: sig materialization 7.1 s -> ~1 s at sf1; the
+    # same class llm_ops._shingle_hashes and fuzzy_dup_lsh_summary
+    # already guard against)
+    hs = scoped_persist(
         docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
         .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
-        .selectExpr("doc_id", *dd.spark_minhash_sig_exprs())
     )
+    sig = scoped_persist(hs.selectExpr("doc_id", *dd.spark_minhash_sig_exprs()))
     bands = sig.select(
         "doc_id", F.explode(dd.minhash_bands()).alias("bk")
     ).select(
@@ -1023,15 +1029,27 @@ def incremental_minhash_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_INDEX_COMMITS = 3  # simulated daily ingest commits maintaining the index
 
 
-def _archive_sig_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _archive_sig_frames(
+    docs: DataFrame, persist=scoped_persist
+) -> tuple[DataFrame, DataFrame]:
     """(signatures, band index) frames for a document frame: the two
     relations a maintained MinHash dedup index consists of —
-    (doc_id, s0..s31) and (doc_id, band, bkey)."""
-    sig = docs.selectExpr(
-        "doc_id", dd.spark_token_hashes_expr() + " AS th"
-    ).selectExpr(
-        "doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs"
-    ).selectExpr("doc_id", *dd.spark_minhash_sig_exprs())
+    (doc_id, s0..s31) and (doc_id, band, bkey).
+
+    ``persist`` wraps the intermediate shingle frame: the cache
+    barrier stops CollapseProject from inlining the token+shingle
+    fold into every one of the 32 sig expressions (32x the fold per
+    row, the fuzzy_dup_lsh_summary class; r12) — and both returned
+    frames derive from it, so a caller that materializes them
+    separately re-runs only the cheap sig projection, not the fold.
+    Batch queries use the default query-scoped cache; the streaming
+    sink (which calls this per micro-batch and must release per
+    trigger, not at a query boundary) passes its own tracker."""
+    hs = persist(
+        docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
+        .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
+    )
+    sig = hs.selectExpr("doc_id", *dd.spark_minhash_sig_exprs())
     bands = sig.select(
         "doc_id", F.explode(dd.minhash_bands()).alias("bk")
     ).select(

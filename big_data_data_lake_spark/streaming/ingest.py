@@ -775,7 +775,17 @@ def indexed_novelty_sink(
         sigs_t = LakeTable(spark, os.path.join(index_path, "sigs"))
         bands_t = LakeTable(spark, os.path.join(index_path, "bands"))
         out_t = LakeTable(spark, out_path)
-        sig, bands = _archive_sig_frames(batch_df)
+        # per-trigger cache tracker: the shingle barrier inside
+        # _archive_sig_frames must release with THIS batch, not at a
+        # query boundary the stream never reaches (r12)
+        batch_caches: list[DataFrame] = []
+
+        def _persist(df: DataFrame) -> DataFrame:
+            df.persist()
+            batch_caches.append(df)
+            return df
+
+        sig, bands = _archive_sig_frames(batch_df, persist=_persist)
         sig = sig.persist()
         try:
             if sigs_t.versions():
@@ -797,6 +807,8 @@ def indexed_novelty_sink(
             _commit_or_skip(bands_t, bands, batch_id)
         finally:
             sig.unpersist()
+            for c in batch_caches:
+                c.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(commit)
