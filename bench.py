@@ -390,9 +390,18 @@ def main() -> None:
     canary = host_canary(spark)
 
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+    # Test-only stride knob: SPARK_GRAFT_BENCH_STRIDE=k runs every
+    # k-th headline query so the pytest contract smoke (bench
+    # subprocess end to end) costs seconds, not the 10 minutes the
+    # full 151-query sweep costs at sf0.001 (r12 verdict #1 — the
+    # driver's pytest run must finish). The driver and every recorded
+    # bench run leave it unset: names == HEADLINE, measurement
+    # methodology unchanged.
+    stride = int(os.environ.get("SPARK_GRAFT_BENCH_STRIDE", "1"))
+    names = HEADLINE[::stride] if stride > 1 else HEADLINE
     timings: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = registry[name].fn
         samples = all_samples[name] = []
         for _ in range(reps):
@@ -452,6 +461,25 @@ def main() -> None:
                     n: [round(x, 3) for x in s] for n, s in all_samples.items()
                 },
             }
+        )
+    )
+    # Per-query visibility inside the driver's tail window (r12
+    # verdict #2). The window is ~2,000 chars and the HEADLINE names
+    # alone are ~3 KB, so a name-keyed map can NEVER fit; an ordered
+    # array of medians (~1.1 KB for 151 queries) does. Order is
+    # exactly bench.HEADLINE (this file, committed), so the record is
+    # deterministically invertible: per_query[name] = v[HEADLINE.index(name)].
+    print(
+        json.dumps(
+            {
+                "metric": "per_query_medians",
+                "unit": "sec",
+                "order": "bench.HEADLINE" if stride == 1 else f"bench.HEADLINE[::{stride}]",
+                "sf": sf,
+                "n": len(timings),
+                "v": [timings[n] for n in names],
+            },
+            separators=(",", ":"),
         )
     )
     # The driver records only the TAIL of this process's output; the

@@ -972,17 +972,23 @@ def incremental_minhash_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (minhash_lsh_pairs), so batch-vs-archive novelty and in-corpus
     pair detection agree on what "near-dup" means."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    # persist the shingle frame BEFORE the 32 sig exprs (r12): without
-    # this cache barrier CollapseProject inlines the whole
-    # token+shingle fold into EVERY sig expression — 32x the fold per
-    # row (measured: sig materialization 7.1 s -> ~1 s at sf1; the
-    # same class llm_ops._shingle_hashes and fuzzy_dup_lsh_summary
-    # already guard against)
-    hs = scoped_persist(
-        docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
-        .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
+    # ONE persist, metadata-scale (r13, r12 verdict #3): the whole
+    # 32-minhash sketch is a single lambda-bound array expression
+    # (spark_minhash_sig_array_expr), so the token+shingle fold runs
+    # exactly once per row at cache materialization — no CollapseProject
+    # 32x inlining (the r12 hazard) and no corpus-scale shingle cache
+    # (the r12 regression: two caches, one holding every shingle array,
+    # drove the driver's sf0.1 entry x1.93). The cached frame is
+    # (doc_id, 32 longs); the s0..s31 extraction below is a free
+    # projection over the cache.
+    siga = scoped_persist(
+        docs.selectExpr(
+            "doc_id", dd.spark_minhash_sig_array_expr() + " AS sigarr"
+        )
     )
-    sig = scoped_persist(hs.selectExpr("doc_id", *dd.spark_minhash_sig_exprs()))
+    sig = siga.selectExpr(
+        "doc_id", *[f"sigarr[{k}] AS s{k}" for k in range(dd.N_MINHASH)]
+    )
     bands = sig.select(
         "doc_id", F.explode(dd.minhash_bands()).alias("bk")
     ).select(
@@ -1036,20 +1042,24 @@ def _archive_sig_frames(
     relations a maintained MinHash dedup index consists of —
     (doc_id, s0..s31) and (doc_id, band, bkey).
 
-    ``persist`` wraps the intermediate shingle frame: the cache
-    barrier stops CollapseProject from inlining the token+shingle
-    fold into every one of the 32 sig expressions (32x the fold per
-    row, the fuzzy_dup_lsh_summary class; r12) — and both returned
-    frames derive from it, so a caller that materializes them
-    separately re-runs only the cheap sig projection, not the fold.
-    Batch queries use the default query-scoped cache; the streaming
-    sink (which calls this per micro-batch and must release per
-    trigger, not at a query boundary) passes its own tracker."""
-    hs = persist(
-        docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
-        .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
+    ``persist`` wraps the signature-array frame — (doc_id, 32 longs),
+    metadata-scale at any corpus size. The sketch is ONE lambda-bound
+    array expression (spark_minhash_sig_array_expr), so the
+    token+shingle fold runs exactly once per row at materialization;
+    r12's extra shingle-frame persist (a corpus-scale cache, the r12
+    verdict's top finding) is gone. Both returned frames are cheap
+    projections over the one cache. Batch queries use the default
+    query-scoped cache; the streaming sink (which calls this per
+    micro-batch and must release per trigger, not at a query boundary)
+    passes its own tracker."""
+    siga = persist(
+        docs.selectExpr(
+            "doc_id", dd.spark_minhash_sig_array_expr() + " AS sigarr"
+        )
     )
-    sig = hs.selectExpr("doc_id", *dd.spark_minhash_sig_exprs())
+    sig = siga.selectExpr(
+        "doc_id", *[f"sigarr[{k}] AS s{k}" for k in range(dd.N_MINHASH)]
+    )
     bands = sig.select(
         "doc_id", F.explode(dd.minhash_bands()).alias("bk")
     ).select(
@@ -1185,9 +1195,10 @@ def incremental_minhash_novelty_indexed(
         lambda d: _build_minhash_archive_index(spark, sf_dir, d),
     )
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    batch_sig = scoped_persist(
-        _archive_sig_frames(docs.where(F.col("doc_id") % 5 == 0))[0]
-    )
+    # _archive_sig_frames persists the sig-array frame itself (r13);
+    # its returned sig is a free projection over that cache — wrapping
+    # it in a second persist would just double the executor storage
+    batch_sig = _archive_sig_frames(docs.where(F.col("doc_id") % 5 == 0))[0]
     index_bands = LakeTable(spark, os.path.join(path, "bands")).read().select(
         F.col("doc_id").alias("old_id"), "band", "bkey"
     )
@@ -1819,15 +1830,33 @@ GROUP BY doc_id, n_tokens
 )
 
 
-def _excision_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal duplicated-token spans per document: ``(doc_id,
-    n_tokens, sid, s, e)`` — the shared core of the ExactSubstr
-    family (cut list, per-source accounting, rewrite checksum). See
-    :func:`repeated_span_excision` for the semantics and the
-    scale-shape argument; this helper IS that query minus the final
-    per-doc aggregate."""
-    from pyspark.sql import Window
+def _excision_span_arrays(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(meta, spans) — the shared core of the ExactSubstr family:
+    ``meta`` is per-doc token metadata (doc_id, n_tokens) projected
+    off the persisted shingle frame; ``spans`` is ONE row per affected
+    document with its maximal duplicated-token spans as a row-local
+    ``sp: array<struct<s,e>>`` ordered by s. See
+    :func:`repeated_span_excision` for the semantics.
 
+    Shape (r13, r12 verdict #4): the only corpus-scale decisions are
+    (1) which 13-grams are duplicated — one partial-aggregated count
+    over the exploded gram hashes — and (2) which positions those
+    grams occupy — the gram-keyed equi-join. Everything AFTER that is
+    per-document: the duplicated positions collect into one sorted
+    array per doc (a single doc_id exchange) and the gaps-and-islands
+    merge runs row-locally over that array (a position opens a span
+    iff it clears the previous position's covered end — with sorted
+    positions the running max IS the previous element, so the window
+    machinery was never needed). The r12 form shipped every
+    duplicated position through a per-doc WINDOW (exchange + sort) +
+    an island groupBy + (in the rewrite consumers) a second
+    collect_list groupBy — three doc-keyed exchanges doing what one
+    does here; it also persisted the corpus-token-scale exploded
+    positions frame, which at 100 TB is executor storage holding
+    every (doc_id, p, g) row — the explode is recomputed from the hs
+    cache instead (a Generate over cached arrays, no fold re-run)."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     hs = scoped_persist(
         docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
@@ -1837,10 +1866,8 @@ def _excision_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             dd.spark_positional_shingle_hashes_expr(SPAN_N) + " AS hs",
         )
     )
-    pos = scoped_persist(
-        hs.select(
-            "doc_id", "n_tokens", F.posexplode("hs").alias("p0", "g")
-        ).select("doc_id", "n_tokens", (F.col("p0") + 1).alias("p"), "g")
+    pos = hs.select("doc_id", F.posexplode("hs").alias("p0", "g")).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), "g"
     )
     dup_grams = (
         pos.groupBy("g")
@@ -1848,31 +1875,25 @@ def _excision_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c") >= 2)
         .select("g")
     )
-    dp = pos.join(dup_grams, "g").select("doc_id", "n_tokens", "p")
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    dp = pos.join(dup_grams, "g").select("doc_id", "p")
+    # row-local interval merge over the sorted positions: position p
+    # covers [p, p+N-1]; a span STARTS at p iff the previous position
+    # cannot reach it (p > prev + N, i.e. past touching) and ENDS at p
+    # iff the next position starts a new span. IF() guards the
+    # boundary element_at lookups (ANSI mode).
+    merge_expr = (
+        "zip_with("
+        f"filter(ps, (p, i) -> IF(i = 0, true, p > element_at(ps, i) + {SPAN_N})), "
+        "transform(filter(ps, (p, i) -> IF(i = size(ps) - 1, true, "
+        f"element_at(ps, i + 2) > p + {SPAN_N})), p -> p + {SPAN_N - 1}), "
+        "(s, e) -> named_struct('s', s, 'e', e))"
     )
-    w_run = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans = (
+        dp.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+        .selectExpr("doc_id", merge_expr + " AS sp")
     )
-    brk = F.when(
-        F.col("p")
-        > F.coalesce(
-            F.max(F.col("p") + F.lit(SPAN_N - 1)).over(w_prev),
-            F.lit(-SPAN_N),
-        )
-        + 1,
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    sp = dp.withColumn("brk", brk).withColumn("sid", F.sum("brk").over(w_run))
-    return sp.groupBy("doc_id", "n_tokens", "sid").agg(
-        F.min("p").alias("s"),
-        (F.max("p") + F.lit(SPAN_N - 1)).alias("e"),
-    )
+    return hs.select("doc_id", "n_tokens"), spans
 
 
 @register("repeated_span_excision", REPEATED_SPAN_ORACLE)
@@ -1901,17 +1922,24 @@ def repeated_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     end, islands number by running sum, spans aggregate per island.
     Everything is integer arithmetic until the final rounded
     fraction, so engine parity is exact."""
-    spans = _excision_spans(spark, sf_dir)
-    return spans.groupBy("doc_id", "n_tokens").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
-    ).select(
+    meta, spans = _excision_span_arrays(spark, sf_dir)
+    # per-doc profile is row-local arithmetic over the span array; the
+    # meta join re-attaches n_tokens (affected-doc-scale vs carrying
+    # 8 extra bytes on every duplicated-position row through the gram
+    # join's exchanges)
+    return spans.join(meta, "doc_id").select(
         "doc_id",
-        "n_spans",
-        "dup_tokens",
+        F.size("sp").cast("bigint").alias("n_spans"),
+        F.expr("aggregate(sp, 0L, (acc, r) -> acc + r.e - r.s + 1)").alias(
+            "dup_tokens"
+        ),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.round(
-            F.col("dup_tokens").cast("double") / F.col("n_tokens"), 4
+            F.expr("aggregate(sp, 0L, (acc, r) -> acc + r.e - r.s + 1)").cast(
+                "double"
+            )
+            / F.col("n_tokens"),
+            4,
         ).alias("dup_fraction"),
     )
 
@@ -2062,10 +2090,9 @@ def excision_rewrite_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     before. Integer arithmetic end to end (checksum mod 2^31-1 over
     31-bit token hashes: per-doc sums stay far under int64)."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    spans = _excision_spans(spark, sf_dir)
-    span_arrays = spans.groupBy("doc_id").agg(
-        F.collect_list(F.struct("s", "e")).alias("sp")
-    )
+    # span arrays come out of the merge ALREADY per-doc (r13) — the
+    # r12 collect_list regroup exchange is gone
+    _meta, span_arrays = _excision_span_arrays(spark, sf_dir)
     kept = (
         docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
         .join(span_arrays, "doc_id", "left")
@@ -2156,12 +2183,10 @@ def _excision_lake_changes(spark: SparkSession, sf_dir: str, docs: DataFrame):
     for one materialization). Values are bit-identical to the old
     form (asserted against it at sf0.001/sf0.01 row-for-row, plus
     the unchanged DuckDB oracle)."""
-    spans = _excision_spans(spark, sf_dir)
-    span_arrays = scoped_persist(
-        spans.groupBy("doc_id").agg(
-            F.collect_list(F.struct("s", "e")).alias("sp")
-        )
-    )
+    # span arrays come out of the merge ALREADY per-doc (r13) — the
+    # r12 collect_list regroup exchange is gone; still persisted, the
+    # lake commit reads the change frame four times
+    span_arrays = scoped_persist(_excision_span_arrays(spark, sf_dir)[1])
     # the inner join IS the affected-doc filter: only docs with at
     # least one merged span carry a row; exists() over the (order-
     # insensitive) span array decides each token position row-locally

@@ -731,19 +731,35 @@ def minhash_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream dedup would falsely drop unique short documents (r11
     advice, reproduced in tests/test_dedup.py degenerate-corpus
     case). All 32 sigs are NULL together, so filtering s0 suffices."""
-    from pyspark.sql import Window
-
-    hs = _shingle_hashes(spark, sf_dir)
-    sig_cols = [f"s{k}" for k in range(dd.N_MINHASH)]
-    w = Window.partitionBy(*sig_cols)
-    sigw = scoped_persist(
-        hs.selectExpr("doc_id", *dd.spark_minhash_sig_exprs())
-        .where(F.col("s0").isNotNull())
-        .withColumn("g", F.count(F.lit(1)).over(w))
-        .withColumn("rep", F.min("doc_id").over(w))
+    # ONE metadata-scale persist (r13, r12 verdict #3/#7): the whole
+    # 32-minhash sketch is a single lambda-bound array expression —
+    # fold evaluated once per row, no corpus-scale shingle cache (the
+    # r12 two-persist form) — and the group stats (g, rep) come from a
+    # partial-aggregated groupBy on the sketch array instead of a
+    # window over 32 sort columns: the window shuffled and sorted
+    # every doc row; the groupBy's map-side partial aggregation
+    # collapses to distinct signatures per partition BEFORE its
+    # exchange, and g/rep re-attach through one sigarr equi-join at
+    # the very end (broadcast while the distinct-signature table is
+    # small). Degenerate docs filter out on sigarr[0] exactly like the
+    # old s0 filter (all 32 are NULL together).
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    siga = scoped_persist(
+        docs.selectExpr(
+            "doc_id", dd.spark_minhash_sig_array_expr() + " AS sigarr"
+        ).where(F.expr("sigarr[0] IS NOT NULL"))
     )
-    reps = sigw.where(F.col("doc_id") == F.col("rep"))
-    bands = reps.select(
+    # distinct-signature scale; read three times (band explode, x/y
+    # agreement sides, final expansion join)
+    grp = scoped_persist(
+        siga.groupBy("sigarr").agg(
+            F.count(F.lit(1)).alias("g"), F.min("doc_id").alias("rep")
+        )
+    )
+    grp_cols = grp.selectExpr(
+        "rep", *[f"sigarr[{k}] AS s{k}" for k in range(dd.N_MINHASH)]
+    )
+    bands = grp_cols.select(
         "rep", F.explode(dd.minhash_bands()).alias("bk")
     ).select("rep", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     a = bands.select(F.col("rep").alias("r1"), "band", "bkey")
@@ -754,20 +770,22 @@ def minhash_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r1", "r2")
         .dropDuplicates(["r1", "r2"])
     )
-    x = reps.select(
+    x = grp.select(
         F.col("rep").alias("r1"),
         F.col("g").alias("g1"),
-        *[F.col(f"s{k}").alias(f"x{k}") for k in range(dd.N_MINHASH)],
+        F.col("sigarr").alias("xa"),
     )
-    y = reps.select(
+    y = grp.select(
         F.col("rep").alias("r2"),
         F.col("g").alias("g2"),
-        *[F.col(f"s{k}").alias(f"y{k}") for k in range(dd.N_MINHASH)],
+        F.col("sigarr").alias("ya"),
     )
-    est = sum(
-        (F.col(f"x{k}") == F.col(f"y{k}")).cast("int")
-        for k in range(dd.N_MINHASH)
-    ) / float(dd.N_MINHASH)
+    # same integer-agreement arithmetic as the 32-column form, over
+    # the cached arrays (no NULLs reach here — filtered above)
+    est = F.expr(
+        "aggregate(zip_with(xa, ya, (a, b) -> CAST(a = b AS INT)), 0, "
+        f"(acc, v) -> acc + v) / {float(dd.N_MINHASH)}"
+    )
     rep_pairs = (
         cand.join(x, "r1")
         .join(y, "r2")
@@ -801,7 +819,7 @@ def minhash_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_est = F.when(F.col("g") > 1, F.lit(1.0)).otherwise(F.col("cross_max"))
     return (
-        sigw.select("doc_id", "g", "rep")
+        siga.join(grp.select("sigarr", "g", "rep"), "sigarr")
         .join(cross, "rep", "left")
         .where(n >= 1)
         .select(
@@ -969,22 +987,31 @@ def simhash_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the config that holds past 1M docs (r10 verdict #3 — A/B vs the
     r10 shared-pair form recorded in SCALE.md r11); cf. the
     reference's count-style dedup reporting (dashboard.py:173-183)."""
-    from pyspark.sql import Window
-
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     hs = (
         docs.selectExpr("doc_id", dd.spark_token_hashes_expr() + " AS th")
         .selectExpr("doc_id", dd.spark_shingle_hashes_expr(2) + " AS hs")
         .selectExpr("doc_id", dd.spark_widened_hashes_expr() + " AS wh")
     )
-    w = Window.partitionBy("h")
-    sigw = scoped_persist(
-        hs.selectExpr("doc_id", dd.spark_simhash_expr() + " AS h")
-        .withColumn("g", F.count(F.lit(1)).over(w))
-        .withColumn("rep", F.min("doc_id").over(w))
+    # group stats via partial-aggregated groupBy, not a window (r13,
+    # r12 verdict #7): the window shuffled and SORTED every (doc_id, h)
+    # row to attach g/rep; the groupBy's map-side partial aggregation
+    # collapses to distinct sketches per partition BEFORE its exchange,
+    # and g/rep re-attach to docs through one equi-join at the very end
+    # (broadcast while the distinct-sketch table is small; the combo
+    # join never needed doc-level rows at all — it reads grp directly,
+    # where the old form filtered doc_id == rep back out of the window
+    # output). The persisted frame shrinks from (doc_id, h, g, rep) to
+    # the 16 B/row sketch projection.
+    sigp = scoped_persist(hs.selectExpr("doc_id", dd.spark_simhash_expr() + " AS h"))
+    # distinct-sketch scale; read twice (combo-key explode + the final
+    # doc-level expansion join)
+    grp = scoped_persist(
+        sigp.groupBy("h").agg(
+            F.count(F.lit(1)).alias("g"), F.min("doc_id").alias("rep")
+        )
     )
-    reps = sigw.where(F.col("doc_id") == F.col("rep"))
-    keys = reps.select(
+    keys = grp.select(
         "rep", "h", "g", F.explode(dd.simhash_combo_keys(F.col("h"))).alias("k")
     ).select("rep", "h", "g", F.col("k.ki").alias("ki"), F.col("k.kv").alias("kv"))
     a = keys.select(
@@ -1033,7 +1060,7 @@ def simhash_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("g") > 1, F.lit(0)).otherwise(F.col("cross_min"))
     ).cast("int")
     return (
-        sigw.select("doc_id", "g", "rep")
+        sigp.join(grp.select("h", "g", "rep"), "h")
         .join(cross, "rep", "left")
         .where(n >= 1)
         .select(

@@ -775,9 +775,13 @@ def indexed_novelty_sink(
         sigs_t = LakeTable(spark, os.path.join(index_path, "sigs"))
         bands_t = LakeTable(spark, os.path.join(index_path, "bands"))
         out_t = LakeTable(spark, out_path)
-        # per-trigger cache tracker: the shingle barrier inside
+        # per-trigger cache tracker: the sig-array cache inside
         # _archive_sig_frames must release with THIS batch, not at a
-        # query boundary the stream never reaches (r12)
+        # query boundary the stream never reaches (r12). Since r13 the
+        # helper caches the (doc_id, 32-long sig array) frame itself —
+        # metadata-scale — and the returned sig is a free projection
+        # over it, so the old second sig.persist() here was redundant
+        # storage and is gone.
         batch_caches: list[DataFrame] = []
 
         def _persist(df: DataFrame) -> DataFrame:
@@ -786,7 +790,6 @@ def indexed_novelty_sink(
             return df
 
         sig, bands = _archive_sig_frames(batch_df, persist=_persist)
-        sig = sig.persist()
         try:
             if sigs_t.versions():
                 novelty = probe_minhash_novelty(
@@ -806,7 +809,6 @@ def indexed_novelty_sink(
             _commit_or_skip(sigs_t, sig, batch_id)
             _commit_or_skip(bands_t, bands, batch_id)
         finally:
-            sig.unpersist()
             for c in batch_caches:
                 c.unpersist()
 

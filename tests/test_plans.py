@@ -818,6 +818,14 @@ FACT_BROADCAST_MONITORED = {
     "nation_trade_flows",
     "priority_line_counts",
     "referential_integrity_audit",
+    # r13: the span-array merge re-attaches n_tokens via a doc-metadata
+    # equi-join; at calibration SF the optimizer broadcasts the cached
+    # (doc_id, n_tokens) projection (accurate InMemoryRelation stats,
+    # well under the 10 MB production threshold), at scale the same
+    # stats exceed it and AQE plans the sort-merge form — exactly the
+    # monitored class this set exists for
+    "repeated_span_excision",
+    "excision_source_accounting",
     "returned_item_report",
     "simhash_dup_summary",  # same pair core as simhash_near_dups
     "simhash_near_dups",
