@@ -2290,7 +2290,13 @@ def _execute_excision_rewrite(spark: SparkSession, sf_dir: str, path: str):
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     upserts, gone = _excision_lake_changes(spark, sf_dir, docs)
     lake = LakeTable(spark, path)
-    lake.create(docs)
+    # v0 is written from the RAW scan, not the spread frame: _spread
+    # exists to parallelize the change-set COMPUTE on under-split test
+    # inputs, but writing through it inflates v0's file count to the
+    # core count (32 part files for a 12 MB corpus at sf0.1) and every
+    # downstream commit/read pays per-file overhead (guide §6 — the
+    # scan's own partitioning is already byte-sized at any scale)
+    lake.create(_t(spark, sf_dir, "documents"))
     _commit_excision(lake, upserts, gone)
     return lake
 
@@ -2430,8 +2436,12 @@ def excision_rewrite_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import fixtures
 
     def _stage_v0(d: str) -> None:
-        docs = _spread(spark, _t(spark, sf_dir, "documents"))
-        LakeTable(spark, os.path.join(d, "v0")).create(docs)
+        # raw scan, not _spread: byte-sized v0 files (see
+        # _execute_excision_rewrite — the spread write paid per-file
+        # overhead on every incremental commit and read)
+        LakeTable(spark, os.path.join(d, "v0")).create(
+            _t(spark, sf_dir, "documents")
+        )
 
     staged = fixtures.staged_dir("excision_v0", sf_dir, _stage_v0)
     docs = _spread(spark, _t(spark, sf_dir, "documents"))

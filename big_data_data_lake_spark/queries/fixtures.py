@@ -27,9 +27,15 @@ import atexit
 import os
 import shutil
 import tempfile
+import threading
 from collections.abc import Callable
 
 _STAGED: dict[tuple[str, str], str] = {}
+# Concurrent first calls for the SAME fixture (test sweeps now overlap
+# independent queries in a thread pool — guide §2.6) must not both
+# build: per-key double-checked locking; distinct keys never contend.
+_STAGED_LOCKS: dict[tuple[str, str], threading.Lock] = {}
+_LOCKS_GUARD = threading.Lock()
 
 
 def _cleanup() -> None:
@@ -42,16 +48,23 @@ atexit.register(_cleanup)
 
 def staged_dir(name: str, sf_dir: str, build: Callable[[str], None]) -> str:
     """Return the fixture directory for (name, sf_dir), building it
-    with ``build(dir)`` on first use. A failed build never caches."""
+    with ``build(dir)`` on first use (thread-safe: one build per key).
+    A failed build never caches."""
     key = (name, os.path.abspath(sf_dir))
     d = _STAGED.get(key)
     if d is not None and os.path.isdir(d):
         return d
-    d = tempfile.mkdtemp(prefix=f"staged_{name}_")
-    try:
-        build(d)
-    except BaseException:
-        shutil.rmtree(d, ignore_errors=True)
-        raise
-    _STAGED[key] = d
-    return d
+    with _LOCKS_GUARD:
+        lock = _STAGED_LOCKS.setdefault(key, threading.Lock())
+    with lock:
+        d = _STAGED.get(key)
+        if d is not None and os.path.isdir(d):
+            return d
+        d = tempfile.mkdtemp(prefix=f"staged_{name}_")
+        try:
+            build(d)
+        except BaseException:
+            shutil.rmtree(d, ignore_errors=True)
+            raise
+        _STAGED[key] = d
+        return d

@@ -315,7 +315,10 @@ class LakeTable:
         UUIDs file names so appends never collide); return file-level
         metadata for the manifest. Files added to disk but referenced
         by no manifest are invisible to readers — the manifest, not
-        the directory listing, is the source of truth."""
+        the directory listing, is the source of truth. Each entry
+        records its on-disk ``bytes`` so later copy-on-write commits
+        can size their rewrite output from the manifest alone (no
+        filesystem stat storm at 10^5 files)."""
         before = self._list_parquet()
         writer = df.write.mode("append")
         if partition_by:
@@ -332,9 +335,49 @@ class LakeTable:
                     pvals[k] = v
             rows, col_stats = _footer_stats(full)
             files.append(
-                {"path": full, "rows": rows, "partition": pvals, "stats": col_stats}
+                {
+                    "path": full,
+                    "rows": rows,
+                    "bytes": os.path.getsize(full),
+                    "partition": pvals,
+                    "stats": col_stats,
+                }
             )
         return files
+
+    @staticmethod
+    def _rewrite_partitions(touched: list[dict]) -> int:
+        """Output-partition count for a copy-on-write rewrite, sized
+        to the BYTES being replaced (guide: output files in the
+        128 MB - 1 GB range). Rewrites flow through narrow plans
+        (touched-file scan + broadcast anti/semi join + union with the
+        incoming batch), so without this the output file count is an
+        accident of the UNION's partition arithmetic — measured at
+        sf0.1: a 12 MB / 5,000-row corpus landed as 64 part files and
+        every subsequent read paid ~1 s of per-file + planning
+        overhead (upsert 2.0 s, join-frame delete 3.0 s, accounting
+        2.2 s — all dominated by file count, footer stats measured
+        free). ``coalesce`` (never a shuffle) caps the count; it is a
+        no-op when the plan already has fewer partitions. Sizing is
+        scale-adaptive — bytes/target, not a constant — so a 100 TB
+        table's multi-GB rewrite keeps thousands of write tasks while
+        a point-update writes one file. Target is overridable via
+        $SPARK_GRAFT_LAKE_TARGET_FILE_BYTES (bytes); files written by
+        pre-r13 manifests lack ``bytes`` and fall back to a stat call.
+        """
+        target = int(
+            os.environ.get("SPARK_GRAFT_LAKE_TARGET_FILE_BYTES", "0")
+        ) or 128 * 1024 * 1024
+        total = 0
+        for f in touched:
+            b = f.get("bytes")
+            if b is None:
+                try:
+                    b = os.path.getsize(f["path"])
+                except OSError:
+                    b = 0
+            total += int(b)
+        return max(1, -(-total // target))
 
     def _new_manifest(
         self,
@@ -904,6 +947,13 @@ class LakeTable:
         # append) — the manifest schema is taken from the union, so an
         # upsert can never silently narrow the table
         rewritten = base.unionByName(df, allowMissingColumns=True)
+        if touched:
+            # size the rewrite to the bytes it replaces (plus the
+            # incoming batch, bounded below by the touched volume);
+            # when nothing is touched the incoming frame keeps its own
+            # partitioning — an all-new-keys upsert is append-shaped
+            # and the caller controls its layout
+            rewritten = rewritten.coalesce(self._rewrite_partitions(touched))
         new_files = self._write_files(rewritten, prev["partition_by"])
         v = self.latest_version() + 1
         self._commit(
@@ -955,6 +1005,8 @@ class LakeTable:
         kept = self._read_files(schema, touched).filter(
             ~F.coalesce(F.expr(cond), F.lit(False))
         )
+        # deletes only shrink: size output files to the touched bytes
+        kept = kept.coalesce(self._rewrite_partitions(touched))
         new_files = self._write_files(kept, prev["partition_by"])
         v = self.latest_version() + 1
         self._commit(
@@ -1016,6 +1068,8 @@ class LakeTable:
         old = self._read_files(schema, touched)
         anti_cond = [old[k].eqNullSafe(incoming[k]) for k in keys]
         kept = old.join(incoming, on=anti_cond, how="left_anti")
+        # deletes only shrink: size output files to the touched bytes
+        kept = kept.coalesce(self._rewrite_partitions(touched))
         new_files = self._write_files(kept, prev["partition_by"])
         v = self.latest_version() + 1
         self._commit(

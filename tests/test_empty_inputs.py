@@ -12,7 +12,6 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from big_data_data_lake_spark.caching import release_query_caches
 from big_data_data_lake_spark.queries import load_all
 from big_data_data_lake_spark.sources.catalog import TABLES
 
@@ -32,14 +31,18 @@ def empty_sf_dir(tmp_path_factory):
 
 
 def test_every_query_survives_empty_tables(spark, empty_sf_dir):
-    failures = []
-    for name, qd in sorted(load_all().items()):
+    from tests.conftest import registry_sweep
+
+    reg = load_all()
+
+    def run_one(name):
         try:
-            qd.fn(spark, empty_sf_dir).collect()
+            reg[name].fn(spark, empty_sf_dir).collect()
         except Exception as e:  # noqa: BLE001 — collecting all failures
-            failures.append(f"{name}: {type(e).__name__}: {str(e).splitlines()[0][:100]}")
-        finally:
-            release_query_caches()
+            return f"{name}: {type(e).__name__}: {str(e).splitlines()[0][:100]}"
+        return None
+
+    failures = registry_sweep(sorted(reg), run_one)
     assert not failures, "\n".join(failures)
 
 
@@ -77,12 +80,16 @@ def test_every_query_survives_all_null_nullable_columns(spark, null_heavy_sf_dir
     """Found three real crashes when written: NULL blobs crashing the
     Arrow kernels' len(), and a NULL grand total crashing
     global_cumsum's driver-side int()."""
-    failures = []
-    for name, qd in sorted(load_all().items()):
+    from tests.conftest import registry_sweep
+
+    reg = load_all()
+
+    def run_one(name):
         try:
-            qd.fn(spark, null_heavy_sf_dir).collect()
+            reg[name].fn(spark, null_heavy_sf_dir).collect()
         except Exception as e:  # noqa: BLE001
-            failures.append(f"{name}: {type(e).__name__}: {str(e).splitlines()[0][:100]}")
-        finally:
-            release_query_caches()
+            return f"{name}: {type(e).__name__}: {str(e).splitlines()[0][:100]}"
+        return None
+
+    failures = registry_sweep(sorted(reg), run_one)
     assert not failures, "\n".join(failures)

@@ -899,17 +899,14 @@ def test_plan_lint_every_registered_query(spark):
     window over a single-partition exchange). New queries are covered
     automatically; a nested loop is tolerated only via the explicit
     allowlist above, and cartesians / unpartitioned windows never."""
-    from big_data_data_lake_spark.caching import release_query_caches
     from big_data_data_lake_spark.plans import lint_plan
+    from tests.conftest import registry_sweep
 
-    failures = []
-    for name, qd in sorted(REG.items()):
-        try:
-            findings = lint_plan(
-                qd.fn(spark, SF), allow=LINT_ALLOWED.get(name, frozenset())
-            )
-        finally:
-            release_query_caches()
-        if findings:
-            failures.append(f"{name}: {findings}")
+    def run_one(name):
+        findings = lint_plan(
+            REG[name].fn(spark, SF), allow=LINT_ALLOWED.get(name, frozenset())
+        )
+        return f"{name}: {findings}" if findings else None
+
+    failures = registry_sweep(sorted(REG), run_one)
     assert not failures, "\n".join(failures)
