@@ -379,6 +379,23 @@ class LakeTable:
             total += int(b)
         return max(1, -(-total // target))
 
+    @staticmethod
+    def _plan_size_estimate(df: DataFrame) -> int:
+        """Catalyst's size estimate for ``df``, or 0 when unknown.
+        Guards upsert's rewrite sizing against the bulk-load shape
+        (incoming batch >> touched files): a MERGE of a 1 TB batch
+        into a table where it only touches 100 MB must not coalesce
+        the whole batch into one write task. Catalyst reports
+        ``defaultSizeInBytes`` (~Long.Max) when it cannot estimate —
+        treated as unknown, never as a real size."""
+        try:
+            sz = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            return 0
+        return sz if 0 <= sz < (1 << 50) else 0
+
     def _new_manifest(
         self,
         df: DataFrame,
@@ -948,12 +965,17 @@ class LakeTable:
         # upsert can never silently narrow the table
         rewritten = base.unionByName(df, allowMissingColumns=True)
         if touched:
-            # size the rewrite to the bytes it replaces (plus the
-            # incoming batch, bounded below by the touched volume);
+            # size the rewrite to the bytes it replaces plus the
+            # incoming batch's estimated bytes (the latter keeps a
+            # bulk MERGE from collapsing into too few write tasks);
             # when nothing is touched the incoming frame keeps its own
             # partitioning — an all-new-keys upsert is append-shaped
             # and the caller controls its layout
-            rewritten = rewritten.coalesce(self._rewrite_partitions(touched))
+            n_out = self._rewrite_partitions(
+                touched
+                + [{"bytes": self._plan_size_estimate(df), "path": ""}]
+            )
+            rewritten = rewritten.coalesce(n_out)
         new_files = self._write_files(rewritten, prev["partition_by"])
         v = self.latest_version() + 1
         self._commit(
