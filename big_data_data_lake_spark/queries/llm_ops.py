@@ -762,36 +762,27 @@ def minhash_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = grp_cols.select(
         "rep", F.explode(dd.minhash_bands()).alias("bk")
     ).select("rep", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
-    # Candidate pairs are generated BUCKET-LOCALLY (r13): one groupBy
-    # per (band, bkey) collects the bucket's reps (8 B each — keys,
-    # never payload) and pairs explode row-locally from the sorted
-    # list, replacing the two-sided self-join (two 780k-row exchanges
-    # + a hash join at sf1) with ONE exchange of the same rows.
-    # Measured at sf1: cand stage 2.5 -> 1.9 s, full query
-    # 9.5 -> 8.5 s same-session A/B, candidate set bit-identical
-    # (1,986,522 pairs both forms). The pair dedup moves AFTER the
-    # est >= 0.5 filter: the agreement joins are map-side (grp
-    # broadcast/AQE) so duplicate band collisions only recompute the
-    # cheap zip_with, and the dedup exchange then carries the few
-    # surviving pairs instead of every band collision. Same values —
-    # est is a pure function of the pair, so which duplicate survives
-    # is irrelevant. Trade-off (monitored, SCALE.md r13): a single
-    # pathologically hot band bucket becomes one explode task where
-    # the join form could AQE-skew-split — but buckets here hold
-    # DISTINCT signatures (the two-level collapse already removed
-    # identical-dup clusters, the dominant hot-bucket source).
-    pair_expr = (
-        "flatten(transform(rs, (x, i) -> "
-        "transform(slice(rs, i + 2, size(rs) - i - 1), "
-        "y -> struct(x AS r1, y AS r2))))"
-    )
-    buckets = (
-        bands.groupBy("band", "bkey")
-        .agg(F.sort_array(F.collect_list("rep")).alias("rs"))
-        .where(F.size("rs") > 1)
-    )
-    cand = buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select(
-        "p.r1", "p.r2"
+    # Candidate generation stays the two-sided band self-join with the
+    # pair dedup BEFORE the agreement joins. Two alternatives were
+    # built and MEASURED at both tiers (r13, guide §1): (a)
+    # bucket-local pair generation (one groupBy collecting each
+    # (band, bkey) bucket's reps, pairs exploding row-locally) won
+    # ~1 s at sf1 (9.5 -> 8.5 s warm, candidate set bit-identical)
+    # but at sf10 sat inside the join form's ambient band (22-26 s
+    # across calm windows, both forms) while forfeiting AQE
+    # skew-splitting on a hot bucket; (b) moving the dedup after the
+    # est filter compounds at sf10's ~4x duplication, where every
+    # pair collides in up to 16 bands and the agreement joins re-run
+    # per collision: 33.4 s median — clearly worse. sf1's win is
+    # overhead at a tier where distinct sigs ~= docs; neither
+    # alternative beats the join where scale lives. Join form kept.
+    a = bands.select(F.col("rep").alias("r1"), "band", "bkey")
+    b = bands.select(F.col("rep").alias("r2"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("r1") < F.col("r2"))
+        .select("r1", "r2")
+        .dropDuplicates(["r1", "r2"])
     )
     x = grp.select(
         F.col("rep").alias("r1"),
@@ -814,7 +805,6 @@ def minhash_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(y, "r2")
         .where(est >= 0.5)
         .select("r1", "r2", "g1", "g2", F.round(est, 4).alias("est_sim"))
-        .dropDuplicates(["r1", "r2"])
     )
     # symmetrize rep pairs in ONE pass (explode-array, r10 lesson) and
     # roll up each representative's cross-group degree/agreement
